@@ -1,0 +1,167 @@
+"""Inference backends for the pipelines.
+
+A backend turns a batch of decoded frames into fixed-shape face detections +
+identity embeddings. Two implementations:
+
+* :class:`ScrfdArcFaceBackend` — the real fused XLA program (letterbox →
+  SCRFD → 5-pt align → ArcFace → quality) replacing the reference's
+  per-frame ``FaceEmbedder.extract`` ladder (face_embedder.py:1663-2502).
+* :class:`OracleBackend` — ground-truth-driven backend for tests and
+  pipeline benchmarks: identical interface, detections read from a
+  :class:`~person_capture_tpu.video.synthetic.SyntheticVideo` table.
+
+Outputs (host numpy, fixed shapes):
+  boxes ``[B, F, 4]`` xyxy in *reader frame coords*, kps ``[B, F, 5, 2]``,
+  scores ``[B, F]``, mask ``[B, F]`` bool, feats ``[B, F, D]`` L2-normalized,
+  quality ``[B, F]`` (Laplacian variance of the aligned chip).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Protocol
+
+import numpy as np
+
+
+class FaceBatchBackend(Protocol):
+    embed_dim: int
+    max_faces: int
+
+    def extract_batch(self, frames: np.ndarray, valid: np.ndarray,
+                      frame_idxs: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        ...
+
+
+class ScrfdArcFaceBackend:
+    """Fused SCRFD + ArcFace device program.
+
+    One jit-compiled function maps ``[B, H, W, 3] uint8`` →
+    detections + embeddings. The whole ladder that the reference runs
+    per-frame (detect → align → embed → quality) executes as one XLA program
+    per batch; rotation/TTA escalation is intentionally replaced by batching
+    (SURVEY.md §7 "dynamic control flow under XLA").
+    """
+
+    def __init__(self, scrfd_cfg=None, arcface_cfg=None, det_size: int = 640,
+                 score_thresh: float = 0.5, max_faces: int = 8,
+                 flip_tta: bool = False, dtype=None, seed: int = 0,
+                 scrfd_weights=None, arcface_weights=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import arcface as AF
+        from ..models import scrfd as SD
+        from ..ops import align as AL
+        from ..ops import quality as Q
+        from ..ops.preprocess import letterbox_topleft
+
+        scrfd_cfg = scrfd_cfg or SD.SCRFD_2_5G
+        arcface_cfg = arcface_cfg or AF.W600K_R50
+        dtype = dtype or jnp.bfloat16
+        self.det_size = int(det_size)
+        self.score_thresh = float(score_thresh)
+        self.max_faces = int(max_faces)
+        self.embed_dim = arcface_cfg.embed_dim
+        self.flip_tta = bool(flip_tta)
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        self.scrfd_model, self.scrfd_vars = SD.init_scrfd(
+            k1, scrfd_cfg, size=det_size, dtype=dtype)
+        self.arcface_model, self.arcface_vars = AF.init_arcface(
+            k2, arcface_cfg, dtype=dtype)
+        if scrfd_weights is not None:
+            self.scrfd_vars = scrfd_weights
+        if arcface_weights is not None:
+            self.arcface_vars = arcface_weights
+
+        detect = partial(SD.detect_faces, self.scrfd_model, self.scrfd_vars,
+                         max_faces=self.max_faces)
+        encode = partial(AF.encode_chips, self.arcface_model,
+                         self.arcface_vars, flip_tta=self.flip_tta)
+
+        @jax.jit
+        def fused(frames_u8, score_thresh):
+            frames = frames_u8.astype(jnp.float32)
+
+            def lb(f):
+                return letterbox_topleft(f, self.det_size)
+
+            padded, scales = jax.vmap(lb)(frames)
+            det = detect(padded, scales, score_thresh)
+
+            def chips_for_frame(frame, kps, mask):
+                return AL.align_chips_jnp(frame, kps, mask)
+
+            chips = jax.vmap(chips_for_frame)(frames, det["kps"], det["mask"])
+            b, f = chips.shape[0], chips.shape[1]
+            flat = chips.reshape(b * f, *chips.shape[2:])
+            feats = encode(flat).reshape(b, f, -1)
+            quality = Q.chip_quality(flat).reshape(b, f)
+            feats = jnp.where(det["mask"][..., None], feats, 0.0)
+            quality = jnp.where(det["mask"], quality, 0.0)
+            return {**det, "feats": feats, "quality": quality}
+
+        self._fused = fused
+        self._jnp = jnp
+
+    def extract_batch(self, frames, valid, frame_idxs=None):
+        jnp = self._jnp
+        out = self._fused(jnp.asarray(frames),
+                          jnp.float32(self.score_thresh))
+        host = {k: np.asarray(v) for k, v in out.items()}
+        host["mask"] = host["mask"] & np.asarray(valid)[:, None]
+        return host
+
+
+class OracleBackend:
+    """Ground-truth backend over a synthetic video.
+
+    Embeddings are deterministic unit vectors per identity (plus tiny
+    box-position-seeded jitter), so bank/threshold logic behaves like real
+    embeddings with ~0 intra-identity distance and ~1.0 cross-identity.
+    """
+
+    def __init__(self, sv, embed_dim: int = 64, max_faces: int = 4,
+                 scale: float = 1.0, noise: float = 0.0):
+        self.sv = sv
+        self.embed_dim = int(embed_dim)
+        self.max_faces = int(max_faces)
+        self.scale = float(scale)  # reader downscale vs truth coords
+        self.noise = float(noise)
+
+    def identity_feat(self, identity: int) -> np.ndarray:
+        v = np.zeros(self.embed_dim, np.float32)
+        v[identity % self.embed_dim] = 1.0
+        return v
+
+    def extract_batch(self, frames, valid, frame_idxs=None):
+        b = frames.shape[0]
+        f = self.max_faces
+        boxes = np.zeros((b, f, 4), np.float32)
+        kps = np.zeros((b, f, 5, 2), np.float32)
+        scores = np.zeros((b, f), np.float32)
+        mask = np.zeros((b, f), bool)
+        feats = np.zeros((b, f, self.embed_dim), np.float32)
+        quality = np.zeros((b, f), np.float32)
+        if frame_idxs is None:
+            frame_idxs = np.arange(b)
+        for i in range(b):
+            if not valid[i]:
+                continue
+            pls = self.sv.truth.get(int(frame_idxs[i]), [])
+            for j, pl in enumerate(pls[:f]):
+                boxes[i, j] = np.asarray(pl.box, np.float32) * self.scale
+                kps[i, j] = pl.kps * self.scale
+                scores[i, j] = 0.99
+                mask[i, j] = True
+                v = self.identity_feat(pl.identity)
+                if self.noise:
+                    rng = np.random.default_rng(
+                        int(frame_idxs[i]) * 131 + j)
+                    v = v + rng.normal(0, self.noise, v.shape).astype(np.float32)
+                feats[i, j] = v / np.linalg.norm(v)
+                quality[i, j] = 500.0
+        return {"boxes": boxes, "kps": kps, "scores": scores,
+                "mask": mask, "feats": feats, "quality": quality}

@@ -1,0 +1,252 @@
+"""Video readers.
+
+The reference stacks three reader families (cv2.VideoCapture, PyAV
+libplacebo, ffmpeg rawvideo pipes — person_capture/video_io.py:716-3226)
+because its HDR tone-map runs inside the decoder. In the TPU rebuild the
+tone-map is a device kernel (kernels/hdr.py), so the reader's only jobs are
+(1) sequential decode at an optional decode-level downscale and (2) batch
+assembly for the fused device programs. cv2 is the baseline backend; an
+ffmpeg rawvideo pipe backend engages automatically when an ffmpeg binary
+exists (decode-level scaling like the reference's PC_DECODE_MAX_W trick).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def find_ffmpeg() -> Optional[str]:
+    """Resolve an ffmpeg binary (env override then PATH); None when absent."""
+    for key in ("PERSON_CAPTURE_FFMPEG", "FFMPEG"):
+        p = os.environ.get(key)
+        if p and os.path.isfile(p):
+            return p
+    return shutil.which("ffmpeg")
+
+
+@dataclass
+class VideoMeta:
+    width: int
+    height: int
+    fps: float
+    total_frames: int
+    is_hdr: bool = False
+
+
+class Cv2Reader:
+    """cv2.VideoCapture wrapper with grab/retrieve/seek and optional
+    retrieve-time downscale to ``max_w``."""
+
+    def __init__(self, path: str, max_w: int = 0):
+        if cv2 is None:
+            raise RuntimeError("OpenCV not available")
+        self.path = path
+        self.max_w = int(max_w or 0)
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise IOError(f"cannot open video: {path}")
+        self.pos = 0
+
+    def meta(self) -> VideoMeta:
+        w = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 30.0
+        total = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if self.max_w and w > self.max_w:
+            scale = self.max_w / w
+            w, h = self.max_w, int(round(h * scale))
+        return VideoMeta(w, h, fps, total)
+
+    def grab(self) -> bool:
+        ok = self.cap.grab()
+        if ok:
+            self.pos += 1
+        return ok
+
+    def retrieve(self) -> Optional[np.ndarray]:
+        ok, frame = self.cap.retrieve()
+        if not ok:
+            return None
+        return self._scale(frame)
+
+    def read(self) -> Optional[np.ndarray]:
+        ok, frame = self.cap.read()
+        if not ok:
+            return None
+        self.pos += 1
+        return self._scale(frame)
+
+    def _scale(self, frame: np.ndarray) -> np.ndarray:
+        if self.max_w and frame.shape[1] > self.max_w:
+            nh = int(round(frame.shape[0] * (self.max_w / frame.shape[1])))
+            frame = cv2.resize(frame, (self.max_w, nh),
+                               interpolation=cv2.INTER_AREA)
+        return frame
+
+    def seek(self, frame_idx: int) -> None:
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, int(frame_idx))
+        self.pos = int(frame_idx)
+
+    def skip(self, count: int) -> int:
+        done = 0
+        for _ in range(max(0, count)):
+            if not self.cap.grab():
+                break
+            done += 1
+        self.pos += done
+        return done
+
+    def release(self) -> None:
+        self.cap.release()
+
+
+class FfmpegPipeReader:
+    """External-ffmpeg rawvideo pipe with decode-level downscale.
+
+    Minimal TPU-era equivalent of the reference FfmpegPipeReader
+    (video_io.py:1162-3226): bgr24 frames over stdout, optional ``scale``
+    filter, timestamp seek via ``-ss``. Tone-mapping is NOT done here —
+    HDR sources decode to their SDR preview via the device kernel instead.
+    """
+
+    def __init__(self, path: str, max_w: int = 0, fps: float = 0.0,
+                 width: int = 0, height: int = 0, start_sec: float = 0.0):
+        exe = find_ffmpeg()
+        if exe is None:
+            raise RuntimeError("ffmpeg binary not found")
+        if not (width and height):
+            if cv2 is None:
+                raise RuntimeError("need cv2 to probe dimensions")
+            cap = cv2.VideoCapture(path)
+            width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            fps = fps or float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
+            cap.release()
+        self.src_w, self.src_h = width, height
+        if max_w and width > max_w:
+            self.w = int(max_w)
+            self.h = int(round(height * (max_w / width))) // 2 * 2
+        else:
+            self.w, self.h = width, height
+        self.fps = fps or 30.0
+        self.frame_bytes = self.w * self.h * 3
+        cmd = [exe, "-v", "error", "-nostdin"]
+        if start_sec > 0:
+            cmd += ["-ss", f"{start_sec:.6f}"]
+        cmd += ["-i", path]
+        if (self.w, self.h) != (width, height):
+            cmd += ["-vf", f"scale={self.w}:{self.h}:flags=area"]
+        cmd += ["-f", "rawvideo", "-pix_fmt", "bgr24", "-"]
+        self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                     stderr=subprocess.DEVNULL,
+                                     bufsize=self.frame_bytes * 4)
+        self.pos = int(round(start_sec * self.fps))
+        self._buf = bytearray()
+
+    def read(self) -> Optional[np.ndarray]:
+        data = self.proc.stdout.read(self.frame_bytes)
+        if data is None or len(data) < self.frame_bytes:
+            return None
+        self.pos += 1
+        return np.frombuffer(data, np.uint8).reshape(self.h, self.w, 3)
+
+    def skip(self, count: int) -> int:
+        done = 0
+        for _ in range(max(0, count)):
+            data = self.proc.stdout.read(self.frame_bytes)
+            if data is None or len(data) < self.frame_bytes:
+                break
+            done += 1
+        self.pos += done
+        return done
+
+    def release(self) -> None:
+        try:
+            self.proc.stdout.close()
+        except Exception:
+            pass
+        try:
+            self.proc.terminate()
+            self.proc.wait(timeout=2)
+        except Exception:
+            try:
+                self.proc.kill()
+            except Exception:
+                pass
+
+
+def open_reader(path: str, max_w: int = 0, prefer_ffmpeg: bool = False):
+    """Open the best available reader. ffmpeg pipes are preferred for
+    decode-level downscale (area filter beats cv2 retrieve+resize) when the
+    binary exists."""
+    if prefer_ffmpeg and find_ffmpeg() is not None:
+        try:
+            return FfmpegPipeReader(path, max_w=max_w)
+        except Exception:
+            pass
+    return Cv2Reader(path, max_w=max_w)
+
+
+class SampledBatchIterator:
+    """Yield fixed-size batches of strided samples for the fused device
+    programs: ``(frame_idxs [B], frames [B, H, W, 3] uint8, valid [B])``.
+
+    The last batch is padded by repeating the final frame with valid=False —
+    device programs always see the same shapes (no recompiles).
+    """
+
+    def __init__(self, reader, stride: int, batch: int,
+                 start: int = 0, end: Optional[int] = None,
+                 skip_predicate=None):
+        self.reader = reader
+        self.stride = max(1, int(stride))
+        self.batch = int(batch)
+        self.start = int(start)
+        self.end = end
+        self.skip_predicate = skip_predicate
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        r = self.reader
+        if self.start and hasattr(r, "seek"):
+            r.seek(self.start)
+        elif self.start:
+            r.skip(self.start - r.pos)
+        idxs, frames = [], []
+        idx = self.start
+        while True:
+            if self.end is not None and idx > self.end:
+                break
+            frame = r.read()
+            if frame is None:
+                break
+            idxs.append(idx)
+            frames.append(frame)
+            if len(frames) == self.batch:
+                yield self._emit(idxs, frames)
+                idxs, frames = [], []
+            skipped = r.skip(self.stride - 1)
+            idx += 1 + skipped
+            if skipped < self.stride - 1:
+                break
+        if frames:
+            yield self._emit(idxs, frames)
+
+    def _emit(self, idxs, frames):
+        n = len(frames)
+        valid = np.zeros((self.batch,), bool)
+        valid[:n] = True
+        while len(frames) < self.batch:
+            frames.append(frames[-1])
+            idxs.append(idxs[-1])
+        return (np.asarray(idxs, np.int64), np.stack(frames), valid)

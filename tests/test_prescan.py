@@ -1,0 +1,168 @@
+import numpy as np
+import pytest
+
+from person_capture_tpu.config import SessionConfig
+from person_capture_tpu.core.bank import RefBank
+from person_capture_tpu.pipeline import cache as C
+from person_capture_tpu.pipeline.backends import OracleBackend
+from person_capture_tpu.pipeline.prescan import run_prescan
+from person_capture_tpu.video.reader import Cv2Reader, SampledBatchIterator
+from person_capture_tpu.video.synthetic import generate_video
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "t.mp4")
+    sv = generate_video(path, width=160, height=120, fps=30.0,
+                        total_frames=240,
+                        segments=[(30, 90, 0), (150, 200, 0)])
+    return sv
+
+
+def _cfg(**kw):
+    cfg = SessionConfig()
+    cfg.prescan_stride = 6
+    cfg.prescan_pad_sec = 0.2        # 6 frames
+    cfg.prescan_min_segment_sec = 0.5
+    cfg.prescan_bridge_gap_sec = 0.2
+    cfg.prescan_exit_cooldown_sec = 0.2
+    cfg.tpu_batch_frames = 8
+    cfg.face_quality_min = 0.0
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def _bank(backend, cap=16):
+    bank = RefBank(cap=cap)
+    bank.seed([backend.identity_feat(0)])
+    return bank
+
+
+def test_reader_and_batch_iterator(synth):
+    r = Cv2Reader(synth.path)
+    meta = r.meta()
+    assert meta.total_frames == 240
+    assert meta.fps == pytest.approx(30.0, rel=0.01)
+    batches = list(SampledBatchIterator(r, stride=24, batch=4))
+    r.release()
+    idxs = np.concatenate([b[0][b[2]] for b in batches])
+    assert idxs[0] == 0 and np.all(np.diff(idxs) == 24)
+    assert batches[0][1].shape == (4, 120, 160, 3)
+
+
+def test_reader_downscale(synth):
+    r = Cv2Reader(synth.path, max_w=80)
+    f = r.read()
+    r.release()
+    assert f.shape[1] == 80 and f.shape[0] == 60
+
+
+def test_prescan_finds_spans(synth):
+    backend = OracleBackend(synth)
+    cfg = _cfg()
+    reader = Cv2Reader(synth.path)
+    res = run_prescan(reader, backend, cfg, _bank(backend))
+    reader.release()
+    assert len(res.spans) == 2
+    (s1, e1), (s2, e2) = res.spans
+    # ground truth 30..90 and 150..200, pad 6 frames, sampling stride 6
+    assert abs(s1 - 24) <= 6 and abs(e1 - 96) <= 12
+    assert abs(s2 - 144) <= 6 and abs(e2 - 206) <= 12
+    assert res.samples == 40
+    assert res.extracted + res.skipped == res.samples
+
+
+def test_prescan_fd9_gate_skips_idle(synth):
+    backend = OracleBackend(synth)
+    cfg = _cfg(prescan_fd9_skip=True, prescan_fd9_grace=1,
+               prescan_fd9_probe_period=2)
+    reader = Cv2Reader(synth.path)
+    res = run_prescan(reader, backend, cfg, _bank(backend))
+    reader.release()
+    assert res.skipped > 0
+    assert len(res.spans) == 2
+
+    # gate off: everything extracted
+    reader = Cv2Reader(synth.path)
+    res2 = run_prescan(reader, backend, _cfg(prescan_fd9_skip=False),
+                       _bank(backend))
+    reader.release()
+    assert res2.skipped == 0
+    assert len(res2.spans) == 2
+
+
+def test_prescan_grows_bank(synth):
+    backend = OracleBackend(synth, noise=0.15)
+    cfg = _cfg(prescan_fd_add=0.30, prescan_add_cooldown_samples=1)
+    bank = _bank(backend)
+    reader = Cv2Reader(synth.path)
+    run_prescan(reader, backend, cfg, bank)
+    reader.release()
+    assert bank.size > 1
+
+
+def test_prescan_no_match_when_wrong_identity(synth):
+    backend = OracleBackend(synth)
+    bank = RefBank(cap=8)
+    bank.seed([backend.identity_feat(3)])  # identity not in the video
+    reader = Cv2Reader(synth.path)
+    res = run_prescan(reader, backend, _cfg(), bank)
+    reader.release()
+    assert res.spans == []
+
+
+# ------------------------------ cache ---------------------------------------
+
+def test_cache_roundtrip(tmp_path, synth):
+    cfg = _cfg()
+    cfg.out_dir = str(tmp_path)
+    key = C.cache_key(cfg, synth.path, [], 30.0, 240)
+    path = C.cache_path(cfg, key)
+    bank = RefBank(cap=8)
+    bank.seed([np.eye(16, dtype=np.float32)[0]])
+    C.save_cache(path, [(10, 50)], bank, key)
+    hit = C.load_cache(path, key, cfg)
+    assert hit is not None
+    spans, bank2 = hit
+    assert spans == [(10, 50)]
+    assert bank2.size == 1
+    np.testing.assert_allclose(bank2.vectors[0], bank.vectors[0])
+
+
+def test_cache_key_sensitivity(tmp_path, synth):
+    cfg = _cfg()
+    cfg.out_dir = str(tmp_path)
+    k1 = C.cache_key(cfg, synth.path, [], 30.0, 240)
+    cfg.prescan_stride = 12
+    k2 = C.cache_key(cfg, synth.path, [], 30.0, 240)
+    assert k1 != k2
+    # HDR/export-only settings do NOT invalidate
+    cfg.prescan_stride = 6
+    cfg.hdr_sdr_quality = "fast"
+    cfg.jpg_quality = 10
+    k3 = C.cache_key(cfg, synth.path, [], 30.0, 240)
+    assert k3 == k1
+
+
+def test_get_or_run_modes(tmp_path, synth):
+    cfg = _cfg(prescan_cache_mode="auto")
+    cfg.out_dir = str(tmp_path)
+    calls = []
+
+    def run_fn():
+        calls.append(1)
+        b = RefBank(cap=4)
+        b.seed([np.eye(8, dtype=np.float32)[0]])
+        return [(1, 2)], b
+
+    (spans, bank), hit = C.get_or_run(cfg, synth.path, [], 30.0, 240, run_fn)
+    assert not hit and spans == [(1, 2)] and len(calls) == 1
+    (spans2, _), hit2 = C.get_or_run(cfg, synth.path, [], 30.0, 240, run_fn)
+    assert hit2 and spans2 == [(1, 2)] and len(calls) == 1
+    cfg.prescan_cache_mode = "refresh"
+    _, hit3 = C.get_or_run(cfg, synth.path, [], 30.0, 240, run_fn)
+    assert not hit3 and len(calls) == 2
+    cfg.prescan_cache_mode = "off"
+    _, hit4 = C.get_or_run(cfg, synth.path, [], 30.0, 240, run_fn)
+    assert not hit4 and len(calls) == 3
