@@ -1,0 +1,98 @@
+"""CLI — argument-compatible with the reference ``person_capture.main``
+(person_capture/main.py:146-161), driving the TPU pipeline:
+
+    python -m person_capture_tpu.main --video V --ref R --out OUT [...]
+
+Extra TPU-era flags: --prescan/--no-prescan, --batch, --det-size,
+--backend {scrfd,oracle}, --scrfd-weights/--arcface-weights (.npz from
+tools/convert_weights.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="person_capture_tpu.main")
+    ap.add_argument("--video", required=True, help="path to video file")
+    ap.add_argument("--ref", required=True,
+                    help="reference image(s) of the target person; ';'-separated")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--ratio", default="2:3", help="crop aspect ratio W:H")
+    ap.add_argument("--frame-stride", type=int, default=2)
+    ap.add_argument("--min-det-conf", type=float, default=0.35)
+    ap.add_argument("--face-thresh", type=float, default=0.32)
+    ap.add_argument("--reid-thresh", type=float, default=0.38)
+    ap.add_argument("--combine", default="min",
+                    choices=["min", "avg", "face_priority"])
+    ap.add_argument("--device", default="tpu", choices=["tpu", "cpu", "cuda"])
+    ap.add_argument("--save-annot", action="store_true")
+    ap.add_argument("--yolo", default="yolov8n.pt")
+    ap.add_argument("--min-sharpness", type=float, default=0.0)
+    # TPU-era additions
+    ap.add_argument("--prescan", dest="prescan", action="store_true",
+                    default=False, help="enable span pre-scan")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="frames per fused device step")
+    ap.add_argument("--det-size", type=int, default=640)
+    ap.add_argument("--min-gap-sec", type=float, default=0.0)
+    ap.add_argument("--scrfd-weights", default="", help=".npz checkpoint")
+    ap.add_argument("--arcface-weights", default="", help=".npz checkpoint")
+    ap.add_argument("--face-model", default="scrfd_2.5g")
+    ap.add_argument("--arcface-model", default="w600k_r50")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .config import SessionConfig
+    from .pipeline.backends import ScrfdArcFaceBackend
+    from .pipeline.engine import Engine
+
+    cfg = SessionConfig()
+    cfg.video = args.video
+    cfg.ref = args.ref
+    cfg.out_dir = args.out
+    cfg.ratio = args.ratio
+    cfg.frame_stride = args.frame_stride
+    cfg.min_det_conf = args.min_det_conf
+    cfg.face_thresh = args.face_thresh
+    cfg.reid_thresh = args.reid_thresh
+    cfg.combine = args.combine
+    cfg.device = args.device
+    cfg.save_annot = args.save_annot
+    cfg.yolo_model = args.yolo
+    cfg.min_sharpness = args.min_sharpness
+    cfg.min_gap_sec = args.min_gap_sec
+    cfg.prescan_enable = args.prescan
+    cfg.tpu_batch_frames = args.batch
+
+    from .models import arcface as AF
+    from .models import scrfd as SD
+    from .tools.weights import load_npz_variables
+
+    scrfd_w = load_npz_variables(args.scrfd_weights) if args.scrfd_weights else None
+    arc_w = load_npz_variables(args.arcface_weights) if args.arcface_weights else None
+    backend = ScrfdArcFaceBackend(
+        scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
+        arcface_cfg=AF.CONFIGS.get(args.arcface_model, AF.W600K_R50),
+        det_size=args.det_size, score_thresh=cfg.face_det_conf,
+        scrfd_weights=scrfd_w, arcface_weights=arc_w)
+
+    eng = Engine(cfg, backend, status=lambda m: print(f"[pc] {m}"),
+                 progress=lambda p: None)
+    result = eng.run()
+    if not result.ok:
+        print(f"FAILED: {result.error}", file=sys.stderr)
+        return 1
+    mp = result.mainpass
+    print(f"Done. Hits: {len(mp.hits) if mp else 0}. "
+          f"Index: {cfg.out_dir}/index.csv")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

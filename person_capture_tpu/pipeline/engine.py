@@ -1,0 +1,162 @@
+"""Session engine: orchestrates pre-scan → main pass → export.
+
+Processor-equivalent API surface (reference: gui_app.py:654-13489) without
+the Qt dependency: ``Engine(cfg)`` with ``run()``, pause/seek/update_cfg
+commands, and callback hooks for status/progress/hits, so a GUI or service
+can drive it the way MainWindow drives the reference Processor.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import LIVE_KEYS, SessionConfig
+from ..core.bank import RefBank
+from ..video.reader import Cv2Reader, open_reader
+from . import cache as prescan_cache
+from .mainpass import MainPassResult, run_main_pass
+from .prescan import PrescanResult, run_prescan
+from .saver import AsyncSaver
+
+
+@dataclass
+class EngineResult:
+    ok: bool
+    spans: List[Tuple[int, int]]
+    prescan: Optional[PrescanResult]
+    mainpass: Optional[MainPassResult]
+    error: str = ""
+
+
+class Engine:
+    """Drives one capture session. Thread-safe command queue mirrors the
+    reference's ``update_cfg/pause/stop`` surface."""
+
+    def __init__(self, cfg: SessionConfig, backend,
+                 status: Optional[Callable[[str], None]] = None,
+                 progress: Optional[Callable[[float], None]] = None,
+                 on_hit: Optional[Callable[[object], None]] = None):
+        self.cfg = cfg
+        self.backend = backend
+        self._status_cb = status or (lambda msg: None)
+        self._progress_cb = progress or (lambda p: None)
+        self._on_hit = on_hit or (lambda h: None)
+        self._cmd_q: "queue.Queue[Tuple[str, object]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._pause = threading.Event()
+
+    # ---- commands -------------------------------------------------------
+    def stop(self) -> None:
+        self._stop.set()
+
+    def pause(self, value: bool = True) -> None:
+        if value:
+            self._pause.set()
+        else:
+            self._pause.clear()
+
+    def update_cfg(self, **kv) -> None:
+        self._cmd_q.put(("cfg", kv))
+
+    # ---- internals ------------------------------------------------------
+    def _drain_cmds(self) -> None:
+        while True:
+            try:
+                kind, payload = self._cmd_q.get_nowait()
+            except queue.Empty:
+                break
+            if kind == "cfg":
+                for k, v in payload.items():
+                    if k in LIVE_KEYS and hasattr(self.cfg, k):
+                        setattr(self.cfg, k, v)
+
+    def _should_stop(self) -> bool:
+        self._drain_cmds()
+        while self._pause.is_set() and not self._stop.is_set():
+            time.sleep(0.05)
+        return self._stop.is_set()
+
+    def seed_bank(self, ref_paths: List[str]) -> RefBank:
+        """Embed the reference photos (plus horizontal flips, as the
+        reference does at gui_app.py:4519-4556) into a fresh bank."""
+        import cv2
+
+        cfg = self.cfg
+        bank = RefBank(cap=cfg.prescan_bank_max,
+                       dedup_cos=cfg.prescan_diversity_dedup_cos,
+                       replace_margin=cfg.prescan_replace_margin,
+                       weights=tuple(cfg.prescan_weights))
+        for p in ref_paths:
+            img = cv2.imread(p, cv2.IMREAD_COLOR)
+            if img is None:
+                raise FileNotFoundError(f"Cannot read reference image: {p}")
+            for candidate in (img, img[:, ::-1].copy()):
+                batch = candidate[None]
+                out = self.backend.extract_batch(batch, np.ones(1, bool))
+                mask = out["mask"][0]
+                if not mask.any():
+                    continue
+                # highest-quality face wins
+                j = int(np.argmax(np.where(mask, out["quality"][0], -1.0)))
+                bank.update(out["feats"][0][j], float(out["quality"][0][j]))
+        return bank
+
+    def run(self, bank: Optional[RefBank] = None) -> EngineResult:
+        cfg = self.cfg
+        try:
+            ref_paths = [p for p in str(cfg.ref).split(";") if p] if cfg.ref else []
+            if bank is None:
+                bank = self.seed_bank(ref_paths)
+            if bank.size == 0:
+                return EngineResult(False, [], None, None,
+                                    "no reference embeddings")
+
+            main_reader = open_reader(cfg.video)
+            meta = main_reader.meta()
+            pres: Optional[PrescanResult] = None
+            if cfg.prescan_enable:
+                self._status_cb("pre-scan")
+
+                def _run():
+                    r = open_reader(cfg.video, max_w=cfg.prescan_decode_max_w,
+                                    prefer_ffmpeg=True)
+                    try:
+                        p = run_prescan(r, self.backend, cfg, bank, meta=None,
+                                        progress=self._progress_cb,
+                                        should_stop=self._should_stop)
+                    finally:
+                        r.release()
+                    self._last_prescan = p
+                    return p.spans, p.bank
+
+                (spans, bank2), cached = prescan_cache.get_or_run(
+                    cfg, cfg.video, ref_paths, meta.fps, meta.total_frames, _run)
+                bank = bank2
+                pres = getattr(self, "_last_prescan", None) if not cached else None
+                self._status_cb(f"pre-scan spans: {spans} (cached={cached})")
+            else:
+                spans = [(0, max(0, meta.total_frames - 1))]
+
+            self._status_cb("main pass")
+            with AsyncSaver(cfg.out_dir, jpg_quality=cfg.jpg_quality,
+                            fsync=cfg.save_fsync,
+                            async_save=cfg.async_save) as saver:
+                mp = run_main_pass(main_reader, self.backend, cfg, bank,
+                                   spans, saver, meta=meta,
+                                   progress=self._progress_cb,
+                                   should_stop=self._should_stop)
+            main_reader.release()
+            for h in mp.hits:
+                self._on_hit(h)
+            return EngineResult(True, list(spans), pres, mp)
+        except Exception as e:  # noqa: BLE001 — surfaced like finished(ok=False)
+            import traceback
+            return EngineResult(False, [], None, None,
+                                f"{e}\n{traceback.format_exc()}")
