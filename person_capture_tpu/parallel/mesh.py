@@ -1,0 +1,149 @@
+"""Device mesh + sharding for the fused pipeline programs.
+
+The reference is a single-process single-GPU app (SURVEY.md §2.3); its
+TPU-native parallelism story is new architecture: the frame batch is data-
+parallel over the mesh's ``data`` axis, while wide model layers (ArcFace
+embedding head, detector head channels) shard over an optional ``model``
+axis. XLA inserts the collectives (psum for partial matmuls, all-gathers at
+program edges) — no hand-written NCCL analogue exists or is needed.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def parse_mesh_spec(spec: str) -> Tuple[Tuple[str, ...], Tuple[int, ...]]:
+    """Parse ``"data:4,model:2"`` → (("data","model"), (4,2))."""
+    names, sizes = [], []
+    for part in (spec or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.fullmatch(r"(\w+):(\d+)", part)
+        if not m:
+            raise ValueError(f"bad mesh spec element: {part!r}")
+        names.append(m.group(1))
+        sizes.append(int(m.group(2)))
+    return tuple(names), tuple(sizes)
+
+
+def make_mesh(spec: str = "", devices=None) -> Mesh:
+    """Build a Mesh from a spec string; default: all devices on one
+    ``data`` axis."""
+    devices = devices if devices is not None else jax.devices()
+    if not spec:
+        return Mesh(np.asarray(devices), ("data",))
+    names, sizes = parse_mesh_spec(spec)
+    need = int(np.prod(sizes))
+    if need > len(devices):
+        raise ValueError(f"mesh {spec} needs {need} devices, "
+                         f"have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(sizes)
+    return Mesh(arr, names)
+
+
+def shard_params_for_tp(variables, mesh: Mesh, model_axis: str = "model"):
+    """Place model variables on the mesh: Dense/Conv kernels whose output
+    channel dim divides the model-axis size shard on that axis (tensor
+    parallelism); everything else replicates."""
+    if model_axis not in mesh.axis_names:
+        return jax.device_put(variables, NamedSharding(mesh, P()))
+    tp = mesh.shape[model_axis]
+
+    def place(path, x):
+        x = jnp.asarray(x)
+        leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if leaf == "kernel" and x.ndim >= 2 and x.shape[-1] % tp == 0:
+            spec = P(*([None] * (x.ndim - 1) + [model_axis]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, variables)
+
+
+def shard_batch(mesh: Mesh, data_axis: str = "data"):
+    """NamedSharding putting a leading batch dim on the data axis."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
+                               det_size: int = 640, max_faces: int = 8,
+                               dtype=None, seed: int = 0,
+                               scrfd_vars=None, arcface_vars=None):
+    """Create the fused pre-scan step jitted over a mesh.
+
+    Step signature: ``(frames_u8 [B,H,W,3], bank [K,D], bank_mask [K],
+    score_thresh) -> (best_fd [B], per-face outputs)``. Frames shard over
+    ``data``; the bank replicates; ArcFace wide kernels shard over ``model``
+    when that axis exists.
+    """
+    from ..core.bank import fd_min_batch_jnp
+    from ..models import arcface as AF
+    from ..models import scrfd as SD
+    from ..ops import align as AL
+    from ..ops import quality as Q
+    from ..ops.preprocess import letterbox_topleft
+
+    scrfd_cfg = scrfd_cfg or SD.SCRFD_2_5G
+    arcface_cfg = arcface_cfg or AF.W600K_R50
+    dtype = dtype or jnp.bfloat16
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    scrfd_model, sv = SD.init_scrfd(k1, scrfd_cfg, size=det_size, dtype=dtype)
+    arc_model, av = AF.init_arcface(k2, arcface_cfg, dtype=dtype)
+    if scrfd_vars is not None:
+        sv = scrfd_vars
+    if arcface_vars is not None:
+        av = arcface_vars
+    sv = shard_params_for_tp(sv, mesh)
+    av = shard_params_for_tp(av, mesh)
+
+    data_sh = shard_batch(mesh)
+    repl = replicated(mesh)
+
+    def step(scrfd_vars_, arc_vars_, frames_u8, bank, bank_mask, score_thresh):
+        frames = frames_u8.astype(jnp.float32)
+        padded, scales = jax.vmap(lambda f: letterbox_topleft(f, det_size))(frames)
+        det = SD.detect_faces(scrfd_model, scrfd_vars_, padded, scales,
+                              score_thresh, max_faces)
+        chips = jax.vmap(lambda fr, kp, m: AL.align_chips_jnp(fr, kp, m))(
+            frames, det["kps"], det["mask"])
+        b, f = chips.shape[0], chips.shape[1]
+        flat = chips.reshape(b * f, *chips.shape[2:])
+        feats = AF.encode_chips(arc_model, arc_vars_, flat,
+                                flip_tta=False).reshape(b, f, -1)
+        quality = Q.chip_quality(flat).reshape(b, f)
+        per_face_fd, best_fd = fd_min_batch_jnp(feats, det["mask"], bank,
+                                                bank_mask)
+        return {"best_fd": best_fd, "per_face_fd": per_face_fd,
+                "boxes": det["boxes"], "kps": det["kps"],
+                "scores": det["scores"], "mask": det["mask"],
+                "feats": feats, "quality": quality}
+
+    jit_step = jax.jit(
+        step,
+        in_shardings=(None, None, data_sh, repl, repl, repl),
+        out_shardings={"best_fd": data_sh, "per_face_fd": data_sh,
+                       "boxes": data_sh, "kps": data_sh, "scores": data_sh,
+                       "mask": data_sh, "feats": data_sh, "quality": data_sh},
+    )
+
+    def run(frames_u8, bank, bank_mask, score_thresh=0.5):
+        return jit_step(sv, av, frames_u8, bank, bank_mask,
+                        jnp.float32(score_thresh))
+
+    run.scrfd_vars = sv
+    run.arcface_vars = av
+    run.mesh = mesh
+    return run
