@@ -1,0 +1,227 @@
+"""Full-resolution HDR→SDR still export.
+
+TPU replacement for the reference's per-export ffmpeg/WIC subprocess zoo
+(person_capture/gui_app.py:12867 `_save_hdr_sdr_screencap`, 11563 archive
+path): the crop is legalized for 4:2:0 (`even_hdr_crop_xyxy` semantics,
+gui_app.py:8676-8703), tone-mapped by the fused device kernel
+(kernels/hdr.py), optionally color-matched to the WIC-look response
+(kernels/colormatch.py) and despeckled (kernels/cleanup.py), then written
+atomically as PNG/JPG. Validation oracles re-implement the reference's
+decode-and-inspect checks (gui_app.py:12485-12597).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def scale_crop_xyxy_to_source(crop_xyxy, frame_size, source_size):
+    """Map processed-frame crop coords to source pixels (round + clamp)."""
+    fw, fh = max(1, int(frame_size[0])), max(1, int(frame_size[1]))
+    sw, sh = max(1, int(source_size[0])), max(1, int(source_size[1]))
+    sx, sy = sw / fw, sh / fh
+    x1, y1, x2, y2 = crop_xyxy
+    ox1 = max(0, min(sw - 1, int(round(x1 * sx))))
+    oy1 = max(0, min(sh - 1, int(round(y1 * sy))))
+    ox2 = max(ox1 + 1, min(sw, int(round(x2 * sx))))
+    oy2 = max(oy1 + 1, min(sh, int(round(y2 * sy))))
+    return ox1, oy1, ox2, oy2
+
+
+def even_hdr_crop_xyxy(crop_xyxy, source_size):
+    """Legalize a crop for 4:2:0: even origin, even extent, in bounds,
+    ≥2px each axis, staying as close as possible to the chosen box."""
+    def legalize(a1: int, a2: int, limit: int) -> Tuple[int, int]:
+        a1 = max(0, min(limit - 2, a1 & ~1))
+        a2 = max(a1 + 2, min(limit, a2))
+        if (a2 - a1) & 1:
+            if a2 < limit:
+                a2 += 1
+            elif a2 > a1 + 2:
+                a2 -= 1
+            elif a1 >= 2:
+                a1 -= 2
+            else:
+                a2 = min(limit, a1 + 2)
+        if a1 & 1:
+            if a1 + 1 <= limit - 2:
+                a1 += 1
+                a2 = max(a1 + 2, min(limit, a2 + 1))
+            else:
+                a1 -= 1
+        a1 = max(0, min(limit - 2, a1 & ~1))
+        a2 = max(a1 + 2, min(limit, a2))
+        if (a2 - a1) & 1:
+            a2 = max(a1 + 2, min(limit, a2 - 1))
+        return a1, a2
+
+    sw, sh = max(2, int(source_size[0])), max(2, int(source_size[1]))
+    x1, y1, x2, y2 = (int(v) for v in crop_xyxy)
+    x1, x2 = legalize(x1, x2, sw)
+    y1, y2 = legalize(y1, y2, sh)
+    return x1, y1, x2, y2
+
+
+@dataclass
+class HdrExportParams:
+    transfer: str = "pq"            # pq | hlg
+    full_range: bool = False
+    src_peak_nits: float = 1000.0
+    sdr_nits: float = 100.0
+    tonemap: str = "bt.2390"        # auto|bt.2390|spline|st2094-40|mobius|hable
+    desat: float = 0.25
+    tm_param: Optional[float] = None
+    dither: bool = True
+    color_match: bool = True
+    color_match_strength: float = 1.0
+    color_match_luma: float = 0.45
+    color_match_chroma: float = 0.85
+    shadow_luma_protect: float = 0.85
+    shadow_chroma_protect: float = 0.80
+    speckle_cleanup: bool = True
+
+    @staticmethod
+    def from_cfg(cfg) -> "HdrExportParams":
+        return HdrExportParams(
+            sdr_nits=cfg.sdr_nits,
+            tonemap=cfg.hdr_sdr_tonemap,
+            desat=cfg.tm_desat,
+            tm_param=cfg.tm_param,
+            color_match=cfg.hdr_wic_yuv444_color_match,
+            color_match_strength=cfg.hdr_wic_yuv444_color_match_strength,
+            color_match_luma=cfg.hdr_wic_yuv444_color_match_luma_strength,
+            color_match_chroma=cfg.hdr_wic_yuv444_color_match_chroma_strength,
+            shadow_luma_protect=cfg.hdr_wic_yuv444_color_match_shadow_luma_protect,
+            shadow_chroma_protect=cfg.hdr_wic_yuv444_color_match_shadow_chroma_protect,
+            speckle_cleanup=cfg.hdr_wic_speckle_cleanup,
+        )
+
+
+def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
+                              crop_xyxy, params: HdrExportParams,
+                              reference_bgr: Optional[np.ndarray] = None
+                              ) -> np.ndarray:
+    """Crop P010 planes at source resolution and render the SDR BGR still.
+
+    The crop is legalized for 4:2:0 first; cropping happens *before* the
+    kernel (as the reference's PNG path crops in HDR space) so tone-map
+    statistics see only the exported region.
+    """
+    from ..kernels.cleanup import despeckle_bgr
+    from ..kernels.colormatch import color_match_bgr
+    from ..kernels.hdr import hdr_to_sdr_bgr
+
+    h, w = y_plane.shape[:2]
+    x1, y1, x2, y2 = even_hdr_crop_xyxy(crop_xyxy, (w, h))
+    y_crop = np.asarray(y_plane)[y1:y2, x1:x2]
+    uv_crop = np.asarray(uv_plane)[y1 // 2:y2 // 2, x1 // 2:x2 // 2]
+
+    bgr = np.asarray(hdr_to_sdr_bgr(
+        y_crop, uv_crop, full_range=params.full_range,
+        transfer=params.transfer, src_peak_nits=params.src_peak_nits,
+        sdr_nits=params.sdr_nits, algo=params.tonemap, desat=params.desat,
+        param=params.tm_param, dither=params.dither))
+
+    if params.color_match and reference_bgr is not None:
+        bgr = np.asarray(color_match_bgr(
+            bgr, reference_bgr, strength=params.color_match_strength,
+            luma_strength=params.color_match_luma,
+            chroma_strength=params.color_match_chroma,
+            shadow_luma_protect=params.shadow_luma_protect,
+            shadow_chroma_protect=params.shadow_chroma_protect))
+    if params.speckle_cleanup:
+        bgr, _ = (np.asarray(v) for v in despeckle_bgr(bgr))
+    return bgr
+
+
+def save_sdr_still(bgr: np.ndarray, out_path: str,
+                   fmt: Optional[str] = None) -> Tuple[bool, str]:
+    """Atomic PNG/JPG write + validation."""
+    from ..pipeline.saver import atomic_image_write
+
+    ok, err = atomic_image_write(bgr, out_path)
+    if not ok:
+        return False, err
+    return validate_sdr_export(out_path,
+                               expected_size=(bgr.shape[1], bgr.shape[0]))
+
+
+def validate_sdr_export(path: str,
+                        expected_size: Optional[Tuple[int, int]] = None
+                        ) -> Tuple[bool, str]:
+    """Decode-and-inspect validation (no byte-size heuristics): missing/
+    empty/undecodable/wrong-size/near-black ⇒ reject."""
+    if cv2 is None:
+        return os.path.exists(path), "cv2_unavailable"
+    try:
+        if not path or not os.path.exists(path):
+            return False, "missing_output"
+        if os.path.getsize(path) <= 16:
+            return False, "empty_output"
+        data = np.fromfile(path, dtype=np.uint8)
+        img = cv2.imdecode(data, cv2.IMREAD_COLOR)
+        if img is None or img.ndim != 3 or img.size == 0:
+            return False, "decode_failed"
+        ih, iw = img.shape[:2]
+        if expected_size is not None:
+            ew, eh = int(expected_size[0]), int(expected_size[1])
+            if ew > 0 and eh > 0 and (abs(iw - ew) > 2 or abs(ih - eh) > 2):
+                return False, f"wrong_size got={iw}x{ih} expected={ew}x{eh}"
+        y = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        mean = float(np.mean(y))
+        p95 = float(np.percentile(y, 95.0))
+        p99 = float(np.percentile(y, 99.0))
+        if mean < 1.0 and p95 < 3.0 and p99 < 8.0:
+            return False, (f"near_black_output mean={mean:.3f} "
+                           f"p95={p95:.3f} p99={p99:.3f}")
+        return True, ""
+    except Exception as exc:  # noqa: BLE001 — oracle must not raise
+        return False, f"validate_failed:{exc}"
+
+
+def detect_block_corruption_bgr(bgr: np.ndarray) -> Tuple[bool, str]:
+    """Detect block-dropout corruption: many small hard-edged regions much
+    darker than their local dark neighborhood (reference oracle:
+    gui_app.py:12525-12597)."""
+    if cv2 is None or bgr is None or bgr.ndim != 3 or bgr.shape[2] < 3:
+        return False, ""
+    bgr = bgr[:, :, :3]
+    h, w = bgr.shape[:2]
+    if h < 64 or w < 64:
+        return False, ""
+    ycc = cv2.cvtColor(bgr, cv2.COLOR_BGR2YCrCb)
+    y = ycc[:, :, 0].astype(np.int16, copy=False)
+    y_med = cv2.medianBlur(ycc[:, :, 0], 17).astype(np.int16, copy=False)
+    drop = (y <= 52) & (y_med >= 12) & ((y_med - y) >= 12)
+    drop_count = int(np.count_nonzero(drop))
+    if drop_count < 2500:
+        return False, ""
+    n, _labels, stats, _cent = cv2.connectedComponentsWithStats(
+        drop.astype(np.uint8), 8)
+    rect_count = 0
+    rect_area = 0
+    for i in range(1, n):
+        cw = int(stats[i, cv2.CC_STAT_WIDTH])
+        ch = int(stats[i, cv2.CC_STAT_HEIGHT])
+        area = int(stats[i, cv2.CC_STAT_AREA])
+        if area < 12 or cw < 3 or ch < 3 or cw > 80 or ch > 80:
+            continue
+        if area / max(1, cw * ch) < 0.15:
+            continue
+        rect_count += 1
+        rect_area += area
+    bad = ((rect_count >= 80 and rect_area >= 5000)
+           or (rect_count >= 50 and drop_count >= 12000))
+    if not bad:
+        return False, ""
+    return True, (f"dark_block_dropouts pixels={drop_count} "
+                  f"components={rect_count} area={rect_area}")
