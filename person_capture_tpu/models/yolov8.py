@@ -1,0 +1,221 @@
+"""YOLOv8 person detector in JAX (NHWC, fused decode, person class only).
+
+Re-implements the semantics of the reference's Ultralytics path
+(person_capture/detectors.py:271-296: classes=[0], imgsz=640, iou=0.45,
+max_det=40, conf from cfg): CSP backbone with C2f blocks + SPPF, PAN neck,
+decoupled heads with DFL box regression, sigmoid class scores, NMS —
+as one jittable program over a frame batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import nms_select
+from ..ops.preprocess import normalize_yolo
+
+
+@dataclass(frozen=True)
+class YoloConfig:
+    name: str = "yolov8n"
+    width: Tuple[int, ...] = (16, 32, 64, 128, 256)   # stem + 4 stages
+    depth: Tuple[int, ...] = (1, 2, 2, 1)             # C2f bottleneck counts
+    reg_max: int = 16
+    num_classes: int = 80
+    strides: Tuple[int, ...] = (8, 16, 32)
+    max_candidates: int = 256
+    max_det: int = 40
+    nms_iou: float = 0.45
+
+
+TINY = YoloConfig(name="yolo_tiny", width=(8, 8, 16, 24, 32),
+                  depth=(1, 1, 1, 1), max_candidates=64, max_det=8)
+YOLOV8N = YoloConfig(name="yolov8n")
+YOLOV8S = YoloConfig(name="yolov8s", width=(32, 64, 128, 256, 512))
+
+CONFIGS = {c.name: c for c in (TINY, YOLOV8N, YOLOV8S)}
+
+
+class ConvSiLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=self.kernel // 2, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         momentum=0.97, dtype=self.dtype)(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvSiLU(self.features, 3, dtype=self.dtype)(x)
+        y = ConvSiLU(self.features, 3, dtype=self.dtype)(y)
+        if self.shortcut and x.shape[-1] == self.features:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial block with n bottlenecks (YOLOv8's core block)."""
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features // 2
+        y = ConvSiLU(self.features, 1, dtype=self.dtype)(x)
+        y1, y2 = y[..., :c], y[..., c:]
+        outs = [y1, y2]
+        h = y2
+        for _ in range(self.n):
+            h = Bottleneck(c, self.shortcut, dtype=self.dtype)(h)
+            outs.append(h)
+        return ConvSiLU(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate(outs, axis=-1))
+
+
+class SPPF(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features // 2
+        y = ConvSiLU(c, 1, dtype=self.dtype)(x)
+        p1 = nn.max_pool(y, (5, 5), strides=(1, 1), padding="SAME")
+        p2 = nn.max_pool(p1, (5, 5), strides=(1, 1), padding="SAME")
+        p3 = nn.max_pool(p2, (5, 5), strides=(1, 1), padding="SAME")
+        return ConvSiLU(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate([y, p1, p2, p3], axis=-1))
+
+
+def _upsample2x(x):
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+class YoloV8(nn.Module):
+    cfg: YoloConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        w0, w1, w2, w3, w4 = c.width
+        d1, d2, d3, d4 = c.depth
+        # backbone
+        x = ConvSiLU(w0, 3, 2, dtype=self.dtype)(x)          # /2
+        x = ConvSiLU(w1, 3, 2, dtype=self.dtype)(x)          # /4
+        x = C2f(w1, d1, dtype=self.dtype)(x)
+        x = ConvSiLU(w2, 3, 2, dtype=self.dtype)(x)          # /8
+        p3 = C2f(w2, d2, dtype=self.dtype)(x)
+        x = ConvSiLU(w3, 3, 2, dtype=self.dtype)(p3)         # /16
+        p4 = C2f(w3, d3, dtype=self.dtype)(x)
+        x = ConvSiLU(w4, 3, 2, dtype=self.dtype)(p4)         # /32
+        x = C2f(w4, d4, dtype=self.dtype)(x)
+        p5 = SPPF(w4, dtype=self.dtype)(x)
+        # PAN neck
+        u4 = C2f(w3, d1, shortcut=False, dtype=self.dtype)(
+            jnp.concatenate([_upsample2x(p5), p4], axis=-1))
+        u3 = C2f(w2, d1, shortcut=False, dtype=self.dtype)(
+            jnp.concatenate([_upsample2x(u4), p3], axis=-1))
+        d4_ = C2f(w3, d1, shortcut=False, dtype=self.dtype)(
+            jnp.concatenate([ConvSiLU(w2, 3, 2, dtype=self.dtype)(u3), u4],
+                            axis=-1))
+        d5_ = C2f(w4, d1, shortcut=False, dtype=self.dtype)(
+            jnp.concatenate([ConvSiLU(w3, 3, 2, dtype=self.dtype)(d4_), p5],
+                            axis=-1))
+        # decoupled heads (separate weights per level, like ultralytics)
+        outs = []
+        for feat in (u3, d4_, d5_):
+            ch = feat.shape[-1]
+            box = ConvSiLU(max(16, ch // 4), 3, dtype=self.dtype)(feat)
+            box = ConvSiLU(max(16, ch // 4), 3, dtype=self.dtype)(box)
+            box = nn.Conv(4 * c.reg_max, (1, 1), dtype=self.dtype)(box)
+            cls = ConvSiLU(max(16, ch // 4), 3, dtype=self.dtype)(feat)
+            cls = ConvSiLU(max(16, ch // 4), 3, dtype=self.dtype)(cls)
+            cls = nn.Conv(c.num_classes, (1, 1), dtype=self.dtype,
+                          bias_init=nn.initializers.constant(-4.6))(cls)
+            outs.append((box, cls))
+        return outs
+
+
+def init_yolo(key, cfg: YoloConfig, size: int = 640, dtype=jnp.float32):
+    model = YoloV8(cfg, dtype)
+    variables = model.init(key, jnp.zeros((1, size, size, 3), dtype))
+    return model, variables
+
+
+def decode_level(box_map, cls_map, stride: int, reg_max: int):
+    """DFL decode: softmax over reg_max bins → expected ltrb distance in
+    stride units from the cell center (+0.5 offset)."""
+    b, h, w, _ = box_map.shape
+    box = box_map.astype(jnp.float32).reshape(b, h * w, 4, reg_max)
+    probs = jax.nn.softmax(box, axis=-1)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    dist = (probs * bins).sum(-1)                       # [B, HW, 4] ltrb
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    cx = gx.reshape(-1)[None]
+    cy = gy.reshape(-1)[None]
+    d = dist * stride
+    boxes = jnp.stack([cx - d[..., 0], cy - d[..., 1],
+                       cx + d[..., 2], cy + d[..., 3]], -1)
+    scores = jax.nn.sigmoid(cls_map.astype(jnp.float32)).reshape(
+        b, h * w, -1)
+    return boxes, scores
+
+
+def detect_persons(model: YoloV8, variables, frames_bgr, det_scales,
+                   conf: float = 0.35, max_det: int | None = None):
+    """Fused person detection over a letterboxed batch.
+
+    Returns dict: boxes ``[B, K, 4]`` (original coords), scores ``[B, K]``,
+    mask ``[B, K]`` — person (class 0) only, like the reference detector.
+    """
+    cfg = model.cfg
+    max_det = int(max_det or cfg.max_det)
+    x = normalize_yolo(frames_bgr).astype(model.dtype)
+    levels = model.apply(variables, x)
+
+    all_boxes, all_scores = [], []
+    for (box_map, cls_map), stride in zip(levels, cfg.strides):
+        boxes, scores = decode_level(box_map, cls_map, stride, cfg.reg_max)
+        person = scores[..., 0]
+        k = min(cfg.max_candidates, person.shape[1])
+        top_s, top_i = jax.lax.top_k(person, k)
+        bi = jnp.arange(person.shape[0])[:, None]
+        all_scores.append(top_s)
+        all_boxes.append(boxes[bi, top_i])
+    scores = jnp.concatenate(all_scores, axis=1)
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    valid = scores >= conf
+
+    def per_frame(b, s, v):
+        idx, mask = nms_select(b, s, v, max_det, cfg.nms_iou)
+        return b[idx], s[idx], mask
+
+    b_out, s_out, m_out = jax.vmap(per_frame)(boxes, scores, valid)
+    inv = 1.0 / jnp.maximum(det_scales.astype(jnp.float32), 1e-9)
+    return {"boxes": b_out * inv[:, None, None], "scores": s_out,
+            "mask": m_out}

@@ -115,6 +115,132 @@ class ScrfdArcFaceBackend:
         return host
 
 
+class YoloPersonBackend:
+    """Fused YOLOv8 person detection device program.
+
+    One jitted call: ``[B, H, W, 3] uint8`` → person boxes/scores/mask in
+    reader frame coords (reference: detectors.py:271-296 semantics).
+    """
+
+    def __init__(self, cfg=None, det_size: int = 640, conf: float = 0.35,
+                 max_det: int = 16, dtype=None, seed: int = 0, weights=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import yolov8 as Y
+        from ..ops.preprocess import letterbox_topleft
+
+        cfg = cfg or Y.YOLOV8N
+        dtype = dtype or jnp.bfloat16
+        self.det_size = int(det_size)
+        self.conf = float(conf)
+        self.max_det = int(max_det)
+        self.model, self.variables = Y.init_yolo(
+            jax.random.PRNGKey(seed), cfg, size=det_size, dtype=dtype)
+        if weights is not None:
+            self.variables = weights
+
+        @jax.jit
+        def fused(frames_u8, conf):
+            frames = frames_u8.astype(jnp.float32)
+            padded, scales = jax.vmap(
+                lambda f: letterbox_topleft(f, self.det_size))(frames)
+            return Y.detect_persons(self.model, self.variables, padded,
+                                    scales, conf, self.max_det)
+
+        self._fused = fused
+        self._jnp = jnp
+
+    def detect_batch(self, frames, valid, frame_idxs=None):
+        out = self._fused(self._jnp.asarray(frames),
+                          self._jnp.float32(self.conf))
+        host = {k: np.asarray(v) for k, v in out.items()}
+        host["mask"] = host["mask"] & np.asarray(valid)[:, None]
+        return host
+
+
+class ClipReidBackend:
+    """CLIP ViT ReID embedding device program (reference:
+    reid_embedder.py:10-57). ``extract(crops)`` pads the crop list to a
+    fixed batch so recompiles don't happen per call."""
+
+    def __init__(self, cfg=None, batch: int = 16, dtype=None, seed: int = 0,
+                 weights=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import clip_vit as CV
+
+        cfg = cfg or CV.VIT_L_14
+        dtype = dtype or jnp.bfloat16
+        self.batch = int(batch)
+        self.embed_dim = cfg.embed_dim
+        self.model, self.variables = CV.init_clip(
+            jax.random.PRNGKey(seed), cfg, dtype=dtype)
+        if weights is not None:
+            self.variables = weights
+        size = cfg.image_size
+
+        @jax.jit
+        def fused(crops):
+            return CV.encode_images(self.model, self.variables, crops)
+
+        self._fused = fused
+        self._jnp = jnp
+        self._size = size
+
+    def extract(self, crops) -> np.ndarray:
+        """crops: list of HxWx3 BGR arrays → [N, D] float32 normalized."""
+        import cv2
+
+        if not crops:
+            return np.zeros((0, self.embed_dim), np.float32)
+        s = self._size
+        resized = [cv2.resize(c, (s, s), interpolation=cv2.INTER_AREA)
+                   if c.shape[:2] != (s, s) else c for c in crops]
+        out = []
+        for i in range(0, len(resized), self.batch):
+            chunk = resized[i:i + self.batch]
+            n = len(chunk)
+            while len(chunk) < self.batch:
+                chunk.append(chunk[-1])
+            emb = np.asarray(self._fused(
+                self._jnp.asarray(np.stack(chunk).astype(np.float32))))
+            out.append(emb[:n])
+        return np.concatenate(out, 0)
+
+
+class OraclePersonBackend:
+    """Ground-truth person boxes for tests: each synthetic face's box
+    inflated to a plausible body box."""
+
+    def __init__(self, sv, max_det: int = 4, scale: float = 1.0):
+        self.sv = sv
+        self.max_det = int(max_det)
+        self.scale = float(scale)
+
+    def detect_batch(self, frames, valid, frame_idxs=None):
+        b = frames.shape[0]
+        h, w = frames.shape[1], frames.shape[2]
+        boxes = np.zeros((b, self.max_det, 4), np.float32)
+        scores = np.zeros((b, self.max_det), np.float32)
+        mask = np.zeros((b, self.max_det), bool)
+        if frame_idxs is None:
+            frame_idxs = np.arange(b)
+        for i in range(b):
+            if not valid[i]:
+                continue
+            pls = self.sv.truth.get(int(frame_idxs[i]), [])
+            for j, pl in enumerate(pls[: self.max_det]):
+                x1, y1, x2, y2 = (v * self.scale for v in pl.box)
+                fw, fh = x2 - x1, y2 - y1
+                boxes[i, j] = [max(0, x1 - fw), max(0, y1 - 0.5 * fh),
+                               min(w, x2 + fw), min(h, y2 + 4 * fh)]
+                scores[i, j] = 0.9
+                mask[i, j] = True
+        return {"boxes": boxes, "scores": scores, "mask": mask}
+
+
 class OracleBackend:
     """Ground-truth backend over a synthetic video.
 

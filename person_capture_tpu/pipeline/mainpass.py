@@ -2,16 +2,23 @@
 
 TPU-first restructuring of the reference's hot loop
 (person_capture/gui_app.py:4372-8111). Frames inside keep-spans decode into
-fixed-size batches; one fused device program yields faces + embeddings for
-the whole batch; the sequential identity/lock/save logic replays on host in
-frame order. Crop composition (choose_best_ratio + enforce_scale_and_margins
-+ guards) runs per accepted frame, and exports go through the async saver.
+fixed-size batches; fused device programs yield faces+embeddings (and
+optionally YOLO person boxes + ReID embeddings) for the whole batch; the
+sequential identity/lock/save logic replays on host in frame order.
 
-Round-1 scope: the face-identity path (match_mode face_only / either without
-ReID), temporal lock with IoU gate and miss timeout, min_gap_sec save
-cadence, sharpness/min-size gates, side-guard drop. The YOLO person path and
-ReID fusion plug in through the optional ``person_backend`` /
-``reid_backend`` hooks.
+Decision semantics mirror the reference:
+  * match modes either | both | face_only | reid_only with degradation when
+    a reference signal is missing (gui_app.py:6380-6399);
+  * ``skip_yolo_when_faceonly`` skips the person path when a face is visible
+    (gui_app.py:6225-6227);
+  * ``drop_reid_if_any_face_match`` discards ReID-only candidates once any
+    face matched (gui_app.py:6401-6411);
+  * ``require_face_if_visible`` hard-rejects candidates whose visible face
+    does not match (gui_app.py:6417-6437);
+  * global-face fallback when the person path yields nothing
+    (gui_app.py:7521+);
+  * temporal lock with IoU gate, lock thresholds and miss timeout;
+  * ``min_gap_sec`` save cadence, sharpness/min-size gates, side guard.
 """
 
 from __future__ import annotations
@@ -29,7 +36,6 @@ from ..core.compose import choose_best_ratio, enforce_scale_and_margins
 from ..core.geometry import (box_iou, crop_img, detect_black_borders,
                              parse_ratio_list)
 from ..core.scoring import calc_sharpness, combine_scores
-from ..core.spans import span_index_for
 from .saver import AsyncSaver, SaveItem
 
 
@@ -38,11 +44,22 @@ class Hit:
     frame: int
     time_secs: float
     score: float
-    face_dist: float
+    face_dist: Optional[float]
+    reid_dist: Optional[float]
     crop: Tuple[int, int, int, int]
     path: str
     sharpness: float
     ratio: Optional[str]
+
+
+@dataclass
+class Candidate:
+    det_box: Tuple[float, float, float, float]
+    face_box: Optional[Tuple[float, float, float, float]]
+    fd: Optional[float]
+    rd: Optional[float]
+    quality: float
+    score: float
 
 
 @dataclass
@@ -55,7 +72,8 @@ class LockState:
 
     def register_hit(self, face_box, frame_idx: int, lock_after_hits: int):
         self.hits += 1
-        self.last_face_box = tuple(face_box)
+        if face_box is not None:
+            self.last_face_box = tuple(face_box)
         self.last_seen_frame = frame_idx
         self.misses = 0
         if self.hits >= max(1, lock_after_hits):
@@ -77,9 +95,18 @@ class MainPassResult:
     wall_s: float = 0.0
 
 
+def _center_in_box(face_box, person_box) -> bool:
+    fx = 0.5 * (face_box[0] + face_box[2])
+    fy = 0.5 * (face_box[1] + face_box[3])
+    return (person_box[0] <= fx <= person_box[2]
+            and person_box[1] <= fy <= person_box[3])
+
+
 def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                   spans: Sequence[Tuple[int, int]], saver: AsyncSaver,
                   meta=None, batch_size: Optional[int] = None,
+                  person_backend=None, reid_backend=None,
+                  ref_reid_feat: Optional[np.ndarray] = None,
                   progress: Optional[Callable[[float], None]] = None,
                   should_stop: Optional[Callable[[], bool]] = None
                   ) -> MainPassResult:
@@ -98,6 +125,15 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     crops_dir = os.path.join(cfg.out_dir, "crops")
     os.makedirs(crops_dir, exist_ok=True)
 
+    use_reid = (reid_backend is not None and ref_reid_feat is not None
+                and not cfg.disable_reid and cfg.match_mode != "face_only")
+    use_person = person_backend is not None and (
+        cfg.match_mode != "face_only" or not cfg.skip_yolo_when_faceonly
+        or cfg.compose_detect_person_for_face)
+    if ref_reid_feat is not None:
+        ref_reid_feat = np.asarray(ref_reid_feat, np.float32)
+        ref_reid_feat = ref_reid_feat / max(np.linalg.norm(ref_reid_feat), 1e-6)
+
     lock = LockState()
     last_save_t = -1e9
     min_gap = float(cfg.min_gap_sec)
@@ -106,7 +142,6 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     pend: List[Tuple[int, np.ndarray]] = []
 
     def flush():
-        nonlocal last_save_t
         if not pend:
             return
         n = len(pend)
@@ -119,57 +154,162 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             idxs = np.concatenate([idxs, np.repeat(idxs[-1:], batch - n)])
             valid = np.concatenate([valid, np.zeros(batch - n, bool)])
         out = backend.extract_batch(frames, valid, idxs)
+        person_out = None
+        if use_person:
+            person_out = person_backend.detect_batch(frames, valid, idxs)
+        reid_map: Dict[Tuple[int, int], np.ndarray] = {}
+        if use_reid and person_out is not None:
+            crops, keys = [], []
+            for slot in range(n):
+                for k in np.flatnonzero(person_out["mask"][slot]):
+                    x1, y1, x2, y2 = (int(v) for v in
+                                      person_out["boxes"][slot][k])
+                    h, w = frames[slot].shape[:2]
+                    x1, y1 = max(0, x1), max(0, y1)
+                    x2, y2 = min(w - 1, x2), min(h - 1, y2)
+                    if x2 <= x1 + 2 or y2 <= y1 + 2:
+                        continue
+                    crops.append(frames[slot][y1:y2, x1:x2])
+                    keys.append((slot, int(k)))
+            if crops:
+                feats = reid_backend.extract(crops)
+                reid_map = {k: feats[i] for i, k in enumerate(keys)}
         for slot in range(n):
-            frame_idx = int(idxs[slot])
-            frame = pend[slot][1]
-            _process_frame(frame_idx, frame, out, slot)
+            _process_frame(int(idxs[slot]), pend[slot][1], out, person_out,
+                           reid_map, slot)
         pend.clear()
 
-    def _process_frame(frame_idx: int, frame: np.ndarray, out: Dict, slot: int):
+    def _face_fd(feat) -> float:
+        v = feat / max(np.linalg.norm(feat), 1e-6)
+        return 1.0 - float(np.max(bank_mat @ v))
+
+    def _process_frame(frame_idx: int, frame: np.ndarray, out: Dict,
+                       person_out: Optional[Dict],
+                       reid_map: Dict, slot: int):
         nonlocal last_save_t
         res.frames_processed += 1
         H, W = frame.shape[:2]
-        mask = out["mask"][slot]
-        if not mask.any():
+        fmask = out["mask"][slot]
+        face_list = []  # (box, fd, quality)
+        for j in np.flatnonzero(fmask):
+            face_list.append((tuple(float(v) for v in out["boxes"][slot][j]),
+                              _face_fd(out["feats"][slot][j]),
+                              float(out["quality"][slot][j])))
+        any_face_match = any(fd <= cfg.face_thresh for _, fd, _ in face_list)
+
+        candidates: List[Candidate] = []
+        mode = cfg.match_mode
+        persons = []
+        if person_out is not None:
+            pmask = person_out["mask"][slot]
+            persons = [tuple(float(v) for v in person_out["boxes"][slot][k])
+                       for k in np.flatnonzero(pmask)]
+
+        skip_person_eval = (mode == "face_only"
+                            and cfg.skip_yolo_when_faceonly and face_list)
+
+        if persons and not skip_person_eval:
+            pmask_idx = np.flatnonzero(person_out["mask"][slot])
+            for ki, pbox in zip(pmask_idx, persons):
+                # area/aspect gates (reference gui_app.py:6246-6258)
+                area = (pbox[2] - pbox[0]) * (pbox[3] - pbox[1])
+                if area < cfg.min_box_pixels:
+                    continue
+                in_faces = [(b, fd, q) for (b, fd, q) in face_list
+                            if _center_in_box(b, pbox)]
+                fb, fd, q = (None, None, 0.0)
+                if in_faces:
+                    fb, fd, q = min(in_faces, key=lambda t: t[1])
+                rd = None
+                feat = reid_map.get((slot, int(ki)))
+                if feat is not None:
+                    rd = 1.0 - float(np.dot(feat, ref_reid_feat))
+                face_ok = fd is not None and fd <= cfg.face_thresh
+                reid_ok = rd is not None and rd <= cfg.reid_thresh
+                if mode == "face_only":
+                    accept = face_ok
+                elif mode == "reid_only":
+                    accept = reid_ok if rd is not None else False
+                elif mode == "both":
+                    if bank_mat is None:
+                        accept = reid_ok
+                    elif ref_reid_feat is None or rd is None:
+                        accept = face_ok
+                    else:
+                        accept = face_ok and reid_ok
+                else:  # either
+                    accept = face_ok or reid_ok
+                if (cfg.drop_reid_if_any_face_match and any_face_match
+                        and not face_ok):
+                    accept = False
+                face_visible = fb is not None and (
+                    not cfg.face_visible_uses_quality
+                    or q >= cfg.face_quality_min)
+                if cfg.require_face_if_visible and face_visible and not face_ok:
+                    accept = False
+                if not accept:
+                    continue
+                score = combine_scores(fd, rd, cfg.combine)
+                candidates.append(Candidate(pbox, fb, fd, rd, q,
+                                            score if score is not None else 9.0))
+
+        # global-face fallback / face_only short path: only in modes where a
+        # face match alone may accept (both-mode falls back only when the
+        # ReID reference signal is missing entirely)
+        face_may_accept = (mode in ("face_only", "either")
+                           or (mode == "both"
+                               and (ref_reid_feat is None or not use_reid)))
+        if not candidates and face_list and face_may_accept:
+            fb, fd, q = min(face_list, key=lambda t: t[1])
+            if fd <= cfg.face_thresh:
+                det_box = None
+                # associate with a person box when available
+                for pbox in persons:
+                    if _center_in_box(fb, pbox):
+                        det_box = pbox
+                        break
+                if det_box is None:
+                    det_box = _det_box_from_face(fb, W, H)
+                score = combine_scores(fd, None, cfg.combine)
+                candidates.append(Candidate(det_box, fb, fd, None, q,
+                                            score if score is not None else 9.0))
+
+        if not candidates:
             lock.register_miss(cfg.lock_face_roi_max_misses)
             return
-        feats = out["feats"][slot]
-        boxes = out["boxes"][slot]
-        quality = out["quality"][slot]
 
-        # best face by bank distance
-        fds = np.array([
-            1.0 - float(np.max(bank_mat @ (feats[j] / max(np.linalg.norm(feats[j]), 1e-6))))
-            if mask[j] else 9.0
-            for j in range(len(mask))
-        ])
-        j = int(np.argmin(fds))
-        fd = float(fds[j])
-        face_box = tuple(float(v) for v in boxes[j])
+        candidates.sort(key=lambda c: c.score)
+        best = candidates[0]
+        # ambiguity margin between distinct identities (gui_app.py:7788+)
+        if len(candidates) > 1 and cfg.score_margin > 0:
+            second = candidates[1]
+            if (second.score - best.score) < cfg.score_margin \
+                    and box_iou(best.det_box, second.det_box) < 0.5:
+                lock.register_miss(cfg.lock_face_roi_max_misses)
+                return
 
-        thresh = float(cfg.face_thresh)
-        accept = fd <= thresh
-        # tighter re-accept when locked but drifting: candidates far from the
-        # lock box need the lock threshold (identity-jump guard)
-        if accept and lock.locked and lock.last_face_box is not None:
-            iou = box_iou(face_box, lock.last_face_box)
-            if iou < float(cfg.iou_gate) and fd > float(cfg.lock_face_thresh):
-                accept = False
-        if not accept:
-            lock.register_miss(cfg.lock_face_roi_max_misses)
-            return
-        if cfg.face_quality_min > 0 and cfg.face_visible_uses_quality \
-                and float(quality[j]) < float(cfg.face_quality_min) and fd > thresh * 0.5:
-            lock.register_miss(cfg.lock_face_roi_max_misses)
-            return
+        # lock IoU gate
+        if (lock.locked and lock.last_face_box is not None
+                and best.face_box is not None):
+            iou = box_iou(best.face_box, lock.last_face_box)
+            if iou < float(cfg.iou_gate) and (
+                    best.fd is None or best.fd > float(cfg.lock_face_thresh)):
+                lock.register_miss(cfg.lock_face_roi_max_misses)
+                return
 
-        lock.register_hit(face_box, frame_idx, cfg.lock_after_hits)
+        lock.register_hit(best.face_box, frame_idx, cfg.lock_after_hits)
 
         t = frame_idx / fps
         if t - last_save_t < min_gap:
             return
 
-        # --- crop composition -------------------------------------------
+        saved = _compose_and_save(frame_idx, frame, best, t)
+        if saved:
+            last_save_t = t
+
+    def _compose_and_save(frame_idx: int, frame: np.ndarray, best: Candidate,
+                          t: float) -> bool:
+        H, W = frame.shape[:2]
         work = frame
         off_x = off_y = 0
         if cfg.auto_crop_borders:
@@ -179,41 +319,48 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 work = frame[by1:by2, bx1:bx2]
                 off_x, off_y = bx1, by1
         wh, ww = work.shape[:2]
-        fb = (face_box[0] - off_x, face_box[1] - off_y,
-              face_box[2] - off_x, face_box[3] - off_y)
-        anchor = (0.5 * (fb[0] + fb[2]), 0.5 * (fb[1] + fb[3]))
-        det_box = _det_box_from_face(fb, ww, wh)
+        fb = None
+        anchor = None
+        if best.face_box is not None:
+            fb = (best.face_box[0] - off_x, best.face_box[1] - off_y,
+                  best.face_box[2] - off_x, best.face_box[3] - off_y)
+            anchor = (0.5 * (fb[0] + fb[2]), 0.5 * (fb[1] + fb[3]))
+        det_box = (best.det_box[0] - off_x, best.det_box[1] - off_y,
+                   best.det_box[2] - off_x, best.det_box[3] - off_y)
         crop, ratio, _ = choose_best_ratio(det_box, ratios, ww, wh, cfg,
                                            anchor=anchor, face_box=fb)
         crop = enforce_scale_and_margins(crop, ratio or ratios[0], ww, wh,
                                          cfg, face_box=fb, anchor=anchor)
         x1, y1, x2, y2 = crop
         if (x2 - x1) * (y2 - y1) < int(cfg.min_box_pixels):
-            return
-        if cfg.side_guard_drop_enable:
+            return False
+        if cfg.side_guard_drop_enable and fb is not None:
             fw = max(1.0, fb[2] - fb[0])
-            want = cfg.crop_face_side_margin_frac * fw * cfg.side_guard_drop_factor
+            want = (cfg.crop_face_side_margin_frac * fw
+                    * cfg.side_guard_drop_factor)
             left, right = fb[0] - x1, x2 - fb[2]
             face_at_edge = fb[0] <= 1.0 or fb[2] >= ww - 1.0
             if min(left, right) < want and not face_at_edge:
-                return
+                return False
         img = crop_img(work, crop)
         if img.size == 0:
-            return
+            return False
         sharp = calc_sharpness(img)
         if cfg.min_sharpness > 0 and sharp < cfg.min_sharpness:
-            return
+            return False
 
         path = os.path.join(crops_dir, f"f{frame_idx:08d}.jpg")
-        score = combine_scores(fd, None, cfg.combine)
-        row = [frame_idx, f"{t:.3f}", f"{score:.4f}" if score is not None else "",
-               f"{fd:.4f}", "", x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y,
+        row = [frame_idx, f"{t:.3f}",
+               f"{best.score:.4f}",
+               f"{best.fd:.4f}" if best.fd is not None else "",
+               f"{best.rd:.4f}" if best.rd is not None else "",
+               x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y,
                os.path.basename(path), f"{sharp:.4f}", ratio or ""]
         saver.submit(SaveItem(img=img, path=path, csv_row=row))
-        res.hits.append(Hit(frame_idx, t, score or fd, fd,
+        res.hits.append(Hit(frame_idx, t, best.score, best.fd, best.rd,
                             (x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y),
                             path, sharp, ratio))
-        last_save_t = t
+        return True
 
     # ---- span-gated decode loop ---------------------------------------
     for s, e in spans:

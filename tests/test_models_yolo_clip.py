@@ -1,0 +1,59 @@
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from person_capture_tpu.models import clip_vit as CV  # noqa: E402
+from person_capture_tpu.models import yolov8 as Y  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def yolo_tiny():
+    model, variables = Y.init_yolo(jax.random.PRNGKey(0), Y.TINY, size=64)
+    detect = jax.jit(lambda f, s, c: Y.detect_persons(model, variables, f, s, c))
+    return model, variables, detect
+
+
+def test_yolo_shapes_and_threshold(yolo_tiny):
+    _, _, detect = yolo_tiny
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)), jnp.float32)
+    out = detect(frames, jnp.ones((2,)), jnp.float32(0.5))
+    assert out["boxes"].shape == (2, 8, 4)
+    assert out["scores"].shape == (2, 8)
+    # random init with -4.6 bias: no detections above 0.5
+    assert not np.asarray(out["mask"]).any()
+    out0 = detect(frames, jnp.ones((2,)), jnp.float32(0.0))
+    assert np.asarray(out0["mask"]).any()
+    s = np.asarray(out0["scores"])[0][np.asarray(out0["mask"])[0]]
+    assert np.all(np.diff(s) <= 1e-6)
+
+
+def test_yolo_dfl_decode():
+    # uniform logits -> expected distance = (reg_max-1)/2 bins
+    b, h, w, reg_max = 1, 2, 2, 16
+    box_map = jnp.zeros((b, h, w, 4 * reg_max))
+    cls_map = jnp.zeros((b, h, w, 80))
+    boxes, scores = Y.decode_level(box_map, cls_map, stride=8, reg_max=reg_max)
+    assert boxes.shape == (1, 4, 4)
+    d = (reg_max - 1) / 2 * 8  # 60px
+    # first cell center (4, 4)
+    np.testing.assert_allclose(np.asarray(boxes)[0, 0],
+                               [4 - d, 4 - d, 4 + d, 4 + d], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores), 0.5, atol=1e-6)
+
+
+def test_clip_tiny_embedding():
+    model, variables = CV.init_clip(jax.random.PRNGKey(1), CV.TINY)
+    rng = np.random.default_rng(2)
+    crops = jnp.asarray(rng.integers(0, 255, (3, 48, 40, 3)), jnp.float32)
+    encode = jax.jit(lambda c: CV.encode_images(model, variables, c))
+    emb = np.asarray(encode(crops))
+    assert emb.shape == (3, 16)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+    # deterministic + input-sensitive
+    emb2 = np.asarray(encode(crops))
+    np.testing.assert_allclose(emb, emb2, atol=1e-6)
+    other = np.asarray(encode(crops + 50.0))
+    assert np.abs(emb - other).max() > 1e-4
