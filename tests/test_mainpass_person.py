@@ -144,9 +144,10 @@ def test_both_mode_requires_both(tmp_path, synth):
     res = _run(synth, cfg, _bank(0), person=OraclePersonBackend(synth),
                reid=reid, ref_reid=ref_feat)
     assert len(res.hits) >= 3
-    # matching face + impossible reid threshold -> nothing
+    # matching face + non-matching reid reference -> nothing in strict both
+    wrong_ref = np.asarray([1.0, 0.0, 0.0], np.float32)
     cfg2 = _cfg(str(tmp_path), match_mode="both", disable_reid=False,
-                reid_thresh=1e-9)
+                reid_thresh=0.05)
     res2 = _run(synth, cfg2, _bank(0), person=OraclePersonBackend(synth),
-                reid=reid, ref_reid=ref_feat)
+                reid=reid, ref_reid=wrong_ref)
     assert res2.hits == []
