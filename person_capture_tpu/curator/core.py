@@ -1,0 +1,527 @@
+"""Curator: pick a diverse, high-quality subset of the produced crops.
+
+Behavior-compatible rebuild of the reference's Curator
+(person_capture/dataset_curator.py): per-image ``describe`` features
+(identity distance vs reference, sharpness, exposure, face fraction,
+yaw/roll, pHash, CLIP embedding, watermark + black-border penalties),
+scene clustering (CLIP-sim + pHash + time gap within an NN window),
+category buckets (closeup/portrait/cowboy/full/wide/profile), and
+quota-constrained greedy MMR with pHash dedup and scene spreading.
+
+TPU-first: the heavy describe features (face detect+embed, CLIP, pHash DCT)
+batch through the device backends; clustering and MMR run on host over the
+small [N, D] matrices (one N×N matmul each — fine on device too via the
+jnp helpers, used when pools are large).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..core.hashing import phash_bits, phash_similarity
+from ..core.scoring import calc_sharpness
+
+
+# --------------------------------------------------------------------------
+# per-image features
+# --------------------------------------------------------------------------
+
+def phash64(bgr: np.ndarray) -> int:
+    """64-bit DCT pHash with the DC coefficient zeroed (exposure-robust) —
+    reference: dataset_curator.py:55-73."""
+    if bgr is None or bgr.size == 0 or cv2 is None:
+        return 0
+    g = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    g = cv2.resize(g, (32, 32), interpolation=cv2.INTER_AREA)
+    d = cv2.dct(np.float32(g))
+    block = d[:8, :8].copy()
+    block[0, 0] = 0.0
+    med = np.median(block)
+    bits = (block > med).astype(np.uint8).flatten()
+    out = 0
+    for i, b in enumerate(bits):
+        out |= int(b) << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return ((a ^ b) & ((1 << 64) - 1)).bit_count()
+
+
+def sharpness_norm(bgr: np.ndarray) -> float:
+    """tanh(log1p(normalized Laplacian variance)) in ~0..1."""
+    v = calc_sharpness(bgr)
+    return float(np.tanh(np.log1p(v)))
+
+
+def exposure_score(bgr: np.ndarray) -> float:
+    """1.0 well-exposed; penalize crushed/blown histograms."""
+    if bgr is None or bgr.size == 0 or cv2 is None:
+        return 0.0
+    g = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    hist = cv2.calcHist([g], [0], None, [256], [0, 256]).flatten()
+    hist = hist / max(1.0, hist.sum())
+    low = hist[:8].sum()
+    high = hist[-8:].sum()
+    mid = hist[16:240].sum()
+    return float(max(0.0, min(1.0, mid - 0.5 * (low + high))))
+
+
+def yaw_roll_from_5pts(pts5: Optional[np.ndarray]) -> Tuple[float, float]:
+    """Approximate yaw/roll in degrees from [le,re,nose,lm,rm]."""
+    if pts5 is None or getattr(pts5, "shape", None) != (5, 2):
+        return 0.0, 0.0
+    le, re_, nose, _, _ = pts5
+    roll = float(np.degrees(np.arctan2(re_[1] - le[1], re_[0] - le[0])))
+    eye_mid = (le + re_) * 0.5
+    iod = float(np.linalg.norm(re_ - le)) + 1e-6
+    yaw = float(np.degrees(np.arctan2(nose[0] - eye_mid[0], iod)))
+    return yaw, roll
+
+
+def textlike_corners_score(bgr: np.ndarray) -> float:
+    """Watermark heuristic: MSER text-like regions near the corners."""
+    if bgr is None or bgr.size == 0 or cv2 is None:
+        return 0.0
+    H, W = bgr.shape[:2]
+    region = max(1, int(0.22 * min(H, W)))
+    gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    try:
+        mser = cv2.MSER_create(delta=5, min_area=60, max_area=5000)
+    except TypeError:  # older signatures
+        mser = cv2.MSER_create()
+    try:
+        regions, _ = mser.detectRegions(gray)
+    except cv2.error:
+        return 0.0
+    cnt = 0
+    for rr in regions:
+        x, y, w, h = cv2.boundingRect(rr)
+        in_corner = ((x < region or x + w > W - region)
+                     and (y < region or y + h > H - region))
+        if in_corner:
+            ar = w / float(h + 1e-6)
+            if 1.5 <= ar <= 12.0 and w * h >= 80:
+                cnt += 1
+    return float(min(1.0, cnt / 25.0))
+
+
+_RE_FRAME = re.compile(r"\b(?:frame|f|img|i)[_\-]?\s*(\d{3,})(?!\d)", re.I)
+_RE_TIME = re.compile(r"(?:t|time)[_\-:]?(\d+(?:\.\d+)?)\s*s", re.I)
+_RE_NUM = re.compile(r"(\d{3,})")
+
+
+def timestamp_from_name(path: str, fps_hint: float = 30.0) -> float:
+    """Recover an ordering timestamp from crop filenames (f%08d.jpg…)."""
+    name = os.path.basename(path)
+    m = _RE_TIME.search(name)
+    if m:
+        return float(m.group(1))
+    m = _RE_FRAME.search(name) or _RE_NUM.search(name)
+    if m:
+        return float(int(m.group(1))) / max(1.0, fps_hint)
+    return 0.0
+
+
+@dataclass
+class Item:
+    path: str
+    ts: float = 0.0
+    ratio: str = ""
+    face_fd: float = 9.0
+    face_feat: Optional[np.ndarray] = None
+    face_quality: float = 0.0
+    face_box: Optional[Tuple[float, float, float, float]] = None
+    face_frac: float = 0.0
+    yaw: float = 0.0
+    roll: float = 0.0
+    sharpness: float = 0.0
+    exposure: float = 0.0
+    wmark: float = 0.0
+    phash: int = 0
+    bg_clip: Optional[np.ndarray] = None
+    scene: int = -1
+    meta: Dict = field(default_factory=dict)
+
+    def quality_score(self) -> float:
+        """Weighted quality (reference: dataset_curator.py:266-284)."""
+        fd = max(0.0, float(self.face_fd))
+        idq = float(np.clip(1.0 - fd / 0.5, 0.0, 1.0))
+        q = (0.45 * idq + 0.30 * self.sharpness + 0.20 * self.exposure
+             + 0.05 * min(1.0, self.face_quality / 1200.0))
+        q *= max(0.0, 1.0 - 0.6 * self.wmark)
+        bb = float(min(max(self.meta.get("black_border_frac", 0.0), 0.0), 0.4))
+        q *= max(0.0, 1.0 - 0.6 * bb)
+        return float(max(0.0, min(1.0, q)))
+
+
+def ratio_label(w: int, h: int) -> str:
+    if h <= 0 or w <= 0:
+        return ""
+    a = w / h
+    table = [("1:1", 1.0), ("2:3", 2 / 3), ("3:4", 3 / 4), ("3:2", 1.5),
+             ("16:9", 16 / 9), ("4:3", 4 / 3)]
+    best = min(table, key=lambda t: abs(a - t[1]))
+    return best[0] if abs(a - best[1]) < 0.08 else ("wide" if a > 1.2 else "")
+
+
+def categorize(it: Item) -> str:
+    """Bucket assignment (reference: dataset_curator.py:587-607)."""
+    f = it.face_frac
+    ratio = it.ratio
+    if ratio in ("2:3", "3:4"):
+        if f >= 0.33:
+            return "closeup"
+        if 0.22 <= f < 0.33:
+            return "portrait"
+        if 0.12 <= f < 0.22:
+            return "cowboy"
+        return "full"
+    if ratio in ("3:2", "wide"):
+        return "closeup" if f >= 0.30 else "wide"
+    if ratio == "1:1":
+        return "closeup" if f >= 0.30 else "portrait"
+    return "portrait"
+
+
+# --------------------------------------------------------------------------
+# scene clustering
+# --------------------------------------------------------------------------
+
+def cluster_scenes(items: List[Item], sim_thresh: float = 0.92,
+                   hamm_thresh: int = 7, time_gap: float = 4.0,
+                   nn_window: int = 64) -> List[int]:
+    """Assign scene ids: same scene when pHash close OR background-CLIP
+    similar, searched over a sliding window of recent clusters."""
+    if not items:
+        return []
+
+    def cos(a, b):
+        return float(np.dot(a, b))
+
+    order = sorted(range(len(items)), key=lambda i: (items[i].ts, items[i].path))
+    clusters: List[List[int]] = []
+    medoids: List[int] = []
+
+    def same_scene(idx: int, med: int) -> bool:
+        a, b = items[idx], items[med]
+        if hamming64(a.phash, b.phash) <= hamm_thresh:
+            return True
+        if a.bg_clip is None or b.bg_clip is None:
+            return False
+        return cos(a.bg_clip, b.bg_clip) >= sim_thresh
+
+    for idx in order:
+        it = items[idx]
+        assigned = False
+        start = max(0, len(clusters) - max(1, nn_window))
+        for cidx in range(len(clusters) - 1, start - 1, -1):
+            last = clusters[cidx][-1]
+            dt = abs(it.ts - items[last].ts)
+            if dt > time_gap and not same_scene(idx, medoids[cidx]):
+                continue
+            if same_scene(idx, medoids[cidx]):
+                clusters[cidx].append(idx)
+                if items[idx].quality_score() > items[medoids[cidx]].quality_score():
+                    medoids[cidx] = idx
+                assigned = True
+                break
+        if not assigned:
+            clusters.append([idx])
+            medoids.append(idx)
+
+    scene_ids = [-1] * len(items)
+    for sid, group in enumerate(clusters):
+        for i in group:
+            scene_ids[i] = sid
+    return scene_ids
+
+
+# --------------------------------------------------------------------------
+# MMR selection
+# --------------------------------------------------------------------------
+
+DEFAULT_QUOTAS = {
+    # category: (min, max_frac of max_images)
+    "closeup": (4, 0.45),
+    "portrait": (4, 0.45),
+    "cowboy": (2, 0.30),
+    "full": (2, 0.30),
+    "wide": (0, 0.20),
+    "profile": (0, 0.25),   # cap, not target
+}
+
+
+def mmr_select(items: List[Item], max_images: int = 200,
+               fd_gate: float = 0.45, lam: float = 0.70,
+               dedup_hamm: int = 5, cos_face_dedup: float = 0.985,
+               scene_softcap: int = 6, scene_penalty: float = 0.08,
+               profile_yaw_thresh: float = 20.0,
+               quotas: Optional[Dict] = None) -> Tuple[List[int], List[Dict]]:
+    """Greedy quota-constrained MMR. Returns (selected indices, debug rows).
+
+    score = λ·quality − (1−λ)·max-sim-to-selected − scene-overuse penalty;
+    hard gates: identity fd, pHash dedup, face-embedding dedup, per-category
+    and profile caps.
+    """
+    quotas = quotas or DEFAULT_QUOTAS
+    pool = [i for i, it in enumerate(items) if it.face_fd <= fd_gate]
+    cats = {i: categorize(items[i]) for i in pool}
+    q = {i: items[i].quality_score() for i in pool}
+
+    caps = {c: (mn, max(1, int(round(mx * max_images))))
+            for c, (mn, mx) in quotas.items()}
+    counts: Dict[str, int] = {c: 0 for c in caps}
+    scene_counts: Dict[int, int] = {}
+    chosen: List[int] = []
+    chosen_ph: List[int] = []
+    chosen_faces: List[np.ndarray] = []
+    chosen_vecs: List[np.ndarray] = []
+    debug: List[Dict] = []
+    remaining = set(pool)
+
+    def vec(i):
+        it = items[i]
+        if it.bg_clip is not None and it.face_feat is not None:
+            v = np.concatenate([0.6 * it.bg_clip, 0.4 * it.face_feat])
+        elif it.bg_clip is not None:
+            v = it.bg_clip
+        elif it.face_feat is not None:
+            v = it.face_feat
+        else:
+            return None
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else None
+
+    vecs = {i: vec(i) for i in pool}
+
+    def redundancy(i) -> float:
+        v = vecs[i]
+        if v is None or not chosen_vecs:
+            return 0.0
+        sims = [float(np.dot(v, b)) for b in chosen_vecs
+                if b.shape == v.shape]
+        return max(sims) if sims else 0.0
+
+    def is_blocked(i) -> bool:
+        it = items[i]
+        cat = cats[i]
+        mn, mx = caps.get(cat, (0, max_images))
+        if counts.get(cat, 0) >= mx:
+            return True
+        if abs(it.yaw) >= profile_yaw_thresh:
+            _, pmax = caps.get("profile", (0, 0))
+            if counts.get("profile", 0) >= pmax:
+                return True
+        if any(hamming64(it.phash, p) <= dedup_hamm for p in chosen_ph):
+            return True
+        if it.face_feat is not None:
+            for fv in chosen_faces:
+                if fv.shape == it.face_feat.shape \
+                        and float(np.dot(fv, it.face_feat)) >= cos_face_dedup:
+                    return True
+        return False
+
+    def pick(i, score, red):
+        it = items[i]
+        chosen.append(i)
+        remaining.discard(i)
+        chosen_ph.append(it.phash)
+        if it.face_feat is not None:
+            chosen_faces.append(it.face_feat)
+        v = vecs[i]
+        if v is not None:
+            chosen_vecs.append(v)
+        counts[cats[i]] = counts.get(cats[i], 0) + 1
+        if abs(it.yaw) >= profile_yaw_thresh:
+            counts["profile"] = counts.get("profile", 0) + 1
+        scene_counts[it.scene] = scene_counts.get(it.scene, 0) + 1
+        debug.append({"rank": len(chosen), "file": it.path,
+                      "scene": it.scene, "category": cats[i],
+                      "quality": q[i], "redundancy": red,
+                      "mmr_score": score,
+                      "is_profile": int(abs(it.yaw) >= profile_yaw_thresh)})
+
+    # pass 1: satisfy category minimums (spread over scenes by greedy score)
+    for cat, (cmin, _) in caps.items():
+        if cat == "profile" or cmin <= 0:
+            continue
+        need = cmin
+        while need > 0 and len(chosen) < max_images:
+            best_i, best_s, best_r = None, -1e9, 0.0
+            for i in remaining:
+                if cats[i] != cat or is_blocked(i):
+                    continue
+                red = redundancy(i)
+                over = max(0, scene_counts.get(items[i].scene, 0)
+                           - scene_softcap)
+                s = lam * q[i] - (1 - lam) * red - scene_penalty * over
+                if s > best_s:
+                    best_i, best_s, best_r = i, s, red
+            if best_i is None:
+                break
+            pick(best_i, best_s, best_r)
+            need -= 1
+
+    # pass 2: fill to max_images by global MMR
+    while len(chosen) < max_images:
+        best_i, best_s, best_r = None, -1e9, 0.0
+        for i in remaining:
+            if is_blocked(i):
+                continue
+            red = redundancy(i)
+            over = max(0, scene_counts.get(items[i].scene, 0) - scene_softcap)
+            s = lam * q[i] - (1 - lam) * red - scene_penalty * over
+            if s > best_s:
+                best_i, best_s, best_r = i, s, red
+        if best_i is None:
+            break
+        pick(best_i, best_s, best_r)
+
+    return chosen, debug
+
+
+# --------------------------------------------------------------------------
+# Curator driver
+# --------------------------------------------------------------------------
+
+class Curator:
+    """Describe a pool of crops, select a subset, copy to out_dir.
+
+    ``face_backend`` / ``clip_backend`` follow the pipeline backend
+    protocols; ``ref_bank`` provides identity distance.
+    """
+
+    def __init__(self, face_backend, ref_bank, clip_backend=None,
+                 progress: Optional[Callable[[str, int, int], None]] = None,
+                 batch: int = 16):
+        self.face = face_backend
+        self.bank = ref_bank
+        self.clip = clip_backend
+        self.progress = progress or (lambda *a: None)
+        self.batch = int(batch)
+
+    def describe(self, paths: Sequence[str],
+                 fps_hint: float = 30.0) -> List[Item]:
+        items: List[Item] = []
+        bank_mat = self.bank.matrix()
+        imgs: List[np.ndarray] = []
+        metas: List[Item] = []
+        for p in paths:
+            img = cv2.imread(p, cv2.IMREAD_COLOR) if cv2 else None
+            if img is None:
+                continue
+            it = Item(path=p, ts=timestamp_from_name(p, fps_hint),
+                      ratio=ratio_label(img.shape[1], img.shape[0]))
+            it.sharpness = sharpness_norm(img)
+            it.exposure = exposure_score(img)
+            it.wmark = textlike_corners_score(img)
+            it.phash = phash64(img)
+            from ..core.geometry import detect_black_borders
+            x1, y1, x2, y2 = detect_black_borders(img)
+            h, w = img.shape[:2]
+            bb_frac = 1.0 - ((x2 - x1) * (y2 - y1)) / max(1, w * h)
+            it.meta["black_border_frac"] = float(max(0.0, bb_frac))
+            imgs.append(img)
+            metas.append(it)
+
+        # batched device features: pad images to the max shape per chunk
+        for start in range(0, len(imgs), self.batch):
+            chunk = imgs[start:start + self.batch]
+            mchunk = metas[start:start + self.batch]
+            hmax = max(im.shape[0] for im in chunk)
+            wmax = max(im.shape[1] for im in chunk)
+            batch_arr = np.zeros((len(chunk), hmax, wmax, 3), np.uint8)
+            for i, im in enumerate(chunk):
+                batch_arr[i, :im.shape[0], :im.shape[1]] = im
+            out = self.face.extract_batch(batch_arr,
+                                          np.ones(len(chunk), bool))
+            for i, it in enumerate(mchunk):
+                mask = out["mask"][i]
+                if mask.any():
+                    fds = [self.bank.fd(out["feats"][i][j]) if mask[j] else 9.0
+                           for j in range(len(mask))]
+                    j = int(np.argmin(fds))
+                    it.face_fd = float(fds[j])
+                    feat = out["feats"][i][j]
+                    n = np.linalg.norm(feat)
+                    it.face_feat = feat / n if n > 0 else None
+                    it.face_quality = float(out["quality"][i][j])
+                    it.face_box = tuple(float(v) for v in out["boxes"][i][j])
+                    h = chunk[i].shape[0]
+                    it.face_frac = (it.face_box[3] - it.face_box[1]) / max(1, h)
+                    it.yaw, it.roll = yaw_roll_from_5pts(
+                        np.asarray(out["kps"][i][j]))
+            if self.clip is not None:
+                feats = self.clip.extract(chunk)
+                for i, it in enumerate(mchunk):
+                    it.bg_clip = feats[i]
+            self.progress("describe", start + len(chunk), len(imgs))
+        items.extend(metas)
+        return items
+
+    def run(self, pool_dir: str, out_dir: str, max_images: int = 200,
+            fd_gate: float = 0.45, lam: float = 0.70,
+            dedup_hamm: int = 5, cos_face_dedup: float = 0.985,
+            copy: bool = True) -> Dict:
+        exts = (".jpg", ".jpeg", ".png", ".webp")
+        paths = sorted(
+            os.path.join(pool_dir, f) for f in os.listdir(pool_dir)
+            if f.lower().endswith(exts))
+        t0 = time.perf_counter()
+        items = self.describe(paths)
+        scene_ids = cluster_scenes(items)
+        for it, sid in zip(items, scene_ids):
+            it.scene = sid
+        chosen, debug = mmr_select(items, max_images=max_images,
+                                   fd_gate=fd_gate, lam=lam,
+                                   dedup_hamm=dedup_hamm,
+                                   cos_face_dedup=cos_face_dedup)
+        os.makedirs(out_dir, exist_ok=True)
+        selected_paths = []
+        for i in chosen:
+            src = items[i].path
+            dst = os.path.join(out_dir, os.path.basename(src))
+            if copy:
+                shutil.copy2(src, dst)
+            selected_paths.append(dst)
+
+        with open(os.path.join(out_dir, "selection_debug.csv"), "w",
+                  newline="") as fh:
+            cols = ["rank", "file", "scene", "category", "quality",
+                    "redundancy", "mmr_score", "is_profile"]
+            writer = csv.DictWriter(fh, fieldnames=cols)
+            writer.writeheader()
+            for row in debug:
+                writer.writerow(row)
+
+        metrics = {
+            "pool": len(items),
+            "selected": len(chosen),
+            "scenes": len(set(scene_ids)) if scene_ids else 0,
+            "categories": {},
+            "mean_quality": float(np.mean([items[i].quality_score()
+                                           for i in chosen])) if chosen else 0.0,
+            "wall_s": time.perf_counter() - t0,
+        }
+        for row in debug:
+            metrics["categories"][row["category"]] = \
+                metrics["categories"].get(row["category"], 0) + 1
+        with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
+            json.dump(metrics, fh, indent=2)
+        return {"selected": selected_paths, "metrics": metrics,
+                "debug": debug, "items": items}
