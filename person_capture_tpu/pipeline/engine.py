@@ -144,12 +144,17 @@ class Engine:
             else:
                 spans = [(0, max(0, meta.total_frames - 1))]
 
-            self._status_cb("main pass")
+            from ..video.keyframes import read_keyframes
+
+            keyframes = read_keyframes(cfg.video, meta.fps,
+                                       meta.total_frames)
+            self._status_cb(f"main pass (keyframes: {len(keyframes)})")
             with AsyncSaver(cfg.out_dir, jpg_quality=cfg.jpg_quality,
                             fsync=cfg.save_fsync,
                             async_save=cfg.async_save) as saver:
                 mp = run_main_pass(main_reader, self.backend, cfg, bank,
                                    spans, saver, meta=meta,
+                                   keyframes=keyframes,
                                    progress=self._progress_cb,
                                    should_stop=self._should_stop)
             main_reader.release()

@@ -107,6 +107,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                   meta=None, batch_size: Optional[int] = None,
                   person_backend=None, reid_backend=None,
                   ref_reid_feat: Optional[np.ndarray] = None,
+                  keyframes: Optional[Sequence[int]] = None,
                   progress: Optional[Callable[[float], None]] = None,
                   should_stop: Optional[Callable[[], bool]] = None
                   ) -> MainPassResult:
@@ -363,14 +364,15 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         return True
 
     # ---- span-gated decode loop ---------------------------------------
+    from ..video.reader import smart_seek
+
     for s, e in spans:
         if should_stop is not None and should_stop():
             break
-        if hasattr(reader, "seek"):
-            reader.seek(s)
-        else:
-            reader.skip(max(0, s - reader.pos))
-        idx = s
+        idx = smart_seek(reader, s, keyframes, cfg.seek_fast,
+                         cfg.seek_max_grabs, fps)
+        if idx > e:
+            continue
         while idx <= e:
             if should_stop is not None and should_stop():
                 break

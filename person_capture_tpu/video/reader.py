@@ -198,6 +198,32 @@ def open_reader(path: str, max_w: int = 0, prefer_ffmpeg: bool = False):
     return Cv2Reader(path, max_w=max_w)
 
 
+def smart_seek(reader, target: int, keyframes=None, seek_fast: bool = True,
+               max_grabs: int = 0, fps: float = 30.0) -> int:
+    """Keyframe-aware seek (reference `_seek_to`, gui_app.py:3972-4104):
+    land on the previous keyframe and grab forward up to a cap (≤0 → ~1s of
+    frames) instead of forcing an exact-but-slow container seek. Returns the
+    reader position actually reached."""
+    from .keyframes import previous_keyframe
+
+    target = max(0, int(target))
+    if not seek_fast or not keyframes:
+        if hasattr(reader, "seek"):
+            reader.seek(target)
+            return target
+        reader.skip(max(0, target - reader.pos))
+        return reader.pos
+    kf = previous_keyframe(keyframes, target)
+    if hasattr(reader, "seek"):
+        reader.seek(kf)
+    else:
+        reader.skip(max(0, kf - reader.pos))
+    cap = int(max_grabs) if max_grabs and max_grabs > 0 else int(round(fps))
+    grabs = min(target - kf, cap)
+    reader.skip(max(0, grabs))
+    return reader.pos
+
+
 class SampledBatchIterator:
     """Yield fixed-size batches of strided samples for the fused device
     programs: ``(frame_idxs [B], frames [B, H, W, 3] uint8, valid [B])``.
