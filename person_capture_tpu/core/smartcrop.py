@@ -1,0 +1,70 @@
+"""Saliency-guided lateral crop refinement.
+
+Compact re-implementation of the reference ``_smart_crop_box``
+(person_capture/gui_app.py:8118-8489): search horizontal shifts of the
+finished crop (± ``smart_crop_side_search_frac``·crop_w over
+``smart_crop_steps`` half-steps per side) and keep the position maximizing
+gradient saliency inside the crop, without letting the detected face leave
+the crop. Ratio and size are preserved.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .geometry import IntBox, bgr_to_gray
+
+
+def gradient_saliency(gray: np.ndarray) -> np.ndarray:
+    """|∇| saliency map (float32) with an integral-friendly dtype."""
+    g = gray.astype(np.float32)
+    gx = np.zeros_like(g)
+    gy = np.zeros_like(g)
+    gx[:, 1:-1] = np.abs(g[:, 2:] - g[:, :-2])
+    gy[1:-1, :] = np.abs(g[2:, :] - g[:-2, :])
+    return gx + gy
+
+
+def smart_crop_box(frame: np.ndarray, crop_xyxy: Sequence[int],
+                   face_xyxy: Optional[Sequence[float]] = None,
+                   steps: int = 6, side_search_frac: float = 0.35,
+                   use_grad: bool = True) -> IntBox:
+    """Slide the crop horizontally toward saliency; face stays contained."""
+    x1, y1, x2, y2 = (int(v) for v in crop_xyxy)
+    H, W = frame.shape[:2]
+    crop_w = x2 - x1
+    if crop_w <= 0 or y2 - y1 <= 0 or not use_grad:
+        return x1, y1, x2, y2
+
+    gray = bgr_to_gray(frame) if frame.ndim == 3 else frame
+    sal = gradient_saliency(gray)
+    # integral image for O(1) box sums
+    integral = np.zeros((H + 1, W + 1), np.float64)
+    integral[1:, 1:] = np.cumsum(np.cumsum(sal, 0), 1)
+
+    def box_sum(bx1, bx2):
+        return float(integral[y2, bx2] - integral[y2, bx1]
+                     - integral[y1, bx2] + integral[y1, bx1])
+
+    max_shift = side_search_frac * crop_w
+    n = max(1, int(steps))
+    offsets = sorted({int(round(max_shift * k / n)) for k in range(-n, n + 1)})
+
+    best_x1, best_score = x1, -1.0
+    for off in offsets:
+        nx1 = x1 + off
+        nx2 = nx1 + crop_w
+        if nx1 < 0 or nx2 > W:
+            continue
+        if face_xyxy is not None:
+            if face_xyxy[0] < nx1 + 1 or face_xyxy[2] > nx2 - 1:
+                continue
+        s = box_sum(nx1, nx2)
+        # mild preference for the original placement on ties
+        if off == 0:
+            s *= 1.02
+        if s > best_score:
+            best_score, best_x1 = s, nx1
+    return best_x1, y1, best_x1 + crop_w, y2

@@ -60,6 +60,9 @@ class Candidate:
     rd: Optional[float]
     quality: float
     score: float
+    # True when det_box is a real YOLO person detection (then it may act as
+    # the compose subject box; face-derived boxes may not)
+    subject_from_person: bool = False
 
 
 @dataclass
@@ -252,7 +255,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     continue
                 score = combine_scores(fd, rd, cfg.combine)
                 candidates.append(Candidate(pbox, fb, fd, rd, q,
-                                            score if score is not None else 9.0))
+                                            score if score is not None else 9.0,
+                                            subject_from_person=True))
 
         # global-face fallback / face_only short path: only in modes where a
         # face match alone may accept (both-mode falls back only when the
@@ -264,16 +268,19 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             fb, fd, q = min(face_list, key=lambda t: t[1])
             if fd <= cfg.face_thresh:
                 det_box = None
+                from_person = False
                 # associate with a person box when available
                 for pbox in persons:
                     if _center_in_box(fb, pbox):
                         det_box = pbox
+                        from_person = True
                         break
                 if det_box is None:
                     det_box = _det_box_from_face(fb, W, H)
                 score = combine_scores(fd, None, cfg.combine)
                 candidates.append(Candidate(det_box, fb, fd, None, q,
-                                            score if score is not None else 9.0))
+                                            score if score is not None else 9.0,
+                                            subject_from_person=from_person))
 
         if not candidates:
             lock.register_miss(cfg.lock_face_roi_max_misses)
@@ -328,10 +335,34 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             anchor = (0.5 * (fb[0] + fb[2]), 0.5 * (fb[1] + fb[3]))
         det_box = (best.det_box[0] - off_x, best.det_box[1] - off_y,
                    best.det_box[2] - off_x, best.det_box[3] - off_y)
-        crop, ratio, _ = choose_best_ratio(det_box, ratios, ww, wh, cfg,
-                                           anchor=anchor, face_box=fb)
-        crop = enforce_scale_and_margins(crop, ratio or ratios[0], ww, wh,
-                                         cfg, face_box=fb, anchor=anchor)
+        if cfg.compose_crop_enable:
+            from ..core.compose_profiles import (compose_dataset_crop,
+                                                 prefer_lower_face_crop_y)
+            from ..core.geometry import face_head_proxy_box
+
+            subj = det_box if best.subject_from_person else None
+            crop, ratio, profile = compose_dataset_crop(
+                cfg, det_box, ratios, (0, 0, ww, wh), subject_box=subj,
+                face_box=fb, frame_idx=frame_idx)
+            head = face_head_proxy_box(fb, ww, wh,
+                                       cfg.crop_head_side_pad_frac,
+                                       cfg.crop_head_top_pad_frac,
+                                       cfg.crop_head_bottom_pad_frac) \
+                if fb is not None else None
+            crop = prefer_lower_face_crop_y(crop, fb, head, (0, 0, ww, wh),
+                                            profile)
+            if cfg.smart_crop_enable:
+                from ..core.smartcrop import smart_crop_box
+
+                crop = smart_crop_box(work, crop, fb,
+                                      steps=cfg.smart_crop_steps,
+                                      side_search_frac=cfg.smart_crop_side_search_frac,
+                                      use_grad=cfg.smart_crop_use_grad)
+        else:
+            crop, ratio, _ = choose_best_ratio(det_box, ratios, ww, wh, cfg,
+                                               anchor=anchor, face_box=fb)
+            crop = enforce_scale_and_margins(crop, ratio or ratios[0], ww, wh,
+                                             cfg, face_box=fb, anchor=anchor)
         x1, y1, x2, y2 = crop
         if (x2 - x1) * (y2 - y1) < int(cfg.min_box_pixels):
             return False
