@@ -124,11 +124,16 @@ class Engine:
             if cfg.prescan_enable:
                 self._status_cb("pre-scan")
 
+                def _reopen():
+                    return open_reader(cfg.video,
+                                       max_w=cfg.prescan_decode_max_w)
+
                 def _run():
                     r = open_reader(cfg.video, max_w=cfg.prescan_decode_max_w,
                                     prefer_ffmpeg=True)
                     try:
                         p = run_prescan(r, self.backend, cfg, bank, meta=None,
+                                        reopen_reader=_reopen,
                                         progress=self._progress_cb,
                                         should_stop=self._should_stop)
                     finally:

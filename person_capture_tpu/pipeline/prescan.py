@@ -43,6 +43,7 @@ class PrescanResult:
 
 def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
                 meta=None, batch_size: Optional[int] = None,
+                reopen_reader: Optional[Callable[[], object]] = None,
                 progress: Optional[Callable[[float], None]] = None,
                 should_stop: Optional[Callable[[], bool]] = None) -> PrescanResult:
     """Run the batched pre-scan over ``reader`` using ``backend``.
@@ -151,6 +152,7 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
         frame = reader.read()
         if frame is None:
             break
+        frame = _cap_width(frame, cfg.prescan_max_width)
         pend_idxs.append(idx)
         pend_frames.append(frame)
         order.append((idx, len(pend_frames) - 1, False))
@@ -165,5 +167,126 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
         idx += stride
     flush()
     res.spans = sb.finish()
+    if cfg.prescan_boundary_refine_sec > 0 and res.spans and reopen_reader:
+        res.spans = refine_span_edges(res.spans, reopen_reader, backend, cfg,
+                                      res.bank, fps, total)
     res.wall_s = time.perf_counter() - t0
     return res
+
+
+def _cap_width(frame: np.ndarray, max_w: int) -> np.ndarray:
+    """Downscale analysis frames wider than prescan_max_width (reference:
+    gui_app.py:1503-1509)."""
+    max_w = int(max_w or 0)
+    if max_w <= 0 or frame.shape[1] <= max_w:
+        return frame
+    try:
+        import cv2
+        nh = int(round(frame.shape[0] * (max_w / frame.shape[1])))
+        return cv2.resize(frame, (max_w, nh), interpolation=cv2.INTER_AREA)
+    except ImportError:
+        return frame
+
+
+def refine_span_edges(spans, reopen_reader, backend, cfg: SessionConfig,
+                      bank: RefBank, fps: float, total: int):
+    """Budgeted boundary refinement (reference `_refine_edges`,
+    gui_app.py:1671-1832): rescan a window around each span edge with a
+    small stride and move the edge to the first/last matching sample;
+    optionally trims the pad when a tighter edge is found.
+
+    The rescan batches all edge-window samples of a span through one device
+    call instead of the reference's per-frame loop.
+    """
+    stride_ref = max(1, min(max(1, int(cfg.prescan_stride)) // 4,
+                            int(cfg.prescan_refine_stride_min)))
+    win = int(round(max(0.0, float(cfg.prescan_boundary_refine_sec)) * fps))
+    pad = int(round(max(0.0, float(cfg.prescan_pad_sec)) * fps))
+    # the true edge can sit a full coarse stride beyond the last matching
+    # sample, plus the pad — cover both (the reference's max(pad, win) can
+    # miss the edge when pad < stride)
+    search = max(pad, win) + max(1, int(cfg.prescan_stride))
+    if search <= 0:
+        return spans
+    budget = float(cfg.prescan_refine_budget_sec)
+    t0 = time.perf_counter()
+    enter = float(cfg.prescan_fd_enter)
+    out = []
+    for (s, e) in spans:
+        if budget > 1e-3 and (time.perf_counter() - t0) > budget:
+            out.append((s, e))
+            continue
+        if cfg.prescan_skip_trailing_refine and e >= total - 1:
+            trailing = True
+        else:
+            trailing = False
+        new_s, new_e = s, e
+        for edge, is_start in (((s), True), ((e), False)):
+            if not is_start and trailing:
+                continue
+            lo = max(0, edge - search)
+            hi = min(total - 1, edge + search)
+            idxs = list(range(lo, hi + 1, stride_ref))
+            if not idxs:
+                continue
+            reader = reopen_reader()
+            try:
+                fds = _sample_fds(reader, backend, cfg, bank, idxs)
+            finally:
+                reader.release()
+            matched = [i for i, fd in zip(idxs, fds) if fd <= enter]
+            if is_start:
+                if matched:
+                    tight = max(0, matched[0] - pad if cfg.prescan_trim_pad
+                                else min(matched[0], edge))
+                    new_s = min(edge, tight) if not cfg.prescan_trim_pad \
+                        else max(0, matched[0] - stride_ref)
+            else:
+                if matched:
+                    new_e = min(total - 1, matched[-1] + stride_ref) \
+                        if cfg.prescan_trim_pad else max(edge, matched[-1])
+        if new_e < new_s:
+            new_s, new_e = s, e
+        out.append((new_s, new_e))
+    # keep spans sorted/merged after edge moves
+    out.sort()
+    merged = []
+    for (s, e) in out:
+        if merged and s <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged
+
+
+def _sample_fds(reader, backend, cfg: SessionConfig, bank: RefBank, idxs):
+    """Decode specific frames and return each sample's best fd (batched)."""
+    frames = []
+    got = []
+    for i in idxs:
+        if hasattr(reader, "seek"):
+            reader.seek(i)
+        else:
+            reader.skip(max(0, i - reader.pos))
+        f = reader.read()
+        if f is None:
+            continue
+        frames.append(_cap_width(f, cfg.prescan_max_width))
+        got.append(i)
+    if not frames:
+        return []
+    arr = np.stack(frames)
+    out = backend.extract_batch(arr, np.ones(len(frames), bool),
+                                np.asarray(got))
+    bank_mat = bank.matrix()
+    fds = []
+    for slot in range(len(frames)):
+        best = FD_NONE
+        for j in np.flatnonzero(out["mask"][slot]):
+            v = out["feats"][slot][j]
+            v = v / max(np.linalg.norm(v), 1e-6)
+            best = min(best, 1.0 - float(np.max(bank_mat @ v)))
+        fds.append(best)
+    # map back to requested idxs (missing decodes -> FD_NONE)
+    by_idx = dict(zip(got, fds))
+    return [by_idx.get(i, FD_NONE) for i in idxs]
