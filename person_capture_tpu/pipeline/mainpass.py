@@ -23,6 +23,7 @@ Decision semantics mirror the reference:
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -70,13 +71,17 @@ class LockState:
     hits: int = 0
     locked: bool = False
     last_face_box: Optional[Tuple[float, float, float, float]] = None
+    last_det_box: Optional[Tuple[float, float, float, float]] = None
     last_seen_frame: int = -1
     misses: int = 0
 
-    def register_hit(self, face_box, frame_idx: int, lock_after_hits: int):
+    def register_hit(self, face_box, frame_idx: int, lock_after_hits: int,
+                     det_box=None):
         self.hits += 1
         if face_box is not None:
             self.last_face_box = tuple(face_box)
+        if det_box is not None:
+            self.last_det_box = tuple(det_box)
         self.last_seen_frame = frame_idx
         self.misses = 0
         if self.hits >= max(1, lock_after_hits):
@@ -144,6 +149,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     bank_mat = bank.matrix()
 
     pend: List[Tuple[int, np.ndarray]] = []
+    prev_frame: List[Optional[np.ndarray]] = [None]
 
     def flush():
         if not pend:
@@ -282,6 +288,59 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                                             score if score is not None else 9.0,
                                             subject_from_person=from_person))
 
+        # faceless fallback: while locked, a person box may be accepted via
+        # ReID distance or IoU continuity with motion/area/drift gates
+        # (reference: gui_app.py:7645-7769)
+        if (not candidates and lock.locked and cfg.allow_faceless_when_locked
+                and persons and lock.last_det_box is not None):
+            diag = math.hypot(W, H)
+            frame_area = float(W * H)
+            best_fb = None
+            pmask_idx2 = (np.flatnonzero(person_out["mask"][slot])
+                          if person_out is not None else [])
+            for ki, pbox in zip(pmask_idx2, persons):
+                area_frac = ((pbox[2] - pbox[0]) * (pbox[3] - pbox[1])
+                             / frame_area)
+                if not (cfg.faceless_min_area_frac <= area_frac
+                        <= cfg.faceless_max_area_frac):
+                    continue
+                lcx = 0.5 * (lock.last_det_box[0] + lock.last_det_box[2])
+                lcy = 0.5 * (lock.last_det_box[1] + lock.last_det_box[3])
+                pcx = 0.5 * (pbox[0] + pbox[2])
+                pcy = 0.5 * (pbox[1] + pbox[3])
+                if math.hypot(pcx - lcx, pcy - lcy) \
+                        > cfg.faceless_center_max_frac * diag:
+                    continue
+                iou = box_iou(pbox, lock.last_det_box)
+                rd = None
+                feat = reid_map.get((slot, int(ki)))
+                if feat is not None and ref_reid_feat is not None:
+                    rd = 1.0 - float(np.dot(feat, ref_reid_feat))
+                ok = iou >= cfg.faceless_iou_min or (
+                    rd is not None and rd <= cfg.faceless_reid_thresh)
+                if not ok:
+                    continue
+                if cfg.faceless_min_motion_frac > 0 and prev_frame[0] is not None:
+                    x1i, y1i = max(0, int(pbox[0])), max(0, int(pbox[1]))
+                    x2i, y2i = min(W, int(pbox[2])), min(H, int(pbox[3]))
+                    if x2i > x1i and y2i > y1i:
+                        roi_a = frame[y1i:y2i, x1i:x2i].astype(np.int16)
+                        roi_b = prev_frame[0][y1i:y2i, x1i:x2i].astype(np.int16)
+                        if roi_a.shape == roi_b.shape:
+                            moving = (np.abs(roi_a - roi_b).max(axis=-1)
+                                      > 12).mean()
+                            if moving < cfg.faceless_min_motion_frac:
+                                continue
+                cand = Candidate(pbox, None, None, rd, 0.0,
+                                 rd if rd is not None else 1.0 - iou,
+                                 subject_from_person=True)
+                if best_fb is None or cand.score < best_fb.score:
+                    best_fb = cand
+            if best_fb is not None:
+                candidates.append(best_fb)
+
+        prev_frame[0] = frame
+
         if not candidates:
             lock.register_miss(cfg.lock_face_roi_max_misses)
             return
@@ -305,7 +364,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 lock.register_miss(cfg.lock_face_roi_max_misses)
                 return
 
-        lock.register_hit(best.face_box, frame_idx, cfg.lock_after_hits)
+        lock.register_hit(best.face_box, frame_idx, cfg.lock_after_hits,
+                          det_box=best.det_box)
 
         t = frame_idx / fps
         if t - last_save_t < min_gap:
