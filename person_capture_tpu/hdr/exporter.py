@@ -1,0 +1,123 @@
+"""HDR still exporter: crop save-items rendered from the HDR source.
+
+Replaces the reference's per-export ffmpeg/WIC subprocess ladder
+(gui_app.py:12867 `_save_hdr_sdr_screencap`) with: seek the HDR source for
+the frame's P010 planes → fused device tone-map of the (even-legalized)
+crop → atomic PNG/JPG write + validation. Runs on the saver thread so
+exports overlap device inference, like the reference's ack-gated queue.
+
+P010 plane sources:
+  * :class:`FfmpegP010Source` — external ffmpeg rawvideo pipe (gated on an
+    ffmpeg binary being present; TPU hosts often lack one);
+  * :class:`ArrayP010Source` — in-memory planes (tests, pre-decoded data).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .stills import (HdrExportParams, render_sdr_crop_from_p010,
+                     save_sdr_still, scale_crop_xyxy_to_source)
+
+
+class ArrayP010Source:
+    """P010 planes held in memory, keyed by frame index."""
+
+    def __init__(self, frames: Dict[int, Tuple[np.ndarray, np.ndarray]],
+                 width: int, height: int):
+        self.frames = frames
+        self.width = int(width)
+        self.height = int(height)
+
+    def get_planes(self, frame_idx: int):
+        return self.frames.get(int(frame_idx))
+
+    def release(self):
+        pass
+
+
+class FfmpegP010Source:
+    """One-frame P010 decode via an external ffmpeg rawvideo pipe."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float,
+                 preroll_sec: float = 0.5, timeout_sec: float = 300.0):
+        from ..video.reader import find_ffmpeg
+
+        self.exe = find_ffmpeg()
+        if self.exe is None:
+            raise RuntimeError("ffmpeg binary not found")
+        self.path = path
+        self.width = int(width)
+        self.height = int(height)
+        self.fps = float(fps)
+        self.preroll = float(preroll_sec)
+        self.timeout = float(timeout_sec)
+
+    def get_planes(self, frame_idx: int):
+        t = frame_idx / max(1e-6, self.fps)
+        ss = max(0.0, t - self.preroll)
+        skip = int(round((t - ss) * self.fps))
+        w, h = self.width, self.height
+        frame_bytes = w * h * 2 + (w // 2) * (h // 2) * 2 * 2  # Y + UV int16
+        cmd = [self.exe, "-v", "error", "-nostdin",
+               "-ss", f"{ss:.6f}", "-i", self.path,
+               "-frames:v", str(skip + 1),
+               "-f", "rawvideo", "-pix_fmt", "p010le", "-"]
+        try:
+            cp = subprocess.run(cmd, capture_output=True,
+                                timeout=self.timeout, check=False)
+        except subprocess.SubprocessError:
+            return None
+        data = cp.stdout
+        if len(data) < frame_bytes * (skip + 1):
+            if len(data) < frame_bytes:
+                return None
+            skip = len(data) // frame_bytes - 1
+        off = skip * frame_bytes
+        raw = np.frombuffer(data, np.uint16,
+                            count=frame_bytes // 2, offset=off)
+        y = raw[: w * h].reshape(h, w)
+        uv = raw[w * h:].reshape(h // 2, w // 2, 2)
+        return y.copy(), uv.copy()
+
+    def release(self):
+        pass
+
+
+class HdrStillExporter:
+    """Render + save one full-resolution SDR still per accepted crop."""
+
+    def __init__(self, source, params: HdrExportParams,
+                 out_format: str = "png"):
+        self.source = source
+        self.params = params
+        self.out_format = (out_format or "png").lstrip(".").lower()
+
+    def out_path_for(self, jpeg_path: str) -> str:
+        base, _ = os.path.splitext(jpeg_path)
+        return f"{base}.{self.out_format}"
+
+    def export(self, frame_idx: int, crop_xyxy, frame_size: Tuple[int, int],
+               out_path: str) -> Tuple[bool, str]:
+        planes = self.source.get_planes(frame_idx)
+        if planes is None:
+            return False, "hdr_decode_failed"
+        y, uv = planes
+        src_size = (y.shape[1], y.shape[0])
+        src_crop = scale_crop_xyxy_to_source(crop_xyxy, frame_size, src_size)
+        # reference-look color match uses the plain tone-map render of a
+        # reduced crop as the statistics reference
+        ref_bgr = None
+        if self.params.color_match:
+            small = HdrExportParams(**{**self.params.__dict__,
+                                       "color_match": False,
+                                       "speckle_cleanup": False,
+                                       "dither": False})
+            ref_bgr = render_sdr_crop_from_p010(y, uv, src_crop, small)
+        bgr = render_sdr_crop_from_p010(y, uv, src_crop, self.params,
+                                        reference_bgr=ref_bgr)
+        return save_sdr_still(bgr, out_path)

@@ -150,9 +150,28 @@ class Engine:
                 spans = [(0, max(0, meta.total_frames - 1))]
 
             from ..video.keyframes import read_keyframes
+            from ..video.probe import detect_hdr
 
             keyframes = read_keyframes(cfg.video, meta.fps,
                                        meta.total_frames)
+            hdr_exporter = None
+            hdr_info = detect_hdr(cfg.video)
+            if hdr_info.is_hdr and cfg.hdr_screencap_fullres:
+                try:
+                    from ..hdr.exporter import (FfmpegP010Source,
+                                                HdrStillExporter)
+                    from ..hdr.stills import HdrExportParams
+
+                    src = FfmpegP010Source(cfg.video, meta.width, meta.height,
+                                           meta.fps)
+                    hdr_exporter = HdrStillExporter(
+                        src, HdrExportParams.from_cfg(cfg),
+                        out_format=cfg.hdr_sdr_output_format)
+                    self._status_cb(
+                        f"HDR source ({', '.join(hdr_info.reasons)}); "
+                        f"full-res SDR stills enabled")
+                except RuntimeError as e:
+                    self._status_cb(f"HDR stills unavailable: {e}")
             self._status_cb(f"main pass (keyframes: {len(keyframes)})")
             with AsyncSaver(cfg.out_dir, jpg_quality=cfg.jpg_quality,
                             fsync=cfg.save_fsync,
@@ -160,6 +179,7 @@ class Engine:
                 mp = run_main_pass(main_reader, self.backend, cfg, bank,
                                    spans, saver, meta=meta,
                                    keyframes=keyframes,
+                                   hdr_exporter=hdr_exporter,
                                    progress=self._progress_cb,
                                    should_stop=self._should_stop)
             main_reader.release()

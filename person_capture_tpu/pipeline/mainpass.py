@@ -116,6 +116,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                   person_backend=None, reid_backend=None,
                   ref_reid_feat: Optional[np.ndarray] = None,
                   keyframes: Optional[Sequence[int]] = None,
+                  hdr_exporter=None,
                   progress: Optional[Callable[[float], None]] = None,
                   should_stop: Optional[Callable[[], bool]] = None
                   ) -> MainPassResult:
@@ -442,13 +443,23 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             return False
 
         path = os.path.join(crops_dir, f"f{frame_idx:08d}.jpg")
+        render = None
+        if hdr_exporter is not None and cfg.hdr_screencap_fullres:
+            # full-resolution HDR→SDR still re-rendered from the source
+            # planes on the saver thread (reference: gui_app.py:7233-7312)
+            path = hdr_exporter.out_path_for(path)
+            crop_frame_coords = (x1 + off_x, y1 + off_y,
+                                 x2 + off_x, y2 + off_y)
+            render = (lambda p, fi=frame_idx, cc=crop_frame_coords:
+                      hdr_exporter.export(fi, cc, (W, H), p))
         row = [frame_idx, f"{t:.3f}",
                f"{best.score:.4f}",
                f"{best.fd:.4f}" if best.fd is not None else "",
                f"{best.rd:.4f}" if best.rd is not None else "",
                x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y,
                os.path.basename(path), f"{sharp:.4f}", ratio or ""]
-        saver.submit(SaveItem(img=img, path=path, csv_row=row))
+        saver.submit(SaveItem(img=img, path=path, csv_row=row,
+                              render=render))
         res.hits.append(Hit(frame_idx, t, best.score, best.fd, best.rd,
                             (x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y),
                             path, sharp, ratio))

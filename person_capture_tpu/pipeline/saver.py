@@ -76,9 +76,13 @@ def atomic_image_write(img: np.ndarray, out_path: str, jpg_quality: int = 85,
 
 @dataclass
 class SaveItem:
-    img: np.ndarray
+    img: Optional[np.ndarray]
     path: str
     csv_row: Optional[List] = None
+    # Deferred render (e.g. HDR full-res export): called on the saver thread
+    # as render(path) -> (ok, err); `img` may be None then. Mirrors the
+    # reference's typed hdr_sdr queue items (gui_app.py:7276-7344).
+    render: Optional[object] = None
 
 
 class AsyncSaver:
@@ -129,8 +133,14 @@ class AsyncSaver:
                 self._q.task_done()
 
     def _handle(self, item: SaveItem) -> None:
-        ok, err = atomic_image_write(item.img, item.path, self.jpg_quality,
-                                     self.fsync)
+        if item.render is not None:
+            try:
+                ok, err = item.render(item.path)
+            except Exception as e:  # noqa: BLE001 — saver must never die
+                ok, err = False, f"{type(e).__name__}: {e}"
+        else:
+            ok, err = atomic_image_write(item.img, item.path,
+                                         self.jpg_quality, self.fsync)
         if ok:
             self.saved.append(item.path)
             if item.csv_row is not None:
