@@ -40,14 +40,19 @@ class Engine:
     reference's ``update_cfg/pause/stop`` surface."""
 
     def __init__(self, cfg: SessionConfig, backend,
+                 person_backend=None, reid_backend=None,
                  status: Optional[Callable[[str], None]] = None,
                  progress: Optional[Callable[[float], None]] = None,
-                 on_hit: Optional[Callable[[object], None]] = None):
+                 on_hit: Optional[Callable[[object], None]] = None,
+                 on_preview: Optional[Callable] = None):
         self.cfg = cfg
         self.backend = backend
+        self.person_backend = person_backend
+        self.reid_backend = reid_backend
         self._status_cb = status or (lambda msg: None)
         self._progress_cb = progress or (lambda p: None)
         self._on_hit = on_hit or (lambda h: None)
+        self._on_preview = on_preview
         self._cmd_q: "queue.Queue[Tuple[str, object]]" = queue.Queue()
         self._stop = threading.Event()
         self._pause = threading.Event()
@@ -176,17 +181,71 @@ class Engine:
             with AsyncSaver(cfg.out_dir, jpg_quality=cfg.jpg_quality,
                             fsync=cfg.save_fsync,
                             async_save=cfg.async_save) as saver:
+                ref_reid = self._seed_reid_ref(ref_paths) \
+                    if self.reid_backend is not None else None
                 mp = run_main_pass(main_reader, self.backend, cfg, bank,
                                    spans, saver, meta=meta,
                                    keyframes=keyframes,
                                    hdr_exporter=hdr_exporter,
+                                   person_backend=self.person_backend,
+                                   reid_backend=self.reid_backend,
+                                   ref_reid_feat=ref_reid,
                                    progress=self._progress_cb,
+                                   on_preview=self._on_preview,
                                    should_stop=self._should_stop)
             main_reader.release()
             for h in mp.hits:
                 self._on_hit(h)
+            if cfg.curate_enable and mp.hits:
+                self._run_curator(bank)
             return EngineResult(True, list(spans), pres, mp)
         except Exception as e:  # noqa: BLE001 — surfaced like finished(ok=False)
             import traceback
             return EngineResult(False, [], None, None,
                                 f"{e}\n{traceback.format_exc()}")
+
+    def _seed_reid_ref(self, ref_paths: List[str]) -> Optional[np.ndarray]:
+        """ReID reference: embed the largest person in the reference photo,
+        falling back to the whole image (reference: main.py:181-191)."""
+        import cv2
+
+        if not ref_paths or self.reid_backend is None:
+            return None
+        img = cv2.imread(ref_paths[0], cv2.IMREAD_COLOR)
+        if img is None:
+            return None
+        crop = img
+        if self.person_backend is not None:
+            out = self.person_backend.detect_batch(img[None],
+                                                   np.ones(1, bool))
+            idxs = np.flatnonzero(out["mask"][0])
+            if idxs.size:
+                areas = [(out["boxes"][0][k][2] - out["boxes"][0][k][0])
+                         * (out["boxes"][0][k][3] - out["boxes"][0][k][1])
+                         for k in idxs]
+                k = idxs[int(np.argmax(areas))]
+                x1, y1, x2, y2 = (int(v) for v in out["boxes"][0][k])
+                h, w = img.shape[:2]
+                x1, y1 = max(0, x1), max(0, y1)
+                x2, y2 = min(w, x2), min(h, y2)
+                if x2 > x1 + 2 and y2 > y1 + 2:
+                    crop = img[y1:y2, x1:x2]
+        feats = self.reid_backend.extract([crop])
+        return feats[0] if len(feats) else None
+
+    def _run_curator(self, bank: RefBank) -> None:
+        """Post-run curation of produced crops (reference `run_curator`,
+        gui_app.py:4289)."""
+        from ..curator import Curator
+
+        cfg = self.cfg
+        pool = os.path.join(cfg.out_dir, "crops")
+        out = os.path.join(cfg.out_dir, "dataset_out")
+        if not os.path.isdir(pool):
+            return
+        self._status_cb("curating")
+        cur = Curator(self.backend, bank, clip_backend=self.reid_backend)
+        res = cur.run(pool, out, max_images=cfg.curate_max_images,
+                      fd_gate=cfg.curate_fd_gate, lam=cfg.curate_lambda)
+        self._status_cb(
+            f"curated {res['metrics']['selected']}/{res['metrics']['pool']}")

@@ -118,6 +118,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                   keyframes: Optional[Sequence[int]] = None,
                   hdr_exporter=None,
                   progress: Optional[Callable[[float], None]] = None,
+                  on_preview: Optional[Callable[[np.ndarray, int], None]] = None,
                   should_stop: Optional[Callable[[], bool]] = None
                   ) -> MainPassResult:
     t0 = time.perf_counter()
@@ -151,6 +152,36 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
 
     pend: List[Tuple[int, np.ndarray]] = []
     prev_frame: List[Optional[np.ndarray]] = [None]
+    preview_state = {"count": 0, "last_t": -1e9}
+
+    def _maybe_preview(frame_idx: int, frame: np.ndarray) -> None:
+        """Throttled preview emission (reference `_emit_preview_bgr`,
+        gui_app.py:13434-13481): every `preview_every` processed frames,
+        capped at `preview_fps_cap` wall-fps, downscaled to
+        `preview_max_dim`."""
+        if on_preview is None:
+            return
+        preview_state["count"] += 1
+        if cfg.preview_every > 1 \
+                and preview_state["count"] % cfg.preview_every != 0:
+            return
+        now = time.monotonic()
+        if cfg.preview_fps_cap > 0 \
+                and now - preview_state["last_t"] < 1.0 / cfg.preview_fps_cap:
+            return
+        preview_state["last_t"] = now
+        img = frame
+        md = int(cfg.preview_max_dim or 0)
+        h, w = img.shape[:2]
+        if md and max(h, w) > md:
+            try:
+                import cv2
+                s = md / max(h, w)
+                img = cv2.resize(img, (int(round(w * s)), int(round(h * s))),
+                                 interpolation=cv2.INTER_AREA)
+            except ImportError:
+                pass
+        on_preview(img, frame_idx)
 
     def flush():
         if not pend:
@@ -199,6 +230,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                        reid_map: Dict, slot: int):
         nonlocal last_save_t
         res.frames_processed += 1
+        _maybe_preview(frame_idx, frame)
         H, W = frame.shape[:2]
         fmask = out["mask"][slot]
         face_list = []  # (box, fd, quality)
