@@ -430,7 +430,6 @@ class Curator:
             it.sharpness = sharpness_norm(img)
             it.exposure = exposure_score(img)
             it.wmark = textlike_corners_score(img)
-            it.phash = phash64(img)
             from ..core.geometry import detect_black_borders
             x1, y1, x2, y2 = detect_black_borders(img)
             h, w = img.shape[:2]
@@ -438,6 +437,20 @@ class Curator:
             it.meta["black_border_frac"] = float(max(0.0, bb_frac))
             imgs.append(img)
             metas.append(it)
+
+        # pHash: native batched DCT when the C++ hostops built, else per-image
+        from .. import native as hostops
+
+        if imgs and hostops.available() and cv2 is not None:
+            gray32 = np.stack([
+                cv2.resize(cv2.cvtColor(im, cv2.COLOR_BGR2GRAY), (32, 32),
+                           interpolation=cv2.INTER_AREA).astype(np.float32)
+                for im in imgs])
+            for it, hsh in zip(metas, hostops.phash64_batch(gray32)):
+                it.phash = int(hsh)
+        else:
+            for it, im in zip(metas, imgs):
+                it.phash = phash64(im)
 
         # batched device features: pad images to the max shape per chunk
         for start in range(0, len(imgs), self.batch):
