@@ -154,6 +154,20 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     prev_frame: List[Optional[np.ndarray]] = [None]
     preview_state = {"count": 0, "last_t": -1e9}
 
+    debug_fh = None
+    if cfg.debug_dump:
+        import json as _json
+
+        debug_dir = os.path.join(cfg.out_dir, cfg.debug_dir or "debug")
+        os.makedirs(debug_dir, exist_ok=True)
+        debug_fh = open(os.path.join(debug_dir, "debug.jsonl"), "w")
+
+        def _dump(rec: Dict) -> None:
+            debug_fh.write(_json.dumps(rec) + "\n")
+    else:
+        def _dump(rec: Dict) -> None:
+            pass
+
     def _maybe_preview(frame_idx: int, frame: np.ndarray) -> None:
         """Throttled preview emission (reference `_emit_preview_bgr`,
         gui_app.py:13434-13481): every `preview_every` processed frames,
@@ -228,6 +242,19 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     def _process_frame(frame_idx: int, frame: np.ndarray, out: Dict,
                        person_out: Optional[Dict],
                        reid_map: Dict, slot: int):
+        decision = _process_frame_inner(frame_idx, frame, out, person_out,
+                                        reid_map, slot)
+        if debug_fh is not None:
+            n_faces = int(out["mask"][slot].sum())
+            n_persons = int(person_out["mask"][slot].sum()) \
+                if person_out is not None else 0
+            _dump({"frame": frame_idx, "faces": n_faces,
+                   "persons": n_persons, "locked": lock.locked,
+                   "decision": decision})
+
+    def _process_frame_inner(frame_idx: int, frame: np.ndarray, out: Dict,
+                             person_out: Optional[Dict],
+                             reid_map: Dict, slot: int) -> str:
         nonlocal last_save_t
         res.frames_processed += 1
         _maybe_preview(frame_idx, frame)
@@ -376,7 +403,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
 
         if not candidates:
             lock.register_miss(cfg.lock_face_roi_max_misses)
-            return
+            return "no_candidate"
 
         candidates.sort(key=lambda c: c.score)
         best = candidates[0]
@@ -386,7 +413,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             if (second.score - best.score) < cfg.score_margin \
                     and box_iou(best.det_box, second.det_box) < 0.5:
                 lock.register_miss(cfg.lock_face_roi_max_misses)
-                return
+                return "ambiguous"
 
         # lock IoU gate
         if (lock.locked and lock.last_face_box is not None
@@ -395,18 +422,19 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             if iou < float(cfg.iou_gate) and (
                     best.fd is None or best.fd > float(cfg.lock_face_thresh)):
                 lock.register_miss(cfg.lock_face_roi_max_misses)
-                return
+                return "iou_gate"
 
         lock.register_hit(best.face_box, frame_idx, cfg.lock_after_hits,
                           det_box=best.det_box)
 
         t = frame_idx / fps
         if t - last_save_t < min_gap:
-            return
+            return "min_gap"
 
         saved = _compose_and_save(frame_idx, frame, best, t)
         if saved:
             last_save_t = t
+        return "saved" if saved else "compose_rejected"
 
     def _compose_and_save(frame_idx: int, frame: np.ndarray, best: Candidate,
                           t: float) -> bool:
@@ -525,6 +553,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 break
         flush()
     flush()
+    if debug_fh is not None:
+        debug_fh.close()
     res.wall_s = time.perf_counter() - t0
     return res
 

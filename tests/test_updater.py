@@ -1,0 +1,85 @@
+import json
+import os
+import subprocess
+import zipfile
+
+import pytest
+
+from person_capture_tpu import updater as U
+
+
+def _make_zip(tmp_path, files):
+    zp = str(tmp_path / "update.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        for name, content in files.items():
+            zf.writestr(name, content)
+    return zp
+
+
+def test_current_version_in_repo():
+    v = U.current_version("/root/repo")
+    assert v and v != "unknown"
+
+
+def test_stage_and_apply_zip(tmp_path):
+    repo = tmp_path / "install"
+    repo.mkdir()
+    (repo / "keepme.txt").write_text("old")
+    (repo / "output").mkdir()
+    (repo / "output" / "data.csv").write_text("user data")
+
+    zp = _make_zip(tmp_path, {
+        "release-1.2/keepme.txt": "new",
+        "release-1.2/newfile.py": "print('hi')",
+        "release-1.2/output/should_not_overwrite.txt": "bad",
+    })
+    ok, root = U.stage_zip_update(str(repo), zp, version="1.2")
+    assert ok
+    assert U.staged_update_pending(str(repo))
+
+    ok, detail = U.apply_staged_update(str(repo))
+    assert ok, detail
+    assert (repo / "keepme.txt").read_text() == "new"
+    assert (repo / "newfile.py").exists()
+    # user data preserved
+    assert (repo / "output" / "data.csv").read_text() == "user data"
+    assert not (repo / "output" / "should_not_overwrite.txt").exists()
+    assert not U.staged_update_pending(str(repo))
+
+
+def test_apply_without_stage(tmp_path):
+    ok, detail = U.apply_staged_update(str(tmp_path))
+    assert not ok and detail == "no_staged_update"
+
+
+def test_stage_missing_zip(tmp_path):
+    ok, detail = U.stage_zip_update(str(tmp_path), str(tmp_path / "nope.zip"))
+    assert not ok and detail == "zip_missing"
+
+
+def test_requirements_change_detection(tmp_path):
+    repo = tmp_path / "install"
+    repo.mkdir()
+    (repo / "requirements.txt").write_text("jax==0.9\n")
+    zp = _make_zip(tmp_path, {"r/requirements.txt": "jax==1.0\n"})
+    U.stage_zip_update(str(repo), zp)
+    ok, detail = U.apply_staged_update(str(repo))
+    assert ok and detail == "deps_changed"
+
+
+def test_git_update_not_a_checkout(tmp_path):
+    avail, detail = U.git_update_available(str(tmp_path))
+    assert not avail and detail == "not_a_git_checkout"
+
+
+def test_git_ff_refuses_dirty(tmp_path):
+    repo = tmp_path / "g"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q", str(repo)], check=True)
+    (repo / "a.txt").write_text("x")
+    subprocess.run(["git", "-C", str(repo), "add", "."], check=True)
+    subprocess.run(["git", "-C", str(repo), "-c", "user.email=t@t",
+                    "-c", "user.name=t", "commit", "-qm", "init"], check=True)
+    (repo / "a.txt").write_text("dirty")
+    ok, detail = U.git_fast_forward(str(repo))
+    assert not ok and detail == "working_tree_dirty"
