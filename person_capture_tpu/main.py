@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="frames per fused device step")
     ap.add_argument("--det-size", type=int, default=640)
     ap.add_argument("--min-gap-sec", type=float, default=0.0)
+    ap.add_argument("--face-det-conf", type=float, default=0.5,
+                    help="face detector candidate threshold")
     ap.add_argument("--scrfd-weights", default="", help=".npz checkpoint")
     ap.add_argument("--arcface-weights", default="", help=".npz checkpoint")
     ap.add_argument("--face-model", default="scrfd_2.5g")
@@ -67,6 +69,7 @@ def main(argv=None) -> int:
     cfg.yolo_model = args.yolo
     cfg.min_sharpness = args.min_sharpness
     cfg.min_gap_sec = args.min_gap_sec
+    cfg.face_det_conf = args.face_det_conf
     cfg.prescan_enable = args.prescan
     cfg.tpu_batch_frames = args.batch
 

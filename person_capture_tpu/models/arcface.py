@@ -66,9 +66,11 @@ class IResNet(nn.Module):
 
 
 def init_arcface(key, cfg: ArcFaceConfig, dtype=jnp.float32):
+    from .layers import fast_init
+
     model = IResNet(cfg, dtype)
     s = cfg.input_size
-    variables = model.init(key, jnp.zeros((1, s, s, 3), dtype))
+    variables = fast_init(model, key, (1, s, s, 3), dtype)
     return model, variables
 
 

@@ -107,9 +107,11 @@ class ClipViT(nn.Module):
 
 
 def init_clip(key, cfg: ClipVitConfig, dtype=jnp.float32):
+    from .layers import fast_init
+
     model = ClipViT(cfg, dtype)
     s = cfg.image_size
-    variables = model.init(key, jnp.zeros((1, s, s, 3), dtype))
+    variables = fast_init(model, key, (1, s, s, 3), dtype)
     return model, variables
 
 

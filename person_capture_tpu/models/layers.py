@@ -107,6 +107,29 @@ class IBasicBlock(nn.Module):
         return y + identity
 
 
+def fast_init(model: nn.Module, key, input_shape, dtype) -> Any:
+    """Initialize model variables on the CPU backend and transfer once.
+
+    On remote/tunneled accelerators (axon), per-parameter init programs cost
+    a round trip each — hundreds of round trips per model. CPU init +
+    one bulk device_put turns minutes into seconds.
+    """
+    import jax
+
+    def _init():
+        return model.init(key, jnp.zeros(input_shape, dtype))
+
+    if jax.default_backend() == "cpu":
+        return _init()
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return _init()
+    with jax.default_device(cpu):
+        variables = _init()
+    return jax.device_put(variables, jax.devices()[0])
+
+
 def upsample2x(x):
     """Nearest 2× upsample (FPN top-down path)."""
     b, h, w, c = x.shape

@@ -135,8 +135,10 @@ class SCRFD(nn.Module):
 
 
 def init_scrfd(key, cfg: SCRFDConfig, size: int = 640, dtype=jnp.float32):
+    from .layers import fast_init
+
     model = SCRFD(cfg, dtype)
-    variables = model.init(key, jnp.zeros((1, size, size, 3), dtype))
+    variables = fast_init(model, key, (1, size, size, 3), dtype)
     return model, variables
 
 

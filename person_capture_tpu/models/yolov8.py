@@ -160,8 +160,10 @@ class YoloV8(nn.Module):
 
 
 def init_yolo(key, cfg: YoloConfig, size: int = 640, dtype=jnp.float32):
+    from .layers import fast_init
+
     model = YoloV8(cfg, dtype)
-    variables = model.init(key, jnp.zeros((1, size, size, 3), dtype))
+    variables = fast_init(model, key, (1, size, size, 3), dtype)
     return model, variables
 
 
