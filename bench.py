@@ -1,12 +1,15 @@
-"""Benchmark: fused pre-scan step throughput on the available chip.
+"""Benchmark: pre-scan pipeline throughput on the available chip.
 
-Measures the flagship device program — letterbox → SCRFD-2.5G → 5-pt align →
-ArcFace-r50 → bank distance — over 1080p-sourced pre-scan batches (decode
-width 384, analysis 416, reference solidpreset values), and reports the
-effective realtime multiple for 1080p pre-scan at stride 24 / 24 fps.
+Measures the production backend path — ONE fused device program per batch:
+letterbox → SCRFD detect (backbone/decode/NMS) → matmul-based 5-pt warp →
+ArcFace embed + quality — plus the host-side bank distance, over
+1080p-sourced pre-scan batches (decode width 384, analysis 416, the
+reference solidpreset values). Reports the effective realtime multiple for
+1080p pre-scan at stride 24 / 24 fps against BASELINE.json's 30×-realtime
+driver target (the reference publishes no numbers of its own — BASELINE.md).
 
-Baseline: BASELINE.json's driver target of 30×-realtime 1080p pre-scan
-(the reference publishes no numbers of its own — BASELINE.md).
+All 8 face slots per frame are computed unconditionally (fixed shapes), so
+the number suffers no detection-count flattery.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -22,61 +25,47 @@ import numpy as np
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
-    from person_capture_tpu.core.bank import fd_min_batch_jnp
-    from person_capture_tpu.models import arcface as AF
-    from person_capture_tpu.models import scrfd as SD
-    from person_capture_tpu.ops import align as AL
-    from person_capture_tpu.ops import quality as Q
-    from person_capture_tpu.ops.preprocess import letterbox_topleft
+    from person_capture_tpu.core.bank import RefBank
+    from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
 
     batch = 64
     decode_w, decode_h = 384, 216      # prescan_decode_max_w on 1080p video
     det_size = 416                     # prescan_max_width analysis size
-    max_faces = 8
     stride = 24
     fps = 24.0
     target_realtime_x = 30.0           # BASELINE.json north star
 
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    scrfd_model, sv = SD.init_scrfd(k1, SD.SCRFD_2_5G, size=det_size,
-                                    dtype=jnp.bfloat16)
-    arc_model, av = AF.init_arcface(k2, AF.W600K_R50, dtype=jnp.bfloat16)
-
-    @jax.jit
-    def step(frames_u8, bank, bank_mask):
-        frames = frames_u8.astype(jnp.float32)
-        padded, scales = jax.vmap(lambda f: letterbox_topleft(f, det_size))(frames)
-        det = SD.detect_faces(scrfd_model, sv, padded, scales,
-                              jnp.float32(0.5), max_faces)
-        chips = jax.vmap(lambda fr, kp, m: AL.align_chips_jnp(fr, kp, m))(
-            frames, det["kps"], det["mask"])
-        b, f = chips.shape[0], chips.shape[1]
-        flat = chips.reshape(b * f, *chips.shape[2:])
-        feats = AF.encode_chips(arc_model, av, flat,
-                                flip_tta=False).reshape(b, f, -1)
-        quality = Q.chip_quality(flat).reshape(b, f)
-        _, best_fd = fd_min_batch_jnp(feats, det["mask"], bank, bank_mask)
-        return best_fd, quality
-
+    backend = ScrfdArcFaceBackend(det_size=det_size, score_thresh=0.5,
+                                  max_faces=8, host_align=False)
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 255, (batch, decode_h, decode_w, 3),
-                                      dtype=np.uint8))
-    bank = rng.normal(size=(64, 512)).astype(np.float32)
-    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
-    bank = jnp.asarray(bank)
-    bank_mask = jnp.ones(64, bool)
+    frames = rng.integers(0, 255, (batch, decode_h, decode_w, 3),
+                          dtype=np.uint8)
+    valid = np.ones(batch, bool)
+    bank = RefBank(cap=64)
+    bank.seed(rng.normal(size=(16, 512)).astype(np.float32))
+    bank_mat = bank.matrix()
 
     # warmup/compile
-    out = step(frames, bank, bank_mask)
-    jax.block_until_ready(out)
+    out = backend.extract_batch(frames, valid)
+    n_faces = int(out["mask"].sum())
 
+    def consume(out):
+        # host bank distance, as the pre-scan driver computes it
+        feats = out["feats"][out["mask"]]
+        if feats.size:
+            _ = 1.0 - (feats @ bank_mat.T).max(axis=1)
+
+    # depth-1 software pipeline (matches the pre-scan driver): submit batch
+    # i+1 before fetching batch i so compute overlaps the host round trip
     n_steps = 10
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        out = step(frames, bank, bank_mask)
-    jax.block_until_ready(out)
+    pending = backend.submit_batch(frames, valid)
+    for _ in range(n_steps - 1):
+        nxt = backend.submit_batch(frames, valid)
+        consume(pending())
+        pending = nxt
+    consume(pending())
     dt = time.perf_counter() - t0
 
     sampled_fps = n_steps * batch / dt
@@ -89,6 +78,7 @@ def main() -> None:
         "detail": {
             "sampled_frames_per_s": round(sampled_fps, 2),
             "batch": batch, "det_size": det_size,
+            "faces_per_batch": n_faces,
             "stride": stride, "assumed_fps": fps,
             "device": str(jax.devices()[0]),
         },

@@ -150,8 +150,170 @@ def warp_affine_jnp(img, m_fwd, out_h: int, out_w: int):
     return top * (1 - fy) + bot * fy
 
 
-def align_chips_jnp(frame, kps, valid, out_size: int = ARC_SIZE):
+def warp_affine_inv_jnp(img, m_inv, out_h: int, out_w: int,
+                        reflect: bool = True):
+    """Like :func:`warp_affine_jnp` but takes the dst→src matrix directly."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    sx = m_inv[0, 0] * xs + m_inv[0, 1] * ys + m_inv[0, 2]
+    sy = m_inv[1, 0] * xs + m_inv[1, 1] * ys + m_inv[1, 2]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yy, xx):
+        if reflect:
+            yy = _reflect_index(yy, h)
+            xx = _reflect_index(xx, w)
+        else:
+            yy = jnp.clip(yy, 0, h - 1)
+            xx = jnp.clip(xx, 0, w - 1)
+        return img[yy, xx]
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _extract_window_separable(frame, cx, cy, half, window: int):
+    """Axis-aligned bilinear window extraction via two single-axis gathers
+    (row-take then column-take). Much faster on TPU than a 2-D gather from
+    the full frame. Returns ``[window, window, C]`` and the scale ``s`` such
+    that src = s·(win + 0.5) + (c − half) − 0.5·s … i.e. src = off + s·win
+    with off = c − half + 0.5·s − … (see caller for the exact compose)."""
+    h, w = frame.shape[0], frame.shape[1]
+    s = 2.0 * half / window
+    idx = (jnp.arange(window, dtype=jnp.float32) + 0.5) * s
+    ys = cy - half + idx - 0.5
+    xs = cx - half + idx - 0.5
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    rows = (jnp.take(frame, y0i, axis=0) * (1 - fy)
+            + jnp.take(frame, y0i + 1, axis=0) * fy)
+    out = (jnp.take(rows, x0i, axis=1) * (1 - fx)
+           + jnp.take(rows, x0i + 1, axis=1) * fx)
+    return out, s
+
+
+def _hat(pos, n: int):
+    """Bilinear 'hat' interpolation weights: W[..., v] = max(0, 1-|v-pos|)
+    over v = 0..n-1, with positions clamped to the valid range (replicate
+    border). pos: [...]; returns [..., n] float32."""
+    p = jnp.clip(pos.astype(jnp.float32), 0.0, n - 1.0)
+    v = jnp.arange(n, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(v - p[..., None]))
+
+
+def align_chips_matmul_jnp(frame, kps, valid, out_size: int = ARC_SIZE,
+                           window: int = 128):
+    """Gather-free ArcFace chip extraction: every resampling step is a
+    batched matmul with on-the-fly bilinear hat weights.
+
+    TPU gathers serialize (~350 ms for a 512-face batch); this version runs
+    the same warp as matmuls on the MXU in single-digit ms:
+      1. axis-aligned window extraction (rows-then-cols hat matmuls),
+      2. the rotational similarity warp via the Catmull–Smith two-pass
+         affine decomposition — each pass a per-row/col 1-D resample with
+         positions affine in the indices, again as hat matmuls.
+
+    Degenerate near ±90° roll (the two-pass needs |m11| bounded away from
+    0); detected faces are canonically upright so this matches the
+    reference's operating envelope.
+
+    Args/returns: same as :func:`align_chips_jnp`.
+    """
+    f = kps.shape[0]
+    h, w = frame.shape[0], frame.shape[1]
+    dst = jnp.asarray(ARC_DST) * (out_size / float(ARC_SIZE))
+    ms = umeyama_similarity_jnp(kps, dst)          # src -> chip
+    minv = invert_affine(ms)                        # chip -> src (frame)
+
+    # window covering the inverse-mapped chip quad
+    corners = jnp.asarray([[0.0, 0.0], [out_size - 1.0, 0.0],
+                           [0.0, out_size - 1.0],
+                           [out_size - 1.0, out_size - 1.0]])
+    src_corners = jnp.einsum("fij,cj->fci", minv[:, :, :2], corners) \
+        + minv[:, None, :, 2]
+    lo = src_corners.min(axis=1)
+    hi = src_corners.max(axis=1)
+    center = 0.5 * (lo + hi)
+    half = 0.5 * jnp.max(hi - lo, axis=1) * 1.02 + 2.0
+    half = jnp.maximum(half, 4.0)
+
+    # ---- axis-aligned window extraction as two hat matmuls -------------
+    s = 2.0 * half / window                                   # [F]
+    idx = jnp.arange(window, dtype=jnp.float32) + 0.5         # [W]
+    py = center[:, 1:2] - half[:, None] + idx[None] * s[:, None] - 0.5
+    px = center[:, 0:1] - half[:, None] + idx[None] * s[:, None] - 0.5
+    wr = _hat(py, h)                                          # [F, W, H]
+    wc = _hat(px, w)                                          # [F, W, Wsrc]
+    rows = jnp.einsum("fry,yxc->frxc", wr, frame.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    win = jnp.einsum("frxc,fwx->frwc", rows, wc,
+                     preferred_element_type=jnp.float32)      # [F,W,W,C]
+
+    # chip -> window affine: win = (src - off) / s
+    offx = center[:, 0] - half + 0.5 * s - 0.5
+    offy = center[:, 1] - half + 0.5 * s - 0.5
+    inv_s = 1.0 / s
+    m00 = minv[:, 0, 0] * inv_s
+    m01 = minv[:, 0, 1] * inv_s
+    m02 = (minv[:, 0, 2] - offx) * inv_s
+    m10 = minv[:, 1, 0] * inv_s
+    m11 = minv[:, 1, 1] * inv_s
+    m12 = (minv[:, 1, 2] - offy) * inv_s
+
+    # two-pass affine (Catmull–Smith): guard m11 away from 0
+    m11 = jnp.where(jnp.abs(m11) < 1e-3, 1e-3, m11)
+    alpha = m00 - m01 * m10 / m11
+    beta = m01 / m11
+    gamma = m02 - m01 * m12 / m11
+
+    xs = jnp.arange(out_size, dtype=jnp.float32)
+    ys = jnp.arange(out_size, dtype=jnp.float32)
+    us = jnp.arange(window, dtype=jnp.float32)
+
+    # pass 1: tmp[f,u,x] = win[f,u,v] sampled at v = αx + βu + γ
+    vx = (alpha[:, None, None] * xs[None, None, :]
+          + beta[:, None, None] * us[None, :, None]
+          + gamma[:, None, None])                             # [F,W,X]
+    h1 = _hat(vx, window)                                     # [F,W,X,W]
+    tmp = jnp.einsum("fuvc,fuxv->fuxc", win, h1,
+                     preferred_element_type=jnp.float32)      # [F,W,X,C]
+
+    # pass 2: chip[f,y,x] = tmp[f,u,x] sampled at u = m10·x + m11·y + m12
+    uy = (m10[:, None, None] * xs[None, None, :]
+          + m11[:, None, None] * ys[None, :, None]
+          + m12[:, None, None])                               # [F,Y,X]
+    h2 = _hat(uy, window)                                     # [F,Y,X,W]
+    chip = jnp.einsum("fuxc,fyxu->fyxc", tmp, h2,
+                      preferred_element_type=jnp.float32)
+    return jnp.where(valid[:, None, None, None], chip,
+                     jnp.zeros_like(chip))
+
+
+def align_chips_jnp(frame, kps, valid, out_size: int = ARC_SIZE,
+                    window: int = 128):
     """Batched ArcFace chip extraction from one frame.
+
+    Two-stage TPU-friendly warp: (1) separable axis-aligned extraction of a
+    ``window``² region covering the inverse-mapped chip quad (single-axis
+    gathers — fast), then (2) the rotational similarity warp gathers only
+    from that small window instead of the full frame. Equivalent to a
+    direct full-frame warp up to the window's resampling (sub-LSB for
+    typical faces).
 
     Args:
       frame: ``[H, W, 3]`` float32 (BGR or RGB — passthrough).
@@ -160,11 +322,37 @@ def align_chips_jnp(frame, kps, valid, out_size: int = ARC_SIZE):
     Returns:
       ``[F, out_size, out_size, 3]`` chips (zeros where invalid).
     """
-    dst = jnp.asarray(ARC_DST)
-    ms = umeyama_similarity_jnp(kps, dst)
+    dst = jnp.asarray(ARC_DST) * (out_size / float(ARC_SIZE))
+    ms = umeyama_similarity_jnp(kps, dst)          # src -> chip
+    minv = invert_affine(ms)                        # chip -> src
 
-    def one(m, v):
-        chip = warp_affine_jnp(frame, m, out_size, out_size)
+    # chip corner positions in source space
+    corners = jnp.asarray([[0.0, 0.0], [out_size - 1.0, 0.0],
+                           [0.0, out_size - 1.0],
+                           [out_size - 1.0, out_size - 1.0]])
+    src_corners = jnp.einsum("fij,cj->fci", minv[:, :, :2], corners) \
+        + minv[:, None, :, 2]
+    lo = src_corners.min(axis=1)
+    hi = src_corners.max(axis=1)
+    center = 0.5 * (lo + hi)
+    half = 0.5 * jnp.max(hi - lo, axis=1) * 1.02 + 2.0
+    half = jnp.maximum(half, 4.0)
+
+    def one(m_inv, cx, cy, hf, v):
+        win, s = _extract_window_separable(frame, cx, cy, hf, window)
+        # compose chip->window: window pixel w holds src = off + s*w with
+        # off = c - hf + 0.5*s - 0.5, so win = (src - off) / s
+        offx = cx - hf + 0.5 * s - 0.5
+        offy = cy - hf + 0.5 * s - 0.5
+        inv_s = 1.0 / s
+        m2 = jnp.stack([
+            jnp.stack([m_inv[0, 0] * inv_s, m_inv[0, 1] * inv_s,
+                       (m_inv[0, 2] - offx) * inv_s]),
+            jnp.stack([m_inv[1, 0] * inv_s, m_inv[1, 1] * inv_s,
+                       (m_inv[1, 2] - offy) * inv_s]),
+        ])
+        chip = warp_affine_inv_jnp(win, m2, out_size, out_size,
+                                   reflect=False)
         return jnp.where(v, chip, jnp.zeros_like(chip))
 
-    return jax.vmap(one)(ms, valid)
+    return jax.vmap(one)(minv, center[:, 0], center[:, 1], half, valid)

@@ -117,7 +117,8 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
         padded, scales = jax.vmap(lambda f: letterbox_topleft(f, det_size))(frames)
         det = SD.detect_faces(scrfd_model, scrfd_vars_, padded, scales,
                               score_thresh, max_faces)
-        chips = jax.vmap(lambda fr, kp, m: AL.align_chips_jnp(fr, kp, m))(
+        chips = jax.vmap(
+            lambda fr, kp, m: AL.align_chips_matmul_jnp(fr, kp, m))(
             frames, det["kps"], det["mask"])
         b, f = chips.shape[0], chips.shape[1]
         flat = chips.reshape(b * f, *chips.shape[2:])

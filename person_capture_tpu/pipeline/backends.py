@@ -35,19 +35,26 @@ class FaceBatchBackend(Protocol):
 
 
 class ScrfdArcFaceBackend:
-    """Fused SCRFD + ArcFace device program.
+    """SCRFD + ArcFace face pipeline: two device programs with host
+    alignment between them.
 
-    One jit-compiled function maps ``[B, H, W, 3] uint8`` →
-    detections + embeddings. The whole ladder that the reference runs
-    per-frame (detect → align → embed → quality) executes as one XLA program
-    per batch; rotation/TTA escalation is intentionally replaced by batching
-    (SURVEY.md §7 "dynamic control flow under XLA").
+    Default (fused, host_align=False): ONE device program per batch —
+    letterbox → SCRFD → matmul-based 5-pt warp (ops/align.
+    align_chips_matmul_jnp; TPU gathers would serialize at ~350 ms/batch,
+    the hat-weight matmul warp runs in single-digit ms) → ArcFace →
+    quality. host_align=True splits into detect / cv2-align-on-host /
+    embed — exact cv2 warp parity at the cost of an extra host↔device
+    round trip per batch (expensive over tunneled TPU links).
+
+    The reference's per-frame rotation/TTA escalation ladder is replaced by
+    batching (SURVEY.md §7 "dynamic control flow under XLA").
     """
 
     def __init__(self, scrfd_cfg=None, arcface_cfg=None, det_size: int = 640,
                  score_thresh: float = 0.5, max_faces: int = 8,
                  flip_tta: bool = False, dtype=None, seed: int = 0,
-                 scrfd_weights=None, arcface_weights=None):
+                 scrfd_weights=None, arcface_weights=None,
+                 host_align: bool = False, transfer_format: str = "i420"):
         import jax
         import jax.numpy as jnp
 
@@ -65,6 +72,16 @@ class ScrfdArcFaceBackend:
         self.max_faces = int(max_faces)
         self.embed_dim = arcface_cfg.embed_dim
         self.flip_tta = bool(flip_tta)
+        self.host_align = bool(host_align)
+        # "i420": halve host→device bytes by shipping 4:2:0 YUV (the video
+        # was 4:2:0 to begin with) and converting to BGR on device — the
+        # host link is the throughput ceiling on tunneled TPU setups.
+        # "bgr": ship frames as-is.
+        try:
+            import cv2 as _cv2  # noqa: F401
+            self.transfer_format = transfer_format
+        except ImportError:
+            self.transfer_format = "bgr"
 
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         self.scrfd_model, self.scrfd_vars = SD.init_scrfd(
@@ -82,36 +99,154 @@ class ScrfdArcFaceBackend:
                          self.arcface_vars, flip_tta=self.flip_tta)
 
         @jax.jit
-        def fused(frames_u8, score_thresh):
+        def detect_fn(frames_u8, score_thresh):
             frames = frames_u8.astype(jnp.float32)
+            padded, scales = jax.vmap(
+                lambda f: letterbox_topleft(f, self.det_size))(frames)
+            return detect(padded, scales, score_thresh)
 
-            def lb(f):
-                return letterbox_topleft(f, self.det_size)
+        @jax.jit
+        def embed_fn(chips, mask):
+            feats = encode(chips)
+            quality = Q.chip_quality(chips)
+            feats = jnp.where(mask[:, None], feats, 0.0)
+            quality = jnp.where(mask, quality, 0.0)
+            return feats, quality
 
-            padded, scales = jax.vmap(lb)(frames)
+        def _i420_to_bgr(planes_u8):
+            """[B, H*3/2, W] uint8 I420 → [B, H, W, 3] float32 BGR
+            (full-range BT.601, matching cv2.COLOR_BGR2YUV_I420)."""
+            b, h15, w = planes_u8.shape
+            h = (h15 * 2) // 3
+            y = planes_u8[:, :h, :].astype(jnp.float32)
+            u = planes_u8[:, h:h + h // 4, :].reshape(b, h // 2, w // 2)
+            v = planes_u8[:, h + h // 4:, :].reshape(b, h // 2, w // 2)
+            u = jax.image.resize(u.astype(jnp.float32), (b, h, w),
+                                 "linear") - 128.0
+            v = jax.image.resize(v.astype(jnp.float32), (b, h, w),
+                                 "linear") - 128.0
+            r = y + 1.402 * v
+            g = y - 0.344136 * u - 0.714136 * v
+            bl = y + 1.772 * u
+            return jnp.clip(jnp.stack([bl, g, r], axis=-1), 0.0, 255.0)
+
+        @jax.jit
+        def fused_fn(frames_u8, score_thresh):
+            if self.transfer_format == "i420":
+                frames = _i420_to_bgr(frames_u8)
+            else:
+                frames = frames_u8.astype(jnp.float32)
+            padded, scales = jax.vmap(
+                lambda f: letterbox_topleft(f, self.det_size))(frames)
             det = detect(padded, scales, score_thresh)
-
-            def chips_for_frame(frame, kps, mask):
-                return AL.align_chips_jnp(frame, kps, mask)
-
-            chips = jax.vmap(chips_for_frame)(frames, det["kps"], det["mask"])
+            chips = jax.vmap(
+                lambda fr, kp, m: AL.align_chips_matmul_jnp(fr, kp, m))(
+                frames, det["kps"], det["mask"])
             b, f = chips.shape[0], chips.shape[1]
             flat = chips.reshape(b * f, *chips.shape[2:])
             feats = encode(flat).reshape(b, f, -1)
             quality = Q.chip_quality(flat).reshape(b, f)
             feats = jnp.where(det["mask"][..., None], feats, 0.0)
             quality = jnp.where(det["mask"], quality, 0.0)
-            return {**det, "feats": feats, "quality": quality}
+            # pack every output into ONE array: a single device→host
+            # transfer per batch (round trips cost ~30 ms each on tunneled
+            # TPU links; 6 separate downloads would dominate the step)
+            packed = jnp.concatenate([
+                det["boxes"],                            # 4
+                det["kps"].reshape(b, f, 10),            # 10
+                det["scores"][..., None],                # 1
+                det["mask"].astype(jnp.float32)[..., None],  # 1
+                quality[..., None],                      # 1
+                feats,                                   # D
+            ], axis=-1)
+            return packed
 
-        self._fused = fused
+        self._detect = detect_fn
+        self._embed = embed_fn
+        self._fused = fused_fn
         self._jnp = jnp
+
+    def _align_host(self, frames, kps, mask):
+        """cv2 similarity warp of every valid face (reference:
+        face_embedder.py:1465-1473 semantics: umeyama ≙ LMEDS on clean
+        points, INTER_LINEAR, reflect border)."""
+        import cv2
+
+        from ..ops.align import ARC_DST, umeyama_similarity
+
+        b, f = mask.shape
+        chips = np.zeros((b * f, 112, 112, 3), np.float32)
+        for i in range(b):
+            frame = frames[i].astype(np.float32)
+            for j in np.flatnonzero(mask[i]):
+                m = umeyama_similarity(kps[i, j], ARC_DST)
+                chips[i * f + j] = cv2.warpAffine(
+                    frame, m, (112, 112), flags=cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_REFLECT)
+        return chips
+
+    def _unpack(self, packed: np.ndarray, valid) -> Dict[str, np.ndarray]:
+        b, f = packed.shape[0], packed.shape[1]
+        host = {
+            "boxes": packed[..., 0:4],
+            "kps": packed[..., 4:14].reshape(b, f, 5, 2),
+            "scores": packed[..., 14],
+            "mask": packed[..., 15] > 0.5,
+            "quality": packed[..., 16],
+            "feats": packed[..., 17:],
+        }
+        host["mask"] = host["mask"] & np.asarray(valid)[:, None]
+        return host
+
+    def _prepare_transfer(self, frames: np.ndarray) -> np.ndarray:
+        """BGR frames → the configured host→device wire format."""
+        if self.transfer_format != "i420":
+            return frames
+        import cv2
+
+        b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        if h % 2 or w % 2:  # I420 needs even dims
+            frames = frames[:, : h - (h % 2), : w - (w % 2)]
+            h, w = frames.shape[1], frames.shape[2]
+        out = np.empty((b, h * 3 // 2, w), np.uint8)
+        for i in range(b):
+            out[i] = cv2.cvtColor(frames[i], cv2.COLOR_BGR2YUV_I420)
+        return out
+
+    def submit_batch(self, frames, valid, frame_idxs=None):
+        """Asynchronous path: enqueue the device program and return a
+        zero-arg callable producing the host dict. Device dispatch is async
+        in JAX, so submitting batch i+1 before fetching batch i overlaps
+        compute with the device→host round trip — essential on tunneled
+        links where a synchronous step pays ~300 ms of RPC latency."""
+        jnp = self._jnp
+        if self.host_align:
+            out = self.extract_batch(frames, valid, frame_idxs)
+            return lambda: out
+        wire = self._prepare_transfer(np.asarray(frames))
+        packed_dev = self._fused(jnp.asarray(wire),
+                                 jnp.float32(self.score_thresh))
+        valid = np.asarray(valid).copy()
+        return lambda: self._unpack(np.asarray(packed_dev), valid)
 
     def extract_batch(self, frames, valid, frame_idxs=None):
         jnp = self._jnp
-        out = self._fused(jnp.asarray(frames),
-                          jnp.float32(self.score_thresh))
-        host = {k: np.asarray(v) for k, v in out.items()}
+        frames = np.asarray(frames)
+        if not self.host_align:
+            wire = self._prepare_transfer(frames)
+            packed = np.asarray(self._fused(jnp.asarray(wire),
+                                            jnp.float32(self.score_thresh)))
+            return self._unpack(packed, valid)
+        det = self._detect(jnp.asarray(frames),
+                           jnp.float32(self.score_thresh))
+        host = {k: np.asarray(v) for k, v in det.items()}
         host["mask"] = host["mask"] & np.asarray(valid)[:, None]
+        b, f = host["mask"].shape
+        chips = self._align_host(frames, host["kps"], host["mask"])
+        feats, quality = self._embed(jnp.asarray(chips),
+                                     jnp.asarray(host["mask"].reshape(-1)))
+        host["feats"] = np.asarray(feats).reshape(b, f, -1)
+        host["quality"] = np.asarray(quality).reshape(b, f)
         return host
 
 

@@ -84,10 +84,24 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
     pend_frames: List[np.ndarray] = []
     # Ordered queue of (frame_idx, batch_slot|None, gate_already_observed)
     order: List[Tuple[int, Optional[int], bool]] = []
+    # depth-1 software pipeline: the previously submitted batch's fetcher +
+    # its replay queue — resolved when the next batch is submitted, so
+    # device compute overlaps the host round trip
+    inflight: List[Tuple[Callable, List]] = []
+    submit = getattr(backend, "submit_batch", None)
 
-    def flush():
-        nonlocal pend_idxs, pend_frames, order, last_add_sample, sample_idx
-        out = None
+    def _resolve(entry):
+        nonlocal last_add_sample, sample_idx
+        fetch, entry_order = entry
+        out = fetch() if fetch is not None else None
+        _replay(out, entry_order)
+
+    def flush(drain: bool = True):
+        """Submit the pending batch; resolve earlier work. With drain=False
+        only the previously in-flight batch resolves (pipelining); the gate
+        path and EOF call with drain=True to fully synchronize."""
+        nonlocal pend_idxs, pend_frames, order
+        fetch = None
         if pend_frames:
             n = len(pend_frames)
             frames = np.stack(pend_frames)
@@ -96,10 +110,21 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
                 framepad = np.repeat(frames[-1:], batch - n, axis=0)
                 frames = np.concatenate([frames, framepad], 0)
                 valid = np.concatenate([valid, np.zeros(batch - n, bool)])
-            out = backend.extract_batch(
-                frames, valid, np.asarray(pend_idxs + [pend_idxs[-1]] * (batch - n)))
-        # replay in order
-        for frame_idx, slot, gate_observed in order:
+            idxs = np.asarray(pend_idxs + [pend_idxs[-1]] * (batch - n))
+            if submit is not None:
+                fetch = submit(frames, valid, idxs)
+            else:
+                out_now = backend.extract_batch(frames, valid, idxs)
+                fetch = lambda out_now=out_now: out_now
+        if fetch is not None or order:
+            inflight.append((fetch, order))
+            pend_idxs, pend_frames, order = [], [], []
+        while inflight and (drain or len(inflight) > 1):
+            _resolve(inflight.pop(0))
+
+    def _replay(out, entry_order):
+        nonlocal last_add_sample, sample_idx
+        for frame_idx, slot, gate_observed in entry_order:
             if slot is None:
                 best = FD_NONE
                 res.skipped += 1
@@ -124,7 +149,6 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
             sb.update(frame_idx, best)
             res.samples += 1
             sample_idx += 1
-        pend_idxs, pend_frames, order = [], [], []
 
     idx = 0
     while total <= 0 or idx < total:

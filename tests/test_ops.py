@@ -115,6 +115,39 @@ def test_warp_affine_matches_cv2():
     assert (diff < 2.0).mean() > 0.97
 
 
+def test_align_chips_matmul_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(9)
+    img = cv2.GaussianBlur(
+        rng.uniform(0, 255, (216, 384, 3)).astype(np.float32), (5, 5), 1.5)
+    for theta, scale in [(-0.2, 30.0), (0.5, 22.0), (0.0, 55.0)]:
+        r = np.array([[np.cos(theta), -np.sin(theta)],
+                      [np.sin(theta), np.cos(theta)]])
+        base = (A.ARC_DST - A.ARC_DST.mean(0)) / 112.0
+        kps = (scale * (r @ base.T)).T + np.array([150.0, 110.0])
+        m = A.umeyama_similarity(kps.astype(np.float32), A.ARC_DST)
+        ref = cv2.warpAffine(img, m, (112, 112), flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_REFLECT)
+        got = np.asarray(A.align_chips_matmul_jnp(
+            jnp.asarray(img), jnp.asarray(kps[None], jnp.float32),
+            jnp.asarray([True])))[0]
+        d = np.abs(ref - got)
+        assert np.median(d) < 0.5
+        assert np.percentile(d, 99) < 3.0
+
+
+def test_align_chips_matmul_masks_invalid():
+    rng = np.random.default_rng(10)
+    frame = rng.uniform(0, 255, (100, 100, 3)).astype(np.float32)
+    kps = np.stack([A.ARC_DST * 0.5 + 10, A.ARC_DST * 0.5], 0).astype(np.float32)
+    valid = jnp.asarray([True, False])
+    chips = np.asarray(A.align_chips_matmul_jnp(
+        jnp.asarray(frame), jnp.asarray(kps), valid))
+    assert chips.shape == (2, 112, 112, 3)
+    assert chips[0].std() > 0
+    assert np.all(chips[1] == 0)
+
+
 def test_align_chips_masks_invalid():
     rng = np.random.default_rng(4)
     frame = rng.uniform(0, 255, (100, 100, 3)).astype(np.float32)
