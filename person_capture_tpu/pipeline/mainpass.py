@@ -197,19 +197,16 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 pass
         on_preview(img, frame_idx)
 
-    def flush():
-        if not pend:
-            return
-        n = len(pend)
-        frames = np.stack([f for (_, f) in pend])
-        idxs = np.asarray([i for (i, _) in pend])
-        valid = np.ones((n,), bool)
-        if n < batch:
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], batch - n, axis=0)], 0)
-            idxs = np.concatenate([idxs, np.repeat(idxs[-1:], batch - n)])
-            valid = np.concatenate([valid, np.zeros(batch - n, bool)])
-        out = backend.extract_batch(frames, valid, idxs)
+    # depth-1 software pipeline: batch i+1's face program is submitted
+    # before batch i's results are fetched, hiding the device round trip
+    # (the person/ReID paths stay synchronous inside the resolve step —
+    # they only run for the subset of spans with ambiguity)
+    inflight: List[Tuple[object, np.ndarray, np.ndarray, np.ndarray, int]] = []
+    submit = getattr(backend, "submit_batch", None)
+
+    def _resolve(entry):
+        fetch, frames, idxs, valid, n = entry
+        out = fetch()
         person_out = None
         if use_person:
             person_out = person_backend.detect_batch(frames, valid, idxs)
@@ -231,9 +228,29 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 feats = reid_backend.extract(crops)
                 reid_map = {k: feats[i] for i, k in enumerate(keys)}
         for slot in range(n):
-            _process_frame(int(idxs[slot]), pend[slot][1], out, person_out,
+            _process_frame(int(idxs[slot]), frames[slot], out, person_out,
                            reid_map, slot)
-        pend.clear()
+
+    def flush(drain: bool = True):
+        if pend:
+            n = len(pend)
+            frames = np.stack([f for (_, f) in pend])
+            idxs = np.asarray([i for (i, _) in pend])
+            valid = np.ones((n,), bool)
+            if n < batch:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], batch - n, axis=0)], 0)
+                idxs = np.concatenate([idxs, np.repeat(idxs[-1:], batch - n)])
+                valid = np.concatenate([valid, np.zeros(batch - n, bool)])
+            if submit is not None:
+                fetch = submit(frames, valid, idxs)
+            else:
+                out_now = backend.extract_batch(frames, valid, idxs)
+                fetch = lambda out_now=out_now: out_now
+            inflight.append((fetch, frames, idxs, valid, n))
+            pend.clear()
+        while inflight and (drain or len(inflight) > 1):
+            _resolve(inflight.pop(0))
 
     def _face_fd(feat) -> float:
         v = feat / max(np.linalg.norm(feat), 1e-6)
@@ -544,7 +561,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             res.frames_decoded += 1
             pend.append((idx, frame))
             if len(pend) == batch:
-                flush()
+                flush(drain=False)
                 if progress is not None and meta.total_frames > 0:
                     progress(min(1.0, idx / meta.total_frames))
             skipped = reader.skip(stride - 1)

@@ -155,10 +155,11 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
         if should_stop is not None and should_stop():
             break
         # The gate's skip decision must see every earlier sample's fd; if the
-        # gate could be active, resolve pending probes first. This costs
-        # batch efficiency only inside long no-face stretches, where decode
-        # skipping (the gate's purpose) dominates the savings anyway.
-        if (gate.enabled and not sb.active and pend_frames
+        # gate could be active, resolve pending/in-flight probes first. This
+        # costs batch/pipeline efficiency only inside long no-face
+        # stretches, where decode skipping (the gate's purpose) dominates
+        # the savings anyway.
+        if (gate.enabled and not sb.active and (pend_frames or inflight)
                 and gate.streak >= max(0, int(gate.grace))):
             flush()
         if gate.should_skip(sb.active):
@@ -181,7 +182,7 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
         pend_frames.append(frame)
         order.append((idx, len(pend_frames) - 1, False))
         if len(pend_frames) == batch:
-            flush()
+            flush(drain=False)
             if progress is not None and total > 0:
                 progress(min(1.0, idx / total))
         skipped = reader.skip(stride - 1)

@@ -73,23 +73,29 @@ def test_prescan_finds_spans(synth):
     assert res.extracted + res.skipped == res.samples
 
 
-def test_prescan_fd9_gate_skips_idle(synth):
-    backend = OracleBackend(synth)
+def test_prescan_fd9_gate_skips_idle(tmp_path_factory):
+    # With depth-1 pipelining the gate reacts at batch granularity, so it
+    # engages only on idle stretches longer than ~2 batches of samples —
+    # use a video with a long empty tail.
+    path = str(tmp_path_factory.mktemp("vid9") / "t9.mp4")
+    sv = generate_video(path, width=160, height=120, fps=30.0,
+                        total_frames=600, segments=[(30, 90, 0)])
+    backend = OracleBackend(sv)
     cfg = _cfg(prescan_fd9_skip=True, prescan_fd9_grace=1,
                prescan_fd9_probe_period=2)
-    reader = Cv2Reader(synth.path)
+    reader = Cv2Reader(path)
     res = run_prescan(reader, backend, cfg, _bank(backend))
     reader.release()
     assert res.skipped > 0
-    assert len(res.spans) == 2
+    assert len(res.spans) == 1
 
     # gate off: everything extracted
-    reader = Cv2Reader(synth.path)
+    reader = Cv2Reader(path)
     res2 = run_prescan(reader, backend, _cfg(prescan_fd9_skip=False),
                        _bank(backend))
     reader.release()
     assert res2.skipped == 0
-    assert len(res2.spans) == 2
+    assert len(res2.spans) == 1
 
 
 def test_prescan_grows_bank(synth):
