@@ -49,7 +49,10 @@ class Engine:
         self.backend = backend
         self.person_backend = person_backend
         self.reid_backend = reid_backend
-        self._status_cb = status or (lambda msg: None)
+        from ..utils.logging import StatusLogger
+
+        self._status_cb = StatusLogger(status or (lambda msg: None),
+                                       default_interval=cfg.log_interval_sec)
         self._progress_cb = progress or (lambda p: None)
         self._on_hit = on_hit or (lambda h: None)
         self._on_preview = on_preview
