@@ -204,6 +204,70 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     inflight: List[Tuple[object, np.ndarray, np.ndarray, np.ndarray, int]] = []
     submit = getattr(backend, "submit_batch", None)
 
+    rescue_queue: List[Tuple[int, np.ndarray]] = []
+
+    def _roi_rescue():
+        """Re-probe miss-while-locked frames on a native-resolution crop
+        around the last locked face (reference lock-face ROI probe,
+        gui_app.py:5796-6028). The crop is resized back to the frame shape
+        so the device program is reused without recompiling; coordinates
+        map back through the crop transform. Runs as ONE extra batch after
+        the main batch instead of per-frame."""
+        import cv2
+
+        if not rescue_queue or lock.last_face_box is None:
+            return
+        fb = lock.last_face_box
+        fw = max(8.0, fb[2] - fb[0])
+        fh = max(8.0, fb[3] - fb[1])
+        nonlocal last_save_t
+        pad = float(cfg.lock_face_roi_pad)
+        items = rescue_queue[:batch]
+        rescue_queue.clear()
+        h, w = items[0][1].shape[:2]
+        rx1 = max(0, int(fb[0] - pad * fw))
+        ry1 = max(0, int(fb[1] - pad * fh))
+        rx2 = min(w, int(fb[2] + pad * fw))
+        ry2 = min(h, int(fb[3] + pad * fh))
+        if rx2 - rx1 < 16 or ry2 - ry1 < 16:
+            return
+        sx = (rx2 - rx1) / w
+        sy = (ry2 - ry1) / h
+        crops = np.stack([
+            cv2.resize(frame[ry1:ry2, rx1:rx2], (w, h),
+                       interpolation=cv2.INTER_LINEAR)
+            for _, frame in items])
+        n = len(items)
+        valid = np.ones((n,), bool)
+        if n < batch:
+            crops = np.concatenate(
+                [crops, np.repeat(crops[-1:], batch - n, axis=0)], 0)
+            valid = np.concatenate([valid, np.zeros(batch - n, bool)])
+        out = backend.extract_batch(crops, valid)
+        for slot, (frame_idx, frame) in enumerate(items):
+            mask = out["mask"][slot]
+            if not mask.any():
+                continue
+            fds = [(j, _face_fd(out["feats"][slot][j]))
+                   for j in np.flatnonzero(mask)]
+            j, fd = min(fds, key=lambda t: t[1])
+            if fd > float(cfg.lock_face_thresh):
+                continue
+            # map ROI coords back to frame space
+            bx = out["boxes"][slot][j]
+            face_box = (rx1 + bx[0] * sx, ry1 + bx[1] * sy,
+                        rx1 + bx[2] * sx, ry1 + bx[3] * sy)
+            q = float(out["quality"][slot][j])
+            cand = Candidate(_det_box_from_face(face_box, frame.shape[1],
+                                                frame.shape[0]),
+                             face_box, fd, None, q, fd)
+            lock.register_hit(face_box, frame_idx, cfg.lock_after_hits,
+                              det_box=cand.det_box)
+            t = frame_idx / fps
+            if t - last_save_t >= min_gap:
+                if _compose_and_save(frame_idx, frame, cand, t):
+                    last_save_t = t
+
     def _resolve(entry):
         fetch, frames, idxs, valid, n = entry
         out = fetch()
@@ -230,6 +294,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         for slot in range(n):
             _process_frame(int(idxs[slot]), frames[slot], out, person_out,
                            reid_map, slot)
+        if cfg.lock_face_roi_enable:
+            _roi_rescue()
 
     def flush(drain: bool = True):
         if pend:
@@ -261,6 +327,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                        reid_map: Dict, slot: int):
         decision = _process_frame_inner(frame_idx, frame, out, person_out,
                                         reid_map, slot)
+        if (decision == "no_candidate" and lock.locked
+                and cfg.lock_face_roi_enable
+                and lock.last_face_box is not None):
+            rescue_queue.append((frame_idx, frame))
         if debug_fh is not None:
             n_faces = int(out["mask"][slot].sum())
             n_persons = int(person_out["mask"][slot].sum()) \
