@@ -137,8 +137,12 @@ class Engine:
                                        max_w=cfg.prescan_decode_max_w)
 
                 def _run():
-                    r = open_reader(cfg.video, max_w=cfg.prescan_decode_max_w,
-                                    prefer_ffmpeg=True)
+                    from ..video.reader import StridedPrefetchReader
+
+                    base = open_reader(cfg.video,
+                                       max_w=cfg.prescan_decode_max_w,
+                                       prefer_ffmpeg=True)
+                    r = StridedPrefetchReader(base, cfg.prescan_stride)
                     try:
                         p = run_prescan(r, self.backend, cfg, bank, meta=None,
                                         reopen_reader=_reopen,
@@ -181,6 +185,10 @@ class Engine:
                 except RuntimeError as e:
                     self._status_cb(f"HDR stills unavailable: {e}")
             self._status_cb(f"main pass (keyframes: {len(keyframes)})")
+            from ..video.reader import StridedPrefetchReader
+
+            main_reader = StridedPrefetchReader(main_reader,
+                                                cfg.frame_stride)
             with AsyncSaver(cfg.out_dir, jpg_quality=cfg.jpg_quality,
                             fsync=cfg.save_fsync,
                             async_save=cfg.async_save) as saver:

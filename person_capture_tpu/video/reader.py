@@ -198,6 +198,139 @@ def open_reader(path: str, max_w: int = 0, prefer_ffmpeg: bool = False):
     return Cv2Reader(path, max_w=max_w)
 
 
+class StridedPrefetchReader:
+    """Speculative decode-ahead wrapper.
+
+    A worker thread assumes the dominant access pattern of both pipeline
+    drivers — ``read()`` then ``skip(stride-1)`` — and decodes ahead into a
+    bounded queue, so host decode (cv2 releases the GIL) overlaps device
+    round trips. Deviations (seek, non-stride skips from the fd9 gate)
+    pause the worker, resync the underlying reader, and resume.
+
+    API-compatible with Cv2Reader (read/skip/seek/meta/pos/release).
+    """
+
+    def __init__(self, reader, stride: int, depth: int = 8):
+        import queue as _queue
+        import threading
+
+        self.reader = reader
+        self.stride = max(1, int(stride))
+        self.depth = max(2, int(depth))
+        self.pos = reader.pos
+        self._queue: "_queue.Queue" = _queue.Queue(maxsize=self.depth)
+        self._lock = threading.Lock()
+        self._resume = threading.Event()
+        self._stop = threading.Event()
+        self._eof = False
+        self._epoch = 0
+        self._thread = threading.Thread(target=self._worker,
+                                        name="pc.prefetch", daemon=True)
+        self._resume.set()
+        self._thread.start()
+
+    def meta(self):
+        return self.reader.meta()
+
+    # ---- worker ---------------------------------------------------------
+    def _worker(self):
+        while not self._stop.is_set():
+            if not self._resume.wait(timeout=0.2):
+                continue
+            with self._lock:
+                if not self._resume.is_set():
+                    continue
+                epoch = self._epoch
+                idx = self.reader.pos
+                frame = self.reader.read()
+                if frame is None:
+                    self._resume.clear()
+                    self._put((epoch, idx, None))
+                    continue
+                self.reader.skip(self.stride - 1)
+            self._put((epoch, idx, frame))
+
+    def _put(self, item):
+        import queue as _queue
+
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.2)
+                return
+            except _queue.Full:
+                continue
+
+    def _pause_and_flush(self):
+        self._resume.clear()
+        with self._lock:
+            self._epoch += 1
+            while not self._queue.empty():
+                self._queue.get_nowait()
+
+    def _resync_to(self, target: int):
+        """Underlying reader lands exactly on ``target``."""
+        self._pause_and_flush()
+        with self._lock:
+            if hasattr(self.reader, "seek"):
+                self.reader.seek(target)
+            else:
+                delta = target - self.reader.pos
+                if delta > 0:
+                    self.reader.skip(delta)
+        self._resume.set()
+
+    # ---- reader API -------------------------------------------------------
+    def read(self):
+        import queue as _queue
+
+        # fast path: worker produced the frame at our position
+        while True:
+            try:
+                epoch, idx, frame = self._queue.get(timeout=5.0)
+            except _queue.Empty:
+                # worker starved/paused: resync and read directly
+                self._pause_and_flush()
+                with self._lock:
+                    if hasattr(self.reader, "seek"):
+                        self.reader.seek(self.pos)
+                    frame = self.reader.read()
+                self._resume.set()
+                if frame is not None:
+                    self.pos += 1
+                return frame
+            if epoch != self._epoch:
+                continue  # stale item from before a resync
+            if frame is None:
+                return None
+            if idx == self.pos:
+                self.pos += 1
+                return frame
+            if idx > self.pos:
+                # worker is ahead of a position we skipped backwards to
+                self._resync_to(self.pos)
+            # idx < self.pos: stale frame from before a seek — drop it
+
+    def skip(self, count: int) -> int:
+        count = max(0, int(count))
+        if count == self.stride - 1:
+            # the worker already performed this skip speculatively
+            self.pos += count
+            return count
+        self._resync_to(self.pos + count)
+        self.pos += count
+        return count
+
+    def seek(self, frame_idx: int) -> None:
+        self.pos = int(frame_idx)
+        self._resync_to(self.pos)
+
+    def release(self) -> None:
+        self._stop.set()
+        self._resume.set()
+        self._thread.join(timeout=5)
+        self.reader.release()
+
+
 def smart_seek(reader, target: int, keyframes=None, seek_fast: bool = True,
                max_grabs: int = 0, fps: float = 30.0) -> int:
     """Keyframe-aware seek (reference `_seek_to`, gui_app.py:3972-4104):
