@@ -88,14 +88,66 @@ class FfmpegP010Source:
         pass
 
 
+def archive_hdr_crop(y_plane: np.ndarray, uv_plane: np.ndarray, crop_xyxy,
+                     out_path: str, fmt: str = "avif",
+                     timeout_sec: float = 90.0) -> Tuple[bool, str]:
+    """Archive the SOURCE HDR crop (no tone-map) — reference
+    `_save_hdr_archive_crop` (gui_app.py:11563, `_save_hdr_crop_p010`
+    13046): AVIF 10-bit still or MKV FFV1 via ffmpeg when the binary
+    exists; lossless ``.npz`` P010 raw otherwise (self-describing, decodes
+    with numpy alone)."""
+    from ..hdr.stills import even_hdr_crop_xyxy
+
+    h, w = y_plane.shape[:2]
+    x1, y1, x2, y2 = even_hdr_crop_xyxy(crop_xyxy, (w, h))
+    y_c = np.ascontiguousarray(y_plane[y1:y2, x1:x2])
+    uv_c = np.ascontiguousarray(uv_plane[y1 // 2:y2 // 2, x1 // 2:x2 // 2])
+
+    from ..video.reader import find_ffmpeg
+
+    exe = find_ffmpeg()
+    if exe is None or fmt == "npz":
+        npz_path = os.path.splitext(out_path)[0] + ".npz"
+        np.savez_compressed(npz_path, y=y_c, uv=uv_c,
+                            pix_fmt=np.frombuffer(b"p010le", np.uint8),
+                            crop=np.asarray([x1, y1, x2, y2], np.int64))
+        return True, npz_path
+
+    cw, ch = x2 - x1, y2 - y1
+    raw = np.concatenate([y_c.reshape(-1), uv_c.reshape(-1)]).tobytes()
+    if fmt == "mkv":
+        codec = ["-c:v", "ffv1"]
+    else:  # avif
+        codec = ["-c:v", "libaom-av1", "-still-picture", "1", "-crf", "18"]
+    cmd = [exe, "-v", "error", "-nostdin",
+           "-f", "rawvideo", "-pix_fmt", "p010le", "-s", f"{cw}x{ch}",
+           "-i", "-",
+           "-frames:v", "1", *codec,
+           "-color_primaries", "bt2020", "-color_trc", "smpte2084",
+           "-colorspace", "bt2020nc", "-y", out_path]
+    try:
+        cp = subprocess.run(cmd, input=raw, capture_output=True,
+                            timeout=timeout_sec, check=False)
+        if cp.returncode != 0 or not os.path.isfile(out_path):
+            return False, cp.stderr.decode(errors="ignore")[-200:]
+        return True, out_path
+    except subprocess.SubprocessError as e:
+        return False, str(e)
+
+
 class HdrStillExporter:
     """Render + save one full-resolution SDR still per accepted crop."""
 
     def __init__(self, source, params: HdrExportParams,
-                 out_format: str = "png"):
+                 out_format: str = "png", archive_dir: Optional[str] = None,
+                 archive_fmt: str = "avif",
+                 diag_dir: Optional[str] = None):
         self.source = source
         self.params = params
         self.out_format = (out_format or "png").lstrip(".").lower()
+        self.archive_dir = archive_dir
+        self.archive_fmt = archive_fmt
+        self.diag_dir = diag_dir
 
     def out_path_for(self, jpeg_path: str) -> str:
         base, _ = os.path.splitext(jpeg_path)
@@ -120,4 +172,19 @@ class HdrStillExporter:
             ref_bgr = render_sdr_crop_from_p010(y, uv, src_crop, small)
         bgr = render_sdr_crop_from_p010(y, uv, src_crop, self.params,
                                         reference_bgr=ref_bgr)
-        return save_sdr_still(bgr, out_path)
+        ok, err = save_sdr_still(bgr, out_path)
+        if ok and self.archive_dir:
+            os.makedirs(self.archive_dir, exist_ok=True)
+            base = os.path.splitext(os.path.basename(out_path))[0]
+            archive_hdr_crop(y, uv, src_crop,
+                             os.path.join(self.archive_dir,
+                                          f"{base}.{self.archive_fmt}"),
+                             fmt=self.archive_fmt)
+        if ok and self.diag_dir:
+            from .diagnostics import run_speckle_diagnostics
+
+            base = os.path.splitext(os.path.basename(out_path))[0]
+            run_speckle_diagnostics(y, uv, src_crop,
+                                    os.path.join(self.diag_dir, base),
+                                    base_params=self.params)
+        return ok, err

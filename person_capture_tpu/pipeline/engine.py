@@ -176,9 +176,19 @@ class Engine:
 
                     src = FfmpegP010Source(cfg.video, meta.width, meta.height,
                                            meta.fps)
+                    archive_dir = (os.path.join(cfg.out_dir, "hdr_crops")
+                                   if cfg.hdr_archive_crops else None)
+                    diag_dir = None
+                    if cfg.hdr_speckle_diag:
+                        diag_dir = (cfg.hdr_speckle_diag_dir
+                                    or os.path.join(cfg.out_dir,
+                                                    "hdr_speckle_diag"))
                     hdr_exporter = HdrStillExporter(
                         src, HdrExportParams.from_cfg(cfg),
-                        out_format=cfg.hdr_sdr_output_format)
+                        out_format=cfg.hdr_sdr_output_format,
+                        archive_dir=archive_dir,
+                        archive_fmt=cfg.hdr_crop_format,
+                        diag_dir=diag_dir)
                     self._status_cb(
                         f"HDR source ({', '.join(hdr_info.reasons)}); "
                         f"full-res SDR stills enabled")
