@@ -70,6 +70,12 @@ def main() -> None:
 
     sampled_fps = n_steps * batch / dt
     realtime_x = sampled_fps * stride / fps
+
+    # secondary metric: full-res HDR→SDR still exports/sec (4K source,
+    # ~1440×1920 crop, color-match + despeckle through the device kernel —
+    # the reference's WIC path took seconds per export, gui_app README)
+    hdr_rate = _bench_hdr_exports()
+
     print(json.dumps({
         "metric": "prescan_1080p_realtime_x",
         "value": round(realtime_x, 2),
@@ -80,9 +86,37 @@ def main() -> None:
             "batch": batch, "det_size": det_size,
             "faces_per_batch": n_faces,
             "stride": stride, "assumed_fps": fps,
+            "hdr_png_exports_per_s": hdr_rate,
             "device": str(jax.devices()[0]),
         },
     }))
+
+
+def _bench_hdr_exports() -> float:
+    """Time full-res HDR→SDR crop renders (kernel + color match +
+    despeckle + PNG encode) from a 4K P010 source."""
+    import tempfile
+
+    from person_capture_tpu.hdr.stills import (HdrExportParams,
+                                               render_sdr_crop_from_p010,
+                                               save_sdr_still)
+
+    rng = np.random.default_rng(1)
+    h, w = 2160, 3840
+    y = (rng.integers(150, 900, (h, w)).astype(np.uint16) << 6)
+    uv = np.full((h // 2, w // 2, 2), 512 << 6, np.uint16)
+    crop = (960, 360, 2880, 1800)  # 1920x1440
+    params = HdrExportParams(color_match=True, speckle_cleanup=True)
+
+    # warm (compile)
+    bgr = render_sdr_crop_from_p010(y, uv, crop, params)
+    n = 5
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as td:
+        for i in range(n):
+            bgr = render_sdr_crop_from_p010(y, uv, crop, params)
+            save_sdr_still(bgr, f"{td}/f{i}.png")
+    return round(n / (time.perf_counter() - t0), 2)
 
 
 if __name__ == "__main__":

@@ -161,17 +161,9 @@ class HdrStillExporter:
         y, uv = planes
         src_size = (y.shape[1], y.shape[0])
         src_crop = scale_crop_xyxy_to_source(crop_xyxy, frame_size, src_size)
-        # reference-look color match uses the plain tone-map render of a
-        # reduced crop as the statistics reference
-        ref_bgr = None
-        if self.params.color_match:
-            small = HdrExportParams(**{**self.params.__dict__,
-                                       "color_match": False,
-                                       "speckle_cleanup": False,
-                                       "dither": False})
-            ref_bgr = render_sdr_crop_from_p010(y, uv, src_crop, small)
-        bgr = render_sdr_crop_from_p010(y, uv, src_crop, self.params,
-                                        reference_bgr=ref_bgr)
+        # color-match runs inside the fused render program (its statistics
+        # reference is rendered in the same dispatch)
+        bgr = render_sdr_crop_from_p010(y, uv, src_crop, self.params)
         ok, err = save_sdr_still(bgr, out_path)
         if ok and self.archive_dir:
             os.makedirs(self.archive_dir, exist_ok=True)

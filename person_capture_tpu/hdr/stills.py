@@ -106,6 +106,63 @@ class HdrExportParams:
         )
 
 
+_RENDER_CACHE: dict = {}
+
+
+def _params_key(params: HdrExportParams) -> tuple:
+    return (params.transfer, params.full_range, params.src_peak_nits,
+            params.sdr_nits, params.tonemap, params.desat, params.tm_param,
+            params.dither, params.color_match, params.color_match_strength,
+            params.color_match_luma, params.color_match_chroma,
+            params.shadow_luma_protect, params.shadow_chroma_protect,
+            params.speckle_cleanup)
+
+
+def _get_render_fn(params: HdrExportParams):
+    """One jitted program for the whole export: tone-map (+ its own
+    color-match reference render) + LUT/gain match + despeckle → uint8 BGR.
+    Eager per-op execution pays a host round trip per op on tunneled TPU
+    links (seconds per export); fused it is one dispatch + one download."""
+    key = _params_key(params)
+    fn = _RENDER_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+
+    from ..kernels.cleanup import despeckle_bgr
+    from ..kernels.colormatch import color_match_bgr
+    from ..kernels.hdr import p010_to_sdr_bgr_jnp
+
+    def render(y_crop, uv_crop):
+        bgr = p010_to_sdr_bgr_jnp(
+            y_crop, uv_crop, full_range=params.full_range,
+            transfer=params.transfer, src_peak_nits=params.src_peak_nits,
+            sdr_nits=params.sdr_nits, algo=params.tonemap,
+            desat=params.desat, param=params.tm_param, dither=params.dither)
+        if params.color_match:
+            # WIC-look statistics reference: the plain (no-dither) render
+            ref = p010_to_sdr_bgr_jnp(
+                y_crop, uv_crop, full_range=params.full_range,
+                transfer=params.transfer,
+                src_peak_nits=params.src_peak_nits,
+                sdr_nits=params.sdr_nits, algo=params.tonemap,
+                desat=params.desat, param=params.tm_param, dither=False)
+            bgr = color_match_bgr(
+                bgr, ref, strength=params.color_match_strength,
+                luma_strength=params.color_match_luma,
+                chroma_strength=params.color_match_chroma,
+                shadow_luma_protect=params.shadow_luma_protect,
+                shadow_chroma_protect=params.shadow_chroma_protect)
+        if params.speckle_cleanup:
+            bgr, _ = despeckle_bgr(bgr)
+        return bgr
+
+    fn = jax.jit(render)
+    _RENDER_CACHE[key] = fn
+    return fn
+
+
 def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
                               crop_xyxy, params: HdrExportParams,
                               reference_bgr: Optional[np.ndarray] = None
@@ -114,33 +171,37 @@ def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
 
     The crop is legalized for 4:2:0 first; cropping happens *before* the
     kernel (as the reference's PNG path crops in HDR space) so tone-map
-    statistics see only the exported region.
+    statistics see only the exported region. The full render chain is one
+    jitted device program (see :func:`_get_render_fn`).
+
+    ``reference_bgr``: optional externally-rendered statistics reference for
+    the color match (e.g. a reduced-resolution render); when None and
+    color_match is on, the program renders its own reference internally.
     """
-    from ..kernels.cleanup import despeckle_bgr
     from ..kernels.colormatch import color_match_bgr
-    from ..kernels.hdr import hdr_to_sdr_bgr
 
     h, w = y_plane.shape[:2]
     x1, y1, x2, y2 = even_hdr_crop_xyxy(crop_xyxy, (w, h))
-    y_crop = np.asarray(y_plane)[y1:y2, x1:x2]
-    uv_crop = np.asarray(uv_plane)[y1 // 2:y2 // 2, x1 // 2:x2 // 2]
+    y_crop = np.ascontiguousarray(np.asarray(y_plane)[y1:y2, x1:x2])
+    uv_crop = np.ascontiguousarray(
+        np.asarray(uv_plane)[y1 // 2:y2 // 2, x1 // 2:x2 // 2])
 
-    bgr = np.asarray(hdr_to_sdr_bgr(
-        y_crop, uv_crop, full_range=params.full_range,
-        transfer=params.transfer, src_peak_nits=params.src_peak_nits,
-        sdr_nits=params.sdr_nits, algo=params.tonemap, desat=params.desat,
-        param=params.tm_param, dither=params.dither))
-
-    if params.color_match and reference_bgr is not None:
+    if reference_bgr is not None and params.color_match:
+        # external reference: render without internal match, then match
+        base = HdrExportParams(**{**params.__dict__, "color_match": False,
+                                  "speckle_cleanup": False})
+        bgr = np.asarray(_get_render_fn(base)(y_crop, uv_crop))
         bgr = np.asarray(color_match_bgr(
             bgr, reference_bgr, strength=params.color_match_strength,
             luma_strength=params.color_match_luma,
             chroma_strength=params.color_match_chroma,
             shadow_luma_protect=params.shadow_luma_protect,
             shadow_chroma_protect=params.shadow_chroma_protect))
-    if params.speckle_cleanup:
-        bgr, _ = (np.asarray(v) for v in despeckle_bgr(bgr))
-    return bgr
+        if params.speckle_cleanup:
+            from ..kernels.cleanup import despeckle_bgr
+            bgr = np.asarray(despeckle_bgr(bgr)[0])
+        return bgr
+    return np.asarray(_get_render_fn(params)(y_crop, uv_crop))
 
 
 def save_sdr_still(bgr: np.ndarray, out_path: str,
