@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--reid-thresh", type=float, default=0.38)
     ap.add_argument("--combine", default="min",
                     choices=["min", "avg", "face_priority"])
+    ap.add_argument("--match-mode", default="face_only",
+                    choices=["face_only", "either", "both", "reid_only"])
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu", "cuda"])
     ap.add_argument("--save-annot", action="store_true")
     ap.add_argument("--yolo", default="yolov8n.pt")
@@ -64,6 +66,7 @@ def main(argv=None) -> int:
     cfg.face_thresh = args.face_thresh
     cfg.reid_thresh = args.reid_thresh
     cfg.combine = args.combine
+    cfg.match_mode = args.match_mode
     cfg.device = args.device
     cfg.save_annot = args.save_annot
     cfg.yolo_model = args.yolo
@@ -85,7 +88,22 @@ def main(argv=None) -> int:
         det_size=args.det_size, score_thresh=cfg.face_det_conf,
         scrfd_weights=scrfd_w, arcface_weights=arc_w)
 
-    eng = Engine(cfg, backend, status=lambda m: print(f"[pc] {m}"),
+    # person/ReID backends only when the requested mode needs them
+    person_backend = None
+    reid_backend = None
+    if cfg.match_mode != "face_only" or not cfg.skip_yolo_when_faceonly:
+        from .pipeline.backends import YoloPersonBackend
+
+        person_backend = YoloPersonBackend(conf=cfg.min_det_conf)
+    if cfg.match_mode in ("either", "both", "reid_only"):
+        from .pipeline.backends import ClipReidBackend
+
+        cfg.disable_reid = False
+        reid_backend = ClipReidBackend()
+
+    eng = Engine(cfg, backend, person_backend=person_backend,
+                 reid_backend=reid_backend,
+                 status=lambda m: print(f"[pc] {m}"),
                  progress=lambda p: None)
     result = eng.run()
     if not result.ok:
