@@ -29,7 +29,7 @@ def main() -> None:
     from person_capture_tpu.core.bank import RefBank
     from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
 
-    batch = 64
+    batch = 128
     decode_w, decode_h = 384, 216      # prescan_decode_max_w on 1080p video
     det_size = 416                     # prescan_max_width analysis size
     stride = 24

@@ -299,7 +299,7 @@ class SessionConfig:
 
     # ---- TPU-native additions (not in the reference) ----
     # Frame batch size for the fused pre-scan / main-pass XLA programs.
-    tpu_batch_frames: int = 64
+    tpu_batch_frames: int = 128
     # Compute dtype for model forward passes ("bfloat16" | "float32").
     tpu_compute_dtype: str = "bfloat16"
     # Device mesh spec, e.g. "data:8" or "data:4,model:2"; "" = single chip.

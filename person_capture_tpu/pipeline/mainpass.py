@@ -607,10 +607,38 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                os.path.basename(path), f"{sharp:.4f}", ratio or ""]
         saver.submit(SaveItem(img=img, path=path, csv_row=row,
                               render=render))
+        if cfg.save_annot:
+            _save_annot(frame_idx, frame, best, (x1 + off_x, y1 + off_y,
+                                                 x2 + off_x, y2 + off_y))
         res.hits.append(Hit(frame_idx, t, best.score, best.fd, best.rd,
                             (x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y),
                             path, sharp, ratio))
         return True
+
+    def _save_annot(frame_idx: int, frame: np.ndarray, best: Candidate,
+                    crop):
+        """Annotated full frame (reference main.py:330-343): person box
+        green, crop blue, face red, score text."""
+        try:
+            import cv2
+        except ImportError:
+            return
+        annot_dir = os.path.join(cfg.out_dir, "annot")
+        os.makedirs(annot_dir, exist_ok=True)
+        vis = frame.copy()
+        d = tuple(int(v) for v in best.det_box)
+        cv2.rectangle(vis, d[:2], d[2:], (0, 255, 0), 2)
+        cv2.rectangle(vis, crop[:2], crop[2:], (255, 0, 0), 2)
+        if best.face_box is not None:
+            f = tuple(int(v) for v in best.face_box)
+            cv2.rectangle(vis, f[:2], f[2:], (0, 0, 255), 2)
+        fd_s = f"{best.fd:.3f}" if best.fd is not None else "-1"
+        rd_s = f"{best.rd:.3f}" if best.rd is not None else "-1"
+        cv2.putText(vis, f"score={best.score:.3f} fd={fd_s} rd={rd_s}",
+                    (15, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.8,
+                    (255, 255, 255), 2)
+        saver.submit(SaveItem(
+            img=vis, path=os.path.join(annot_dir, f"f{frame_idx:08d}.jpg")))
 
     # ---- span-gated decode loop ---------------------------------------
     from ..video.reader import smart_seek
