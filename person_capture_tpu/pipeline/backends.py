@@ -250,6 +250,64 @@ class ScrfdArcFaceBackend:
         return host
 
 
+class ShardedScrfdArcFaceBackend:
+    """Multi-chip variant of :class:`ScrfdArcFaceBackend`.
+
+    The frame batch shards over the mesh's ``data`` axis and wide model
+    kernels over the optional ``model`` axis (parallel/mesh.py). Batch size
+    must divide by the data-axis size; the pipeline drivers' fixed-size
+    padded batches guarantee that when ``tpu_batch_frames`` is chosen
+    accordingly. Exposes the same extract_batch/submit_batch protocol.
+    """
+
+    def __init__(self, mesh=None, mesh_spec: str = "", scrfd_cfg=None,
+                 arcface_cfg=None, det_size: int = 640,
+                 score_thresh: float = 0.5, max_faces: int = 8,
+                 dtype=None, seed: int = 0,
+                 scrfd_weights=None, arcface_weights=None):
+        import jax.numpy as jnp
+
+        from ..models import arcface as AF
+        from ..models import scrfd as SD
+        from ..parallel.mesh import build_sharded_prescan_step, make_mesh
+
+        self.mesh = mesh if mesh is not None else make_mesh(mesh_spec)
+        scrfd_cfg = scrfd_cfg or SD.SCRFD_2_5G
+        arcface_cfg = arcface_cfg or AF.W600K_R50
+        self.det_size = int(det_size)
+        self.score_thresh = float(score_thresh)
+        self.max_faces = int(max_faces)
+        self.embed_dim = arcface_cfg.embed_dim
+        self._run = build_sharded_prescan_step(
+            self.mesh, scrfd_cfg=scrfd_cfg, arcface_cfg=arcface_cfg,
+            det_size=det_size, max_faces=max_faces,
+            dtype=dtype or jnp.bfloat16, seed=seed,
+            scrfd_vars=scrfd_weights, arcface_vars=arcface_weights)
+        # bank placeholder: distances recomputed on host against the live
+        # bank, the device result is a cheap byproduct
+        d = arcface_cfg.embed_dim
+        self._bank = np.zeros((1, d), np.float32)
+        self._bank_mask = np.zeros((1,), bool)
+
+    def _to_host(self, out, valid):
+        host = {k: np.asarray(v) for k, v in out.items()
+                if k in ("boxes", "kps", "scores", "mask", "feats",
+                         "quality")}
+        host["mask"] = host["mask"] & np.asarray(valid)[:, None]
+        return host
+
+    def extract_batch(self, frames, valid, frame_idxs=None):
+        out = self._run(np.asarray(frames), self._bank, self._bank_mask,
+                        score_thresh=self.score_thresh)
+        return self._to_host(out, valid)
+
+    def submit_batch(self, frames, valid, frame_idxs=None):
+        out = self._run(np.asarray(frames), self._bank, self._bank_mask,
+                        score_thresh=self.score_thresh)
+        valid = np.asarray(valid).copy()
+        return lambda: self._to_host(out, valid)
+
+
 class YoloPersonBackend:
     """Fused YOLOv8 person detection device program.
 

@@ -1,0 +1,69 @@
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from person_capture_tpu.models import arcface as AF  # noqa: E402
+from person_capture_tpu.models import scrfd as SD  # noqa: E402
+from person_capture_tpu.parallel.mesh import (make_mesh, parse_mesh_spec,  # noqa: E402
+                                              shard_params_for_tp)
+from person_capture_tpu.pipeline.backends import ShardedScrfdArcFaceBackend  # noqa: E402
+
+
+def test_parse_mesh_spec():
+    assert parse_mesh_spec("data:4,model:2") == (("data", "model"), (4, 2))
+    assert parse_mesh_spec("") == ((), ())
+    with pytest.raises(ValueError):
+        parse_mesh_spec("bogus")
+
+
+def test_make_mesh_default():
+    mesh = make_mesh("")
+    assert mesh.axis_names == ("data",)
+    assert mesh.size == len(jax.devices())
+
+
+def test_sharded_backend_runs_on_cpu_mesh():
+    backend = ShardedScrfdArcFaceBackend(
+        mesh_spec="data:4,model:2", scrfd_cfg=SD.TINY, arcface_cfg=AF.TINY,
+        det_size=64, score_thresh=0.0, max_faces=4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (8, 48, 64, 3), dtype=np.uint8)
+    valid = np.ones(8, bool)
+    out = backend.extract_batch(frames, valid)
+    assert out["boxes"].shape == (8, 4, 4)
+    assert out["feats"].shape == (8, 4, AF.TINY.embed_dim)
+    assert out["mask"].any()  # threshold 0 fills slots
+    # submit/fetch path agrees
+    fetch = backend.submit_batch(frames, valid)
+    out2 = fetch()
+    np.testing.assert_allclose(out["scores"], out2["scores"], atol=1e-5)
+
+
+def test_sharded_prescan_pipeline_on_cpu_mesh(tmp_path):
+    """Full pre-scan driver over the sharded backend on the 8-device mesh.
+    With random weights nothing matches — the point is that the sharded
+    program executes inside the real driver loop."""
+    from person_capture_tpu.config import SessionConfig
+    from person_capture_tpu.core.bank import RefBank
+    from person_capture_tpu.pipeline.prescan import run_prescan
+    from person_capture_tpu.video.reader import Cv2Reader
+    from person_capture_tpu.video.synthetic import generate_video
+
+    sv = generate_video(str(tmp_path / "v.mp4"), width=64, height=48,
+                        fps=30.0, total_frames=60, segments=[(5, 55, 0)])
+    backend = ShardedScrfdArcFaceBackend(
+        mesh_spec="data:8", scrfd_cfg=SD.TINY, arcface_cfg=AF.TINY,
+        det_size=64, score_thresh=0.9, max_faces=4, dtype=jnp.float32)
+    cfg = SessionConfig()
+    cfg.prescan_stride = 6
+    cfg.tpu_batch_frames = 8
+    cfg.prescan_fd9_skip = False
+    bank = RefBank(cap=4)
+    bank.seed([np.eye(AF.TINY.embed_dim, dtype=np.float32)[0]])
+    reader = Cv2Reader(sv.path)
+    res = run_prescan(reader, backend, cfg, bank)
+    reader.release()
+    assert res.samples == 10
+    assert res.spans == []  # random weights, threshold 0.9: no detections
