@@ -519,12 +519,18 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             return "min_gap"
 
         saved = _compose_and_save(frame_idx, frame, best, t)
+        if not cfg.only_best:
+            # save every accepted candidate (reference only_best=False)
+            for k, cand in enumerate(candidates[1:], start=1):
+                if _compose_and_save(frame_idx, frame, cand, t,
+                                     suffix=f"_p{k}"):
+                    saved = True
         if saved:
             last_save_t = t
         return "saved" if saved else "compose_rejected"
 
     def _compose_and_save(frame_idx: int, frame: np.ndarray, best: Candidate,
-                          t: float) -> bool:
+                          t: float, suffix: str = "") -> bool:
         H, W = frame.shape[:2]
         work = frame
         off_x = off_y = 0
@@ -589,7 +595,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         if cfg.min_sharpness > 0 and sharp < cfg.min_sharpness:
             return False
 
-        path = os.path.join(crops_dir, f"f{frame_idx:08d}.jpg")
+        path = os.path.join(crops_dir, f"f{frame_idx:08d}{suffix}.jpg")
         render = None
         if hdr_exporter is not None and cfg.hdr_screencap_fullres:
             # full-resolution HDR→SDR still re-rendered from the source
