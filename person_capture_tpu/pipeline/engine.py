@@ -73,6 +73,11 @@ class Engine:
     def update_cfg(self, **kv) -> None:
         self._cmd_q.put(("cfg", kv))
 
+    def seek(self, frame_idx: int) -> None:
+        """Jump the main pass to (the span containing) ``frame_idx``
+        (reference: Processor seek_frame command)."""
+        self._cmd_q.put(("seek", int(frame_idx)))
+
     # ---- internals ------------------------------------------------------
     def _drain_cmds(self) -> None:
         while True:
@@ -84,6 +89,14 @@ class Engine:
                 for k, v in payload.items():
                     if k in LIVE_KEYS and hasattr(self.cfg, k):
                         setattr(self.cfg, k, v)
+            elif kind == "seek":
+                self._seek_target = int(payload)
+
+    def _poll_seek(self):
+        self._drain_cmds()
+        target = getattr(self, "_seek_target", None)
+        self._seek_target = None
+        return target
 
     def _should_stop(self) -> bool:
         self._drain_cmds()
@@ -213,7 +226,8 @@ class Engine:
                                    ref_reid_feat=ref_reid,
                                    progress=self._progress_cb,
                                    on_preview=self._on_preview,
-                                   should_stop=self._should_stop)
+                                   should_stop=self._should_stop,
+                                   seek_request=self._poll_seek)
             main_reader.release()
             for h in mp.hits:
                 self._on_hit(h)

@@ -119,7 +119,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                   hdr_exporter=None,
                   progress: Optional[Callable[[float], None]] = None,
                   on_preview: Optional[Callable[[np.ndarray, int], None]] = None,
-                  should_stop: Optional[Callable[[], bool]] = None
+                  should_stop: Optional[Callable[[], bool]] = None,
+                  seek_request: Optional[Callable[[], Optional[int]]] = None
                   ) -> MainPassResult:
     t0 = time.perf_counter()
     meta = meta or reader.meta()
@@ -649,15 +650,42 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     # ---- span-gated decode loop ---------------------------------------
     from ..video.reader import smart_seek
 
-    for s, e in spans:
+    from ..core.spans import span_index_for
+
+    def _poll_seek() -> Optional[int]:
+        if seek_request is None:
+            return None
+        return seek_request()
+
+    si = 0
+    start_override: Optional[int] = None
+    while si < len(spans):
+        s, e = spans[si]
         if should_stop is not None and should_stop():
             break
-        idx = smart_seek(reader, s, keyframes, cfg.seek_fast,
+        target = max(s, start_override) if start_override is not None else s
+        start_override = None
+        idx = smart_seek(reader, target, keyframes, cfg.seek_fast,
                          cfg.seek_max_grabs, fps)
         if idx > e:
+            si += 1
             continue
+        seek_jump = False
         while idx <= e:
             if should_stop is not None and should_stop():
+                break
+            seek_to = _poll_seek()
+            if seek_to is not None:
+                # interactive seek (reference seek_frame command): flush in
+                # order, then resume at the span containing/after the target
+                flush()
+                nsi = span_index_for(int(seek_to), spans)
+                if nsi is None:
+                    si = len(spans)
+                else:
+                    si = nsi
+                    start_override = int(seek_to)
+                seek_jump = True
                 break
             frame = reader.read()
             if frame is None:
@@ -672,7 +700,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             idx += 1 + skipped
             if skipped < stride - 1:
                 break
+        if seek_jump:
+            continue
         flush()
+        si += 1
     flush()
     if debug_fh is not None:
         debug_fh.close()
