@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--arcface-weights", default="", help=".npz checkpoint")
     ap.add_argument("--face-model", default="scrfd_2.5g")
     ap.add_argument("--arcface-model", default="w600k_r50")
+    ap.add_argument("--mesh", default="",
+                    help="device mesh spec, e.g. 'data:4,model:2'; ''=1 chip")
+    ap.add_argument("--compute-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     return ap
 
 
@@ -80,13 +84,28 @@ def main(argv=None) -> int:
     from .models import scrfd as SD
     from .tools.weights import load_npz_variables
 
+    import jax.numpy as jnp
+
+    cfg.tpu_mesh = args.mesh
+    cfg.tpu_compute_dtype = args.compute_dtype
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     scrfd_w = load_npz_variables(args.scrfd_weights) if args.scrfd_weights else None
     arc_w = load_npz_variables(args.arcface_weights) if args.arcface_weights else None
-    backend = ScrfdArcFaceBackend(
-        scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
-        arcface_cfg=AF.CONFIGS.get(args.arcface_model, AF.W600K_R50),
-        det_size=args.det_size, score_thresh=cfg.face_det_conf,
-        scrfd_weights=scrfd_w, arcface_weights=arc_w)
+    if args.mesh:
+        from .pipeline.backends import ShardedScrfdArcFaceBackend
+
+        backend = ShardedScrfdArcFaceBackend(
+            mesh_spec=args.mesh,
+            scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
+            arcface_cfg=AF.CONFIGS.get(args.arcface_model, AF.W600K_R50),
+            det_size=args.det_size, score_thresh=cfg.face_det_conf,
+            dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
+    else:
+        backend = ScrfdArcFaceBackend(
+            scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
+            arcface_cfg=AF.CONFIGS.get(args.arcface_model, AF.W600K_R50),
+            det_size=args.det_size, score_thresh=cfg.face_det_conf,
+            dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
 
     # person/ReID backends only when the requested mode needs them
     person_backend = None
