@@ -198,8 +198,89 @@ class MainWindow(QtWidgets.QMainWindow):
         right.addWidget(self.log_pane, 1)
         layout.addLayout(right, 1)
 
-        self.setCentralWidget(central)
+        tabs = QtWidgets.QTabWidget()
+        tabs.addTab(central, "Capture")
+        tabs.addTab(self._build_curate_tab(), "Curate")
+        self.setCentralWidget(tabs)
         self._build_menu()
+
+    def _build_curate_tab(self) -> QtWidgets.QWidget:
+        """Curate tab (reference: gui_curate_tab.add_tab_to): pool/ref/out
+        pickers + key tunables, running the Curator on a worker thread."""
+        w = QtWidgets.QWidget()
+        form = QtWidgets.QFormLayout(w)
+        self.cur_pool = QtWidgets.QLineEdit()
+        self.cur_ref = QtWidgets.QLineEdit()
+        self.cur_out = QtWidgets.QLineEdit("dataset_out")
+        for label, edit, mode in (("Pool dir", self.cur_pool, "dir"),
+                                  ("Reference", self.cur_ref, "file"),
+                                  ("Out dir", self.cur_out, None)):
+            row = QtWidgets.QHBoxLayout()
+            row.addWidget(edit)
+            if mode:
+                btn = QtWidgets.QPushButton("…")
+
+                def pick(_=None, e=edit, m=mode):
+                    if m == "dir":
+                        p = QtWidgets.QFileDialog.getExistingDirectory(self)
+                    else:
+                        p, _2 = QtWidgets.QFileDialog.getOpenFileName(self)
+                    if p:
+                        e.setText(p)
+
+                btn.clicked.connect(pick)
+                row.addWidget(btn)
+            form.addRow(label, row)
+        self.cur_max = QtWidgets.QSpinBox()
+        self.cur_max.setRange(1, 10000)
+        self.cur_max.setValue(self.cfg.curate_max_images)
+        form.addRow("Max images", self.cur_max)
+        self.cur_fd_gate = QtWidgets.QDoubleSpinBox()
+        self.cur_fd_gate.setRange(0.0, 2.0)
+        self.cur_fd_gate.setSingleStep(0.01)
+        self.cur_fd_gate.setValue(self.cfg.curate_fd_gate)
+        form.addRow("fd gate", self.cur_fd_gate)
+        self.cur_lambda = QtWidgets.QDoubleSpinBox()
+        self.cur_lambda.setRange(0.0, 1.0)
+        self.cur_lambda.setSingleStep(0.05)
+        self.cur_lambda.setValue(self.cfg.curate_lambda)
+        form.addRow("MMR λ", self.cur_lambda)
+        run_btn = QtWidgets.QPushButton("Run curation")
+        run_btn.clicked.connect(self.on_curate)
+        form.addRow(run_btn)
+        self.cur_result = QtWidgets.QPlainTextEdit()
+        self.cur_result.setReadOnly(True)
+        form.addRow(self.cur_result)
+        return w
+
+    def on_curate(self):
+        pool = self.cur_pool.text()
+        ref = self.cur_ref.text()
+        out = self.cur_out.text() or "dataset_out"
+        if not pool or not ref:
+            self.cur_result.appendPlainText("select pool dir and reference")
+            return
+
+        def run():
+            try:
+                from .curator.__main__ import main as curate_main
+
+                rc = curate_main(["--pool", pool, "--out", out, "--ref", ref,
+                                  "--max-images", str(self.cur_max.value()),
+                                  "--fd-gate", str(self.cur_fd_gate.value()),
+                                  "--lambda", str(self.cur_lambda.value())])
+                QtCore.QMetaObject.invokeMethod(
+                    self.cur_result, "appendPlainText",
+                    QtCore.Qt.QueuedConnection,
+                    QtCore.Q_ARG(str, f"curation finished rc={rc}"))
+            except Exception as e:  # noqa: BLE001
+                QtCore.QMetaObject.invokeMethod(
+                    self.cur_result, "appendPlainText",
+                    QtCore.Qt.QueuedConnection,
+                    QtCore.Q_ARG(str, f"curation failed: {e}"))
+
+        threading.Thread(target=run, daemon=True,
+                         name="pc.curate").start()
 
     def _build_menu(self):
         m = self.menuBar()

@@ -217,7 +217,7 @@ def _hat(pos, n: int):
 
 
 def align_chips_matmul_jnp(frame, kps, valid, out_size: int = ARC_SIZE,
-                           window: int = 128):
+                           window: int = 128, compute_dtype=None):
     """Gather-free ArcFace chip extraction: every resampling step is a
     batched matmul with on-the-fly bilinear hat weights.
 
@@ -234,6 +234,12 @@ def align_chips_matmul_jnp(frame, kps, valid, out_size: int = ARC_SIZE,
 
     Args/returns: same as :func:`align_chips_jnp`.
     """
+    if compute_dtype is None:
+        # hat weights are in [0,1] and pixels in [0,255]: bf16 matmuls halve
+        # the dominant HBM traffic at ≤1 gray level of rounding — right for
+        # detector/embedder ingress on TPU; CPU tests keep fp32 exactness
+        compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
     f = kps.shape[0]
     h, w = frame.shape[0], frame.shape[1]
     dst = jnp.asarray(ARC_DST) * (out_size / float(ARC_SIZE))
@@ -257,12 +263,12 @@ def align_chips_matmul_jnp(frame, kps, valid, out_size: int = ARC_SIZE,
     idx = jnp.arange(window, dtype=jnp.float32) + 0.5         # [W]
     py = center[:, 1:2] - half[:, None] + idx[None] * s[:, None] - 0.5
     px = center[:, 0:1] - half[:, None] + idx[None] * s[:, None] - 0.5
-    wr = _hat(py, h)                                          # [F, W, H]
-    wc = _hat(px, w)                                          # [F, W, Wsrc]
-    rows = jnp.einsum("fry,yxc->frxc", wr, frame.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
+    wr = _hat(py, h).astype(compute_dtype)                    # [F, W, H]
+    wc = _hat(px, w).astype(compute_dtype)                    # [F, W, Wsrc]
+    rows = jnp.einsum("fry,yxc->frxc", wr, frame.astype(compute_dtype),
+                      preferred_element_type=jnp.float32).astype(compute_dtype)
     win = jnp.einsum("frxc,fwx->frwc", rows, wc,
-                     preferred_element_type=jnp.float32)      # [F,W,W,C]
+                     preferred_element_type=jnp.float32).astype(compute_dtype)
 
     # chip -> window affine: win = (src - off) / s
     offx = center[:, 0] - half + 0.5 * s - 0.5
@@ -289,15 +295,15 @@ def align_chips_matmul_jnp(frame, kps, valid, out_size: int = ARC_SIZE,
     vx = (alpha[:, None, None] * xs[None, None, :]
           + beta[:, None, None] * us[None, :, None]
           + gamma[:, None, None])                             # [F,W,X]
-    h1 = _hat(vx, window)                                     # [F,W,X,W]
+    h1 = _hat(vx, window).astype(compute_dtype)               # [F,W,X,W]
     tmp = jnp.einsum("fuvc,fuxv->fuxc", win, h1,
-                     preferred_element_type=jnp.float32)      # [F,W,X,C]
+                     preferred_element_type=jnp.float32).astype(compute_dtype)
 
     # pass 2: chip[f,y,x] = tmp[f,u,x] sampled at u = m10·x + m11·y + m12
     uy = (m10[:, None, None] * xs[None, None, :]
           + m11[:, None, None] * ys[None, :, None]
           + m12[:, None, None])                               # [F,Y,X]
-    h2 = _hat(uy, window)                                     # [F,Y,X,W]
+    h2 = _hat(uy, window).astype(compute_dtype)               # [F,Y,X,W]
     chip = jnp.einsum("fuxc,fyxu->fyxc", tmp, h2,
                       preferred_element_type=jnp.float32)
     return jnp.where(valid[:, None, None, None], chip,
