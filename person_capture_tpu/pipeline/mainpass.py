@@ -573,6 +573,14 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                                       steps=cfg.smart_crop_steps,
                                       side_search_frac=cfg.smart_crop_side_search_frac,
                                       use_grad=cfg.smart_crop_use_grad)
+            if fb is not None:
+                # final containment repair: translate the fixed-size crop so
+                # the detected face stays fully visible (reference save-path
+                # repair chain, gui_app.py:6711-6750)
+                from ..core.geometry import shift_crop_to_include_box
+
+                crop = shift_crop_to_include_box(crop, fb, (0, 0, ww, wh),
+                                                 margin_px=1.0)
         else:
             crop, ratio, _ = choose_best_ratio(det_box, ratios, ww, wh, cfg,
                                                anchor=anchor, face_box=fb)
