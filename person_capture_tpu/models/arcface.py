@@ -59,8 +59,8 @@ class IResNet(nn.Module):
                          dtype=self.dtype)(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(c.embed_dim, dtype=self.dtype)(x)
+        # final 'features' BatchNorm1d is affine in the official iresnet
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
-                         use_scale=False, use_bias=False,
                          dtype=self.dtype)(x)
         return x
 
