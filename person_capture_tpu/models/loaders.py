@@ -148,3 +148,106 @@ def _orient(w: np.ndarray, target: np.ndarray, name: str, cfg) -> np.ndarray:
 
 def arcface_required_names(cfg):
     return sorted(set(arcface_name_map(cfg).values()))
+
+
+# ---------------------------------------------------------------------------
+# CLIP ViT (open_clip visual tower layout)
+# ---------------------------------------------------------------------------
+
+def load_clip_torch(variables, cfg, src: Dict[str, np.ndarray],
+                    strict: bool = True):
+    """Fill our ClipViT variables from an open_clip visual-tower state dict
+    (keys with or without the ``visual.`` prefix / converter ``src/``)."""
+    import jax
+
+    clean: Dict[str, np.ndarray] = {}
+    for k, v in src.items():
+        if k.startswith("src/"):
+            k = k[4:]
+        if k.startswith("visual."):
+            k = k[7:]
+        clean[k] = np.asarray(v)
+    src = clean
+
+    out = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
+    params = out["params"]
+    missing = []
+
+    def take(name, transform=None):
+        if name not in src:
+            missing.append(name)
+            return None
+        w = src[name]
+        return transform(w) if transform else w
+
+    def put(tree_path, value, target):
+        if value is None:
+            return
+        target_arr = np.asarray(target)
+        if value.shape != target_arr.shape:
+            raise ValueError(f"shape mismatch {tree_path}: "
+                             f"{value.shape} vs {target_arr.shape}")
+        _set_path(params, tree_path, value.astype(target_arr.dtype))
+
+    w = cfg.width
+    # torch conv [w, 3, p, p] or converter HWIO
+    conv = take("conv1.weight",
+                lambda t: np.transpose(t, (2, 3, 1, 0)) if t.shape[0] == w
+                else t)
+    put(("patch_embed", "kernel"), conv, params["patch_embed"]["kernel"])
+    put(("class_token",), take("class_embedding",
+                               lambda t: t.reshape(1, 1, -1)),
+        params["class_token"])
+    put(("pos_embed",), take("positional_embedding",
+                             lambda t: t[None] if t.ndim == 2 else t),
+        params["pos_embed"])
+    for ln, tname in (("ln_pre", "ln_pre"), ("ln_post", "ln_post")):
+        put((ln, "scale"), take(f"{tname}.weight"), params[ln]["scale"])
+        put((ln, "bias"), take(f"{tname}.bias"), params[ln]["bias"])
+    put(("proj",), take("proj"), params["proj"])
+
+    def maybe_t(t, in_dim):
+        # torch linear [out, in] → flax [in, out]
+        return np.transpose(t, (1, 0)) if t.shape[-1] == in_dim else t
+
+    for i in range(cfg.layers):
+        b = f"block_{i}"
+        t = f"transformer.resblocks.{i}"
+        blk = params[b]
+        put((b, "LayerNorm_0", "scale"), take(f"{t}.ln_1.weight"),
+            blk["LayerNorm_0"]["scale"])
+        put((b, "LayerNorm_0", "bias"), take(f"{t}.ln_1.bias"),
+            blk["LayerNorm_0"]["bias"])
+        put((b, "MHA_0", "Dense_0", "kernel"),
+            take(f"{t}.attn.in_proj_weight", lambda x: np.transpose(x, (1, 0))),
+            blk["MHA_0"]["Dense_0"]["kernel"])
+        put((b, "MHA_0", "Dense_0", "bias"),
+            take(f"{t}.attn.in_proj_bias"),
+            blk["MHA_0"]["Dense_0"]["bias"])
+        put((b, "MHA_0", "Dense_1", "kernel"),
+            take(f"{t}.attn.out_proj.weight",
+                 lambda x: np.transpose(x, (1, 0))),
+            blk["MHA_0"]["Dense_1"]["kernel"])
+        put((b, "MHA_0", "Dense_1", "bias"),
+            take(f"{t}.attn.out_proj.bias"),
+            blk["MHA_0"]["Dense_1"]["bias"])
+        put((b, "LayerNorm_1", "scale"), take(f"{t}.ln_2.weight"),
+            blk["LayerNorm_1"]["scale"])
+        put((b, "LayerNorm_1", "bias"), take(f"{t}.ln_2.bias"),
+            blk["LayerNorm_1"]["bias"])
+        put((b, "Dense_0", "kernel"),
+            take(f"{t}.mlp.c_fc.weight", lambda x: np.transpose(x, (1, 0))),
+            blk["Dense_0"]["kernel"])
+        put((b, "Dense_0", "bias"), take(f"{t}.mlp.c_fc.bias"),
+            blk["Dense_0"]["bias"])
+        put((b, "Dense_1", "kernel"),
+            take(f"{t}.mlp.c_proj.weight", lambda x: np.transpose(x, (1, 0))),
+            blk["Dense_1"]["kernel"])
+        put((b, "Dense_1", "bias"), take(f"{t}.mlp.c_proj.bias"),
+            blk["Dense_1"]["bias"])
+
+    if strict and missing:
+        raise KeyError(f"missing tensors in checkpoint: {missing[:8]}"
+                       f"{'…' if len(missing) > 8 else ''}")
+    out["params"] = params
+    return out
