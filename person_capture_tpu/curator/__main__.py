@@ -42,7 +42,9 @@ def main(argv=None) -> int:
         if img is None:
             print(f"cannot read reference: {p}", file=sys.stderr)
             return 1
-        out = backend.extract_batch(img[None], np.ones(1, bool))
+        from ..pipeline.backends import extract_single_image
+
+        out = extract_single_image(backend, img)
         mask = out["mask"][0]
         if mask.any():
             j = int(np.argmax(np.where(mask, out["quality"][0], -1.0)))

@@ -408,12 +408,17 @@ class Curator:
 
     def __init__(self, face_backend, ref_bank, clip_backend=None,
                  progress: Optional[Callable[[str, int, int], None]] = None,
-                 batch: int = 16):
+                 batch: int = 16, canvas: int = 640):
         self.face = face_backend
         self.bank = ref_bank
         self.clip = clip_backend
         self.progress = progress or (lambda *a: None)
         self.batch = int(batch)
+        # fixed device canvas: every describe chunk ships the same
+        # [batch, canvas, canvas, 3] shape so the device program compiles
+        # once (variable shapes would recompile per chunk — minutes each on
+        # tunneled TPUs)
+        self.canvas = int(canvas)
 
     def describe(self, paths: Sequence[str],
                  fps_hint: float = 30.0) -> List[Item]:
@@ -452,17 +457,25 @@ class Curator:
             for it, im in zip(metas, imgs):
                 it.phash = phash64(im)
 
-        # batched device features: pad images to the max shape per chunk
+        # batched device features on a fixed canvas (single compilation)
+        cvs = self.canvas
         for start in range(0, len(imgs), self.batch):
             chunk = imgs[start:start + self.batch]
             mchunk = metas[start:start + self.batch]
-            hmax = max(im.shape[0] for im in chunk)
-            wmax = max(im.shape[1] for im in chunk)
-            batch_arr = np.zeros((len(chunk), hmax, wmax, 3), np.uint8)
+            n = len(chunk)
+            batch_arr = np.zeros((self.batch, cvs, cvs, 3), np.uint8)
+            scales = np.ones(n, np.float32)
             for i, im in enumerate(chunk):
+                s = min(1.0, cvs / max(im.shape[0], im.shape[1]))
+                if s < 1.0 and cv2 is not None:
+                    im = cv2.resize(im, (int(round(im.shape[1] * s)),
+                                         int(round(im.shape[0] * s))),
+                                    interpolation=cv2.INTER_AREA)
+                scales[i] = s
                 batch_arr[i, :im.shape[0], :im.shape[1]] = im
-            out = self.face.extract_batch(batch_arr,
-                                          np.ones(len(chunk), bool))
+            valid = np.zeros(self.batch, bool)
+            valid[:n] = True
+            out = self.face.extract_batch(batch_arr, valid)
             for i, it in enumerate(mchunk):
                 mask = out["mask"][i]
                 if mask.any():
@@ -471,14 +484,16 @@ class Curator:
                     j = int(np.argmin(fds))
                     it.face_fd = float(fds[j])
                     feat = out["feats"][i][j]
-                    n = np.linalg.norm(feat)
-                    it.face_feat = feat / n if n > 0 else None
+                    nn = np.linalg.norm(feat)
+                    it.face_feat = feat / nn if nn > 0 else None
                     it.face_quality = float(out["quality"][i][j])
-                    it.face_box = tuple(float(v) for v in out["boxes"][i][j])
+                    inv = 1.0 / max(scales[i], 1e-6)
+                    it.face_box = tuple(float(v) * inv
+                                        for v in out["boxes"][i][j])
                     h = chunk[i].shape[0]
                     it.face_frac = (it.face_box[3] - it.face_box[1]) / max(1, h)
                     it.yaw, it.roll = yaw_roll_from_5pts(
-                        np.asarray(out["kps"][i][j]))
+                        np.asarray(out["kps"][i][j]) * inv)
             if self.clip is not None:
                 feats = self.clip.extract(chunk)
                 for i, it in enumerate(mchunk):

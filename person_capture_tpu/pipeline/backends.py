@@ -25,6 +25,26 @@ from typing import Dict, Optional, Protocol
 import numpy as np
 
 
+def extract_single_image(backend, img: np.ndarray, canvas: int = 640):
+    """Run a face backend on ONE arbitrary-size image using a fixed
+    [1, canvas, canvas, 3] device shape (avoids a recompile per image
+    size), returning detections in original-image coordinates."""
+    import cv2
+
+    s = min(1.0, canvas / max(img.shape[0], img.shape[1]))
+    if s < 1.0:
+        img = cv2.resize(img, (int(round(img.shape[1] * s)),
+                               int(round(img.shape[0] * s))),
+                         interpolation=cv2.INTER_AREA)
+    arr = np.zeros((1, canvas, canvas, 3), np.uint8)
+    arr[0, :img.shape[0], :img.shape[1]] = img
+    out = backend.extract_batch(arr, np.ones(1, bool))
+    inv = 1.0 / max(s, 1e-6)
+    out["boxes"] = out["boxes"] * inv
+    out["kps"] = out["kps"] * inv
+    return out
+
+
 class FaceBatchBackend(Protocol):
     embed_dim: int
     max_faces: int

@@ -114,13 +114,14 @@ class Engine:
                        dedup_cos=cfg.prescan_diversity_dedup_cos,
                        replace_margin=cfg.prescan_replace_margin,
                        weights=tuple(cfg.prescan_weights))
+        from .backends import extract_single_image
+
         for p in ref_paths:
             img = cv2.imread(p, cv2.IMREAD_COLOR)
             if img is None:
                 raise FileNotFoundError(f"Cannot read reference image: {p}")
             for candidate in (img, img[:, ::-1].copy()):
-                batch = candidate[None]
-                out = self.backend.extract_batch(batch, np.ones(1, bool))
+                out = extract_single_image(self.backend, candidate)
                 mask = out["mask"][0]
                 if not mask.any():
                     continue
