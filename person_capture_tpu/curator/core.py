@@ -551,5 +551,33 @@ class Curator:
                 metrics["categories"].get(row["category"], 0) + 1
         with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
             json.dump(metrics, fh, indent=2)
+        # richer v2 metrics (reference writes metrics_v2.json alongside)
+        sel_items = [items[i] for i in chosen]
+        metrics_v2 = {
+            **metrics,
+            "quality": {
+                "mean_sharpness": float(np.mean([it.sharpness
+                                                 for it in sel_items]))
+                if sel_items else 0.0,
+                "mean_exposure": float(np.mean([it.exposure
+                                                for it in sel_items]))
+                if sel_items else 0.0,
+                "mean_face_fd": float(np.mean([it.face_fd
+                                               for it in sel_items]))
+                if sel_items else 0.0,
+            },
+            "yaw_histogram": {
+                "frontal": sum(1 for it in sel_items if abs(it.yaw) < 10),
+                "quarter": sum(1 for it in sel_items
+                               if 10 <= abs(it.yaw) < 20),
+                "profile": sum(1 for it in sel_items if abs(it.yaw) >= 20),
+            },
+            "scene_spread": {
+                str(s): sum(1 for it in sel_items if it.scene == s)
+                for s in sorted({it.scene for it in sel_items})
+            },
+        }
+        with open(os.path.join(out_dir, "metrics_v2.json"), "w") as fh:
+            json.dump(metrics_v2, fh, indent=2)
         return {"selected": selected_paths, "metrics": metrics,
-                "debug": debug, "items": items}
+                "metrics_v2": metrics_v2, "debug": debug, "items": items}

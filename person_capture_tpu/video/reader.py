@@ -35,6 +35,49 @@ def find_ffmpeg() -> Optional[str]:
     return shutil.which("ffmpeg")
 
 
+def resolve_ffmpeg_bins(ffmpeg_dir) -> Tuple[Optional[str], Optional[str]]:
+    """Return (ffmpeg, ffprobe) paths found under a directory or its bin/
+    (reference: utils.py:14-42)."""
+    if not ffmpeg_dir:
+        return None, None
+    import pathlib
+
+    d = pathlib.Path(ffmpeg_dir).expanduser()
+    exe = ".exe" if os.name == "nt" else ""
+    ffmpeg = ffprobe = None
+    for root in (d, d / "bin"):
+        p = root / f"ffmpeg{exe}"
+        q = root / f"ffprobe{exe}"
+        if ffmpeg is None and p.is_file():
+            ffmpeg = str(p)
+        if ffprobe is None and q.is_file():
+            ffprobe = str(q)
+        if ffmpeg and ffprobe:
+            break
+    return ffmpeg, ffprobe
+
+
+def set_ffmpeg_env(ffmpeg_dir) -> dict:
+    """Point the video helpers at a specific ffmpeg install (reference:
+    utils.py:70-99); clears the ffprobe JSON cache so it takes effect."""
+    ffmpeg, ffprobe = resolve_ffmpeg_bins(ffmpeg_dir)
+    applied = {}
+    if ffmpeg:
+        os.environ["PERSON_CAPTURE_FFMPEG"] = ffmpeg
+        applied["PERSON_CAPTURE_FFMPEG"] = ffmpeg
+        os.environ.setdefault("FFMPEG", ffmpeg)
+    if ffprobe:
+        os.environ["PERSON_CAPTURE_FFPROBE"] = ffprobe
+        applied["PERSON_CAPTURE_FFPROBE"] = ffprobe
+        os.environ.setdefault("FFPROBE", ffprobe)
+    try:
+        from .probe import ffprobe_json
+        ffprobe_json.cache_clear()
+    except ImportError:
+        pass
+    return applied
+
+
 @dataclass
 class VideoMeta:
     width: int
