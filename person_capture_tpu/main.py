@@ -90,7 +90,14 @@ def main(argv=None) -> int:
     cfg.tpu_compute_dtype = args.compute_dtype
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     scrfd_w = load_npz_variables(args.scrfd_weights) if args.scrfd_weights else None
-    arc_w = load_npz_variables(args.arcface_weights) if args.arcface_weights else None
+    arc_w = None
+    if args.arcface_weights:
+        from .models.loaders import load_checkpoint
+
+        arc_cfg = AF.CONFIGS.get(args.arcface_model, AF.W600K_R50)
+        import jax as _jax
+        _m, _v = AF.init_arcface(_jax.random.PRNGKey(0), arc_cfg, dtype=dtype)
+        arc_w = load_checkpoint(args.arcface_weights, "arcface", _v, arc_cfg)
     if args.mesh:
         from .pipeline.backends import ShardedScrfdArcFaceBackend
 

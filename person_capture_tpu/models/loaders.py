@@ -251,3 +251,131 @@ def load_clip_torch(variables, cfg, src: Dict[str, np.ndarray],
                        f"{'…' if len(missing) > 8 else ''}")
     out["params"] = params
     return out
+
+
+# ---------------------------------------------------------------------------
+# YOLOv8 (ultralytics layout)
+# ---------------------------------------------------------------------------
+
+# flax scope ← ultralytics model.model.{idx} for the yolov8 yaml graph
+_YOLO_LAYER_MAP = [
+    ("ConvSiLU_0", 0, "conv"), ("ConvSiLU_1", 1, "conv"),
+    ("C2f_0", 2, "c2f"), ("ConvSiLU_2", 3, "conv"), ("C2f_1", 4, "c2f"),
+    ("ConvSiLU_3", 5, "conv"), ("C2f_2", 6, "c2f"),
+    ("ConvSiLU_4", 7, "conv"), ("C2f_3", 8, "c2f"), ("SPPF_0", 9, "sppf"),
+    ("C2f_4", 12, "c2f"), ("C2f_5", 15, "c2f"),
+    ("ConvSiLU_5", 16, "conv"), ("C2f_6", 18, "c2f"),
+    ("ConvSiLU_6", 19, "conv"), ("C2f_7", 21, "c2f"),
+]
+
+
+def yolov8_name_map(cfg) -> Dict[Tuple[str, ...], str]:
+    """flax (collection, scope-path, leaf) → ultralytics tensor name."""
+    m: Dict[Tuple[str, ...], str] = {}
+
+    def conv_silu(scope: str, t: str):
+        m[("params", f"{scope}/Conv_0", "kernel")] = f"{t}.conv.weight"
+        m[("params", f"{scope}/BatchNorm_0", "scale")] = f"{t}.bn.weight"
+        m[("params", f"{scope}/BatchNorm_0", "bias")] = f"{t}.bn.bias"
+        m[("batch_stats", f"{scope}/BatchNorm_0", "mean")] = \
+            f"{t}.bn.running_mean"
+        m[("batch_stats", f"{scope}/BatchNorm_0", "var")] = \
+            f"{t}.bn.running_var"
+
+    def c2f(scope: str, t: str, n: int):
+        conv_silu(f"{scope}/ConvSiLU_0", f"{t}.cv1")
+        for i in range(n):
+            conv_silu(f"{scope}/Bottleneck_{i}/ConvSiLU_0", f"{t}.m.{i}.cv1")
+            conv_silu(f"{scope}/Bottleneck_{i}/ConvSiLU_1", f"{t}.m.{i}.cv2")
+        conv_silu(f"{scope}/ConvSiLU_1", f"{t}.cv2")
+
+    d1, d2, d3, d4 = cfg.depth
+    c2f_depths = {"C2f_0": d1, "C2f_1": d2, "C2f_2": d3, "C2f_3": d4,
+                  "C2f_4": d1, "C2f_5": d1, "C2f_6": d1, "C2f_7": d1}
+    for scope, idx, kind in _YOLO_LAYER_MAP:
+        t = f"model.{idx}"
+        if kind == "conv":
+            conv_silu(scope, t)
+        elif kind == "sppf":
+            conv_silu(f"{scope}/ConvSiLU_0", f"{t}.cv1")
+            conv_silu(f"{scope}/ConvSiLU_1", f"{t}.cv2")
+        else:
+            c2f(scope, t, c2f_depths[scope])
+
+    # Detect head: per level l, box branch cv2.l.{0,1,2}, cls branch cv3
+    det = "model.22"
+    for lvl in range(3):
+        base = 7 + 4 * lvl
+        conv_silu(f"ConvSiLU_{base}", f"{det}.cv2.{lvl}.0")
+        conv_silu(f"ConvSiLU_{base + 1}", f"{det}.cv2.{lvl}.1")
+        m[("params", f"Conv_{2 * lvl}", "kernel")] = f"{det}.cv2.{lvl}.2.weight"
+        m[("params", f"Conv_{2 * lvl}", "bias")] = f"{det}.cv2.{lvl}.2.bias"
+        conv_silu(f"ConvSiLU_{base + 2}", f"{det}.cv3.{lvl}.0")
+        conv_silu(f"ConvSiLU_{base + 3}", f"{det}.cv3.{lvl}.1")
+        m[("params", f"Conv_{2 * lvl + 1}", "kernel")] = \
+            f"{det}.cv3.{lvl}.2.weight"
+        m[("params", f"Conv_{2 * lvl + 1}", "bias")] = \
+            f"{det}.cv3.{lvl}.2.bias"
+    return m
+
+
+def load_yolov8_torch(variables, cfg, src: Dict[str, np.ndarray],
+                      strict: bool = True):
+    """Fill our YoloV8 variables from an ultralytics state dict (keys with
+    or without 'model.model.' vs 'model.' prefixes; dfl weights skipped —
+    our decode computes the DFL expectation functionally)."""
+    import jax
+
+    clean = {}
+    for k, v in src.items():
+        if k.startswith("src/"):
+            k = k[4:]
+        if k.startswith("model.model."):
+            k = k[len("model."):]
+        clean[k] = np.asarray(v)
+    src = clean
+
+    out = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
+    name_map = yolov8_name_map(cfg)
+    missing = []
+    for path, torch_name in name_map.items():
+        if torch_name not in src:
+            missing.append(torch_name)
+            continue
+        w = src[torch_name]
+        coll, scope, leaf = path[0], _flatten_scope(path[1]), path[2]
+        full = (coll,) + scope + (leaf,)
+        target = np.asarray(_get_path(out, full))
+        if w.ndim == 4 and w.shape != target.shape:
+            w = np.transpose(w, (2, 3, 1, 0))  # OIHW → HWIO
+        if w.shape != target.shape:
+            raise ValueError(f"shape mismatch {torch_name} -> {full}: "
+                             f"{w.shape} vs {target.shape}")
+        _set_path(out, full, w.astype(target.dtype))
+    if strict and missing:
+        raise KeyError(f"missing tensors in checkpoint: {missing[:8]}"
+                       f"{'…' if len(missing) > 8 else ''}")
+    return out
+
+
+def yolov8_required_names(cfg):
+    return sorted(set(yolov8_name_map(cfg).values()))
+
+
+def load_checkpoint(path: str, kind: str, variables, cfg):
+    """Load a checkpoint file into flax variables.
+
+    Accepts either a flat flax-variable ``.npz`` (tools/weights.py format,
+    detected by a ``params/...`` key) or a converted torch state dict
+    (``src/<torch name>`` keys or raw torch names), mapped by ``kind``
+    ('arcface' | 'clip' | 'yolov8')."""
+    from ..tools.weights import load_npz_variables
+
+    data = np.load(path)
+    keys = list(data.files)
+    flat = {k: data[k] for k in keys}
+    if any(k.startswith("params/") for k in keys):
+        return load_npz_variables(path)
+    loader = {"arcface": load_arcface_torch, "clip": load_clip_torch,
+              "yolov8": load_yolov8_torch}[kind]
+    return loader(variables, cfg, flat, strict=True)

@@ -144,15 +144,19 @@ class YoloV8(nn.Module):
         d5_ = C2f(w4, d1, shortcut=False, dtype=self.dtype)(
             jnp.concatenate([ConvSiLU(w3, 3, 2, dtype=self.dtype)(d4_), p5],
                             axis=-1))
-        # decoupled heads (separate weights per level, like ultralytics)
+        # decoupled heads (separate weights per level); channel formulas
+        # match ultralytics Detect so real checkpoints map 1:1:
+        #   box c2 = max(16, ch[0]//4, 4*reg_max); cls c3 = max(ch[0],
+        #   min(nc, 100))
+        c2 = max(16, w2 // 4, 4 * c.reg_max)
+        c3 = max(w2, min(c.num_classes, 100))
         outs = []
         for feat in (u3, d4_, d5_):
-            ch = feat.shape[-1]
-            box = ConvSiLU(max(16, ch // 4), 3, dtype=self.dtype)(feat)
-            box = ConvSiLU(max(16, ch // 4), 3, dtype=self.dtype)(box)
+            box = ConvSiLU(c2, 3, dtype=self.dtype)(feat)
+            box = ConvSiLU(c2, 3, dtype=self.dtype)(box)
             box = nn.Conv(4 * c.reg_max, (1, 1), dtype=self.dtype)(box)
-            cls = ConvSiLU(max(16, ch // 4), 3, dtype=self.dtype)(feat)
-            cls = ConvSiLU(max(16, ch // 4), 3, dtype=self.dtype)(cls)
+            cls = ConvSiLU(c3, 3, dtype=self.dtype)(feat)
+            cls = ConvSiLU(c3, 3, dtype=self.dtype)(cls)
             cls = nn.Conv(c.num_classes, (1, 1), dtype=self.dtype,
                           bias_init=nn.initializers.constant(-4.6))(cls)
             outs.append((box, cls))
