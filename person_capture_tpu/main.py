@@ -3,9 +3,10 @@
 
     python -m person_capture_tpu.main --video V --ref R --out OUT [...]
 
-Extra TPU-era flags: --prescan/--no-prescan, --batch, --det-size,
---backend {scrfd,oracle}, --scrfd-weights/--arcface-weights (.npz from
-tools/convert_weights.py).
+Extra TPU-era flags: --prescan, --batch, --det-size, --face-det-conf,
+--match-mode, --mesh, --compute-dtype, and --scrfd-weights /
+--arcface-weights checkpoints (flax .npz or converted torch layouts; see
+models/loaders.py and tools/convert_weights.py).
 """
 
 from __future__ import annotations
