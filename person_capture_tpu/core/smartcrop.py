@@ -10,7 +10,7 @@ the crop. Ratio and size are preserved.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

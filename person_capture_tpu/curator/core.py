@@ -32,7 +32,6 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-from ..core.hashing import phash_bits, phash_similarity
 from ..core.scoring import calc_sharpness
 
 

@@ -9,7 +9,7 @@ exists so reference call-sites port unchanged (at 1-frame batch cost).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

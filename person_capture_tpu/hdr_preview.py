@@ -10,7 +10,7 @@ availability-probe surface so call-sites port unchanged.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional  # noqa: F401
 
 import numpy as np
 

@@ -15,7 +15,6 @@ Two implementations with identical math:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -14,8 +14,7 @@ compatible backbones when real weights are provided.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn

@@ -18,7 +18,6 @@ Outputs (host numpy, fixed shapes):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Optional, Protocol
 

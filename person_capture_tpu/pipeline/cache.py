@@ -12,7 +12,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from dataclasses import fields
 from typing import List, Optional, Tuple
 
 import numpy as np

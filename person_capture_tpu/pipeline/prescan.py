@@ -25,9 +25,8 @@ from typing import Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import SessionConfig
-from ..core.bank import FD_NONE, RefBank, fd_min
+from ..core.bank import FD_NONE, RefBank
 from ..core.spans import Fd9SkipGate, SpanBuilder, SpanBuilderConfig
-from ..video.reader import SampledBatchIterator
 
 
 @dataclass
