@@ -81,6 +81,7 @@ class HdrExportParams:
     desat: float = 0.25
     tm_param: Optional[float] = None
     dither: bool = True
+    peak_detect: bool = True
     color_match: bool = True
     color_match_strength: float = 1.0
     color_match_luma: float = 0.45
@@ -96,6 +97,7 @@ class HdrExportParams:
             tonemap=cfg.hdr_sdr_tonemap,
             desat=cfg.tm_desat,
             tm_param=cfg.tm_param,
+            peak_detect=cfg.hdr_sdr_peak_detect,
             color_match=cfg.hdr_wic_yuv444_color_match,
             color_match_strength=cfg.hdr_wic_yuv444_color_match_strength,
             color_match_luma=cfg.hdr_wic_yuv444_color_match_luma_strength,
@@ -112,7 +114,8 @@ _RENDER_CACHE: dict = {}
 def _params_key(params: HdrExportParams) -> tuple:
     return (params.transfer, params.full_range, params.src_peak_nits,
             params.sdr_nits, params.tonemap, params.desat, params.tm_param,
-            params.dither, params.color_match, params.color_match_strength,
+            params.dither, params.peak_detect,
+            params.color_match, params.color_match_strength,
             params.color_match_luma, params.color_match_chroma,
             params.shadow_luma_protect, params.shadow_chroma_protect,
             params.speckle_cleanup)
@@ -139,7 +142,8 @@ def _get_render_fn(params: HdrExportParams):
             y_crop, uv_crop, full_range=params.full_range,
             transfer=params.transfer, src_peak_nits=params.src_peak_nits,
             sdr_nits=params.sdr_nits, algo=params.tonemap,
-            desat=params.desat, param=params.tm_param, dither=params.dither)
+            desat=params.desat, param=params.tm_param, dither=params.dither,
+            peak_detect=params.peak_detect)
         if params.color_match:
             # WIC-look statistics reference: the plain (no-dither) render
             ref = p010_to_sdr_bgr_jnp(
@@ -147,7 +151,8 @@ def _get_render_fn(params: HdrExportParams):
                 transfer=params.transfer,
                 src_peak_nits=params.src_peak_nits,
                 sdr_nits=params.sdr_nits, algo=params.tonemap,
-                desat=params.desat, param=params.tm_param, dither=False)
+                desat=params.desat, param=params.tm_param, dither=False,
+                peak_detect=params.peak_detect)
             bgr = color_match_bgr(
                 bgr, ref, strength=params.color_match_strength,
                 luma_strength=params.color_match_luma,

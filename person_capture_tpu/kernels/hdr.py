@@ -89,14 +89,37 @@ def hdr_to_sdr_core_jnp(rgb2020_lin, src_peak_nits: float = 1000.0,
     return jnp.clip(rgb709, 0.0, 1.0)
 
 
+def detect_peak_nits(rgb_prime_pq, floor_nits: float = 203.0,
+                     quantile: float = 0.999):
+    """Scene peak luminance (nits) from PQ-coded R'G'B': a high quantile of
+    the per-pixel max channel, floored at HDR reference white — the device
+    replacement for libplacebo's ``peak-detect`` (cfg.hdr_sdr_peak_detect).
+    Using the measured peak instead of a fixed 1000 nits keeps dim scenes
+    from being over-compressed."""
+    peak_code = jnp.quantile(jnp.max(rgb_prime_pq, axis=-1).reshape(-1),
+                             quantile)
+    nits = pq_eotf(peak_code) * PQ_PEAK_NITS
+    return jnp.maximum(nits, floor_nits)
+
+
 def p010_to_sdr_bgr_jnp(y_u16, uv_u16, full_range: bool = False,
                         transfer: str = "pq", src_peak_nits: float = 1000.0,
                         sdr_nits: float = 100.0, algo: str = "bt.2390",
                         desat: float = 0.25, param: Optional[float] = None,
-                        dither: bool = True):
+                        dither: bool = True, peak_detect: bool = False):
     """Full P010 HDR frame → SDR BGR uint8 (jnp reference path)."""
     y, cb, cr = p010_unpack(y_u16, uv_u16, full_range)
     rgb_prime = jnp.clip(ycbcr_to_rgb(y, cb, cr, YCBCR_BT2020), 0.0, 1.0)
+    if peak_detect and transfer == "pq":
+        # dynamic peak: tone-map relative to the measured scene peak
+        peak_nits = detect_peak_nits(rgb_prime)
+        lin = pq_eotf(rgb_prime) * PQ_PEAK_NITS / sdr_nits
+        peak_ratio = jnp.maximum(peak_nits / sdr_nits, 1.0 + 1e-3)
+        mapped = apply_tonemap(lin, peak_ratio, algo=algo, desat=desat,
+                               param=param)
+        rgb709 = jnp.clip(jnp.einsum("...c,dc->...d", mapped,
+                                     jnp.asarray(BT2020_TO_BT709)), 0.0, 1.0)
+        return sdr_encode(rgb709, dither)
     lin = hdr_rgb_prime_to_linear(rgb_prime, transfer, sdr_nits,
                                   src_peak_nits)
     rgb709 = hdr_to_sdr_core_jnp(lin, src_peak_nits, sdr_nits, algo, desat,

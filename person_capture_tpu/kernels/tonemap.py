@@ -27,7 +27,7 @@ def tm_mobius(x, peak: float, param: float = 0.3):
     """Mobius: linear below the knee ``param``, hyperbolic roll-off above —
     matches libplacebo's formulation."""
     j = jnp.float32(param)
-    peak = jnp.maximum(jnp.float32(peak), 1.0 + 1e-6)
+    peak = jnp.maximum(jnp.asarray(peak, jnp.float32), 1.0 + 1e-6)
     a = -j * j * (peak - 1.0) / jnp.maximum(j * j - 2.0 * j + peak, 1e-6)
     b = (j * j - 2.0 * j * peak + peak) / jnp.maximum(peak - 1.0, 1e-6)
     mapped = (b * b + 2.0 * b * j + j * j) / (b - a) * (x + a) / (x + b)
@@ -41,7 +41,7 @@ def _hable_partial(x):
 
 def tm_hable(x, peak: float):
     """Hable/Uncharted-2 filmic curve normalized to the source peak."""
-    norm = _hable_partial(jnp.float32(peak))
+    norm = _hable_partial(jnp.asarray(peak, jnp.float32))
     return jnp.clip(_hable_partial(x) / jnp.maximum(norm, 1e-6), 0.0, 1.0)
 
 
@@ -51,7 +51,7 @@ def tm_bt2390(x, peak: float, sdr_nits: float = 100.0):
     ``peak`` (ratio), target display max is 1.0 (== sdr_nits)."""
     from .color import pq_eotf, pq_inv_eotf
 
-    peak = jnp.maximum(jnp.float32(peak), 1.0 + 1e-6)
+    peak = jnp.maximum(jnp.asarray(peak, jnp.float32), 1.0 + 1e-6)
     # absolute PQ signal, normalized so source peak maps to 1.0
     src_max_pq = pq_inv_eotf(peak * sdr_nits / 10000.0)
     e1 = pq_inv_eotf(jnp.clip(x, 0.0, peak) * sdr_nits / 10000.0) / src_max_pq
