@@ -92,7 +92,7 @@ class HdrExportParams:
 
     @staticmethod
     def from_cfg(cfg) -> "HdrExportParams":
-        return HdrExportParams(
+        p = HdrExportParams(
             sdr_nits=cfg.sdr_nits,
             tonemap=cfg.hdr_sdr_tonemap,
             desat=cfg.tm_desat,
@@ -106,6 +106,19 @@ class HdrExportParams:
             shadow_chroma_protect=cfg.hdr_wic_yuv444_color_match_shadow_chroma_protect,
             speckle_cleanup=cfg.hdr_wic_speckle_cleanup,
         )
+        # quality preset ladder (reference maps these to libplacebo
+        # peak-detect/contrast-recovery/LUT/dither presets, gui_app.py:12598;
+        # here they gate the expensive stages of the device chain)
+        quality = (cfg.hdr_sdr_quality or "madvr_like").lower()
+        if quality == "fast":
+            p.color_match = False
+            p.speckle_cleanup = False
+            p.peak_detect = False
+            p.dither = False
+        elif quality == "balanced":
+            p.color_match = False
+        # madvr_like / resolve_like keep the full chain
+        return p
 
 
 _RENDER_CACHE: dict = {}
