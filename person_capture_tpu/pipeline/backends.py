@@ -24,12 +24,14 @@ from typing import Dict, Optional, Protocol
 import numpy as np
 
 
-def extract_single_image(backend, img: np.ndarray, canvas: int = 640):
+def extract_single_image(backend, img: np.ndarray, canvas: int = 0):
     """Run a face backend on ONE arbitrary-size image using a fixed
     [1, canvas, canvas, 3] device shape (avoids a recompile per image
-    size), returning detections in original-image coordinates."""
+    size), returning detections in original-image coordinates. Default
+    canvas = the backend's det_size (keeps the extra compiled shape small)."""
     import cv2
 
+    canvas = int(canvas or getattr(backend, "det_size", 0) or 640)
     s = min(1.0, canvas / max(img.shape[0], img.shape[1]))
     if s < 1.0:
         img = cv2.resize(img, (int(round(img.shape[1] * s)),

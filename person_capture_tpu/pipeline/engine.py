@@ -280,7 +280,9 @@ class Engine:
         if not os.path.isdir(pool):
             return
         self._status_cb("curating")
-        cur = Curator(self.backend, bank, clip_backend=self.reid_backend)
+        canvas = int(getattr(self.backend, "det_size", 0) or 640)
+        cur = Curator(self.backend, bank, clip_backend=self.reid_backend,
+                      canvas=canvas, batch=cfg.tpu_batch_frames)
         res = cur.run(pool, out, max_images=cfg.curate_max_images,
                       fd_gate=cfg.curate_fd_gate, lam=cfg.curate_lambda)
         self._status_cb(
