@@ -106,6 +106,10 @@ class HdrExportParams:
             shadow_chroma_protect=cfg.hdr_wic_yuv444_color_match_shadow_chroma_protect,
             speckle_cleanup=cfg.hdr_wic_speckle_cleanup,
         )
+        # conversion backend selection (reference: windows_wic = WIC-look
+        # with color-match repair; ffmpeg = plain libplacebo/zscale render)
+        if (cfg.hdr_sdr_conversion or "").lower() == "ffmpeg":
+            p.color_match = False
         # quality preset ladder (reference maps these to libplacebo
         # peak-detect/contrast-recovery/LUT/dither presets, gui_app.py:12598;
         # here they gate the expensive stages of the device chain)
