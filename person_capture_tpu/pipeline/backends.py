@@ -75,7 +75,9 @@ class ScrfdArcFaceBackend:
                  score_thresh: float = 0.5, max_faces: int = 8,
                  flip_tta: bool = False, dtype=None, seed: int = 0,
                  scrfd_weights=None, arcface_weights=None,
-                 host_align: bool = False, transfer_format: str = "i420"):
+                 host_align: bool = False, transfer_format: str = "i420",
+                 use_arcface: bool = True, clip_face_cfg=None,
+                 clip_face_weights=None):
         import jax
         import jax.numpy as jnp
 
@@ -88,6 +90,7 @@ class ScrfdArcFaceBackend:
         scrfd_cfg = scrfd_cfg or SD.SCRFD_2_5G
         arcface_cfg = arcface_cfg or AF.W600K_R50
         dtype = dtype or jnp.bfloat16
+        self.use_arcface = bool(use_arcface)
         self.det_size = int(det_size)
         self.score_thresh = float(score_thresh)
         self.max_faces = int(max_faces)
@@ -116,8 +119,22 @@ class ScrfdArcFaceBackend:
 
         detect = partial(SD.detect_faces, self.scrfd_model, self.scrfd_vars,
                          max_faces=self.max_faces)
-        encode = partial(AF.encode_chips, self.arcface_model,
-                         self.arcface_vars, flip_tta=self.flip_tta)
+        if self.use_arcface:
+            encode = partial(AF.encode_chips, self.arcface_model,
+                             self.arcface_vars, flip_tta=self.flip_tta)
+        else:
+            # reference fallback: identity embedding via an OpenCLIP image
+            # tower when ArcFace is unavailable (face_embedder.py:958-965)
+            from ..models import clip_vit as CV
+
+            clip_cfg = clip_face_cfg or CV.VIT_L_14
+            self.clip_model, self.clip_vars = CV.init_clip(
+                jax.random.PRNGKey(seed + 1), clip_cfg, dtype=dtype)
+            if clip_face_weights is not None:
+                self.clip_vars = clip_face_weights
+            self.embed_dim = clip_cfg.embed_dim
+            encode = partial(CV.encode_images, self.clip_model,
+                             self.clip_vars)
 
         @jax.jit
         def detect_fn(frames_u8, score_thresh):

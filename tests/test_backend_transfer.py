@@ -94,3 +94,24 @@ def test_pipelined_submits_in_order(tiny_backend_pair):
     o1, o2 = h1(), h2()
     direct1 = backend.extract_batch(f1, np.ones(1, bool))
     np.testing.assert_allclose(o1["scores"], direct1["scores"], atol=1e-5)
+
+
+def test_clip_face_fallback_backend():
+    """use_arcface=False embeds chips with the CLIP tower (reference:
+    face_embedder.py:958-965 fallback)."""
+    from person_capture_tpu.models import clip_vit as CV
+
+    backend = ScrfdArcFaceBackend(
+        scrfd_cfg=SD.TINY, arcface_cfg=AF.TINY, clip_face_cfg=CV.TINY,
+        det_size=64, score_thresh=0.0, max_faces=4, dtype=jnp.float32,
+        use_arcface=False)
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, 48, 64, 3), dtype=np.uint8)
+    out = backend.extract_batch(frames, np.ones(2, bool))
+    assert backend.embed_dim == CV.TINY.embed_dim
+    assert out["feats"].shape == (2, 4, CV.TINY.embed_dim)
+    # embeddings normalized where masked
+    m = out["mask"]
+    if m.any():
+        norms = np.linalg.norm(out["feats"][m], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
