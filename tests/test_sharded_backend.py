@@ -67,3 +67,48 @@ def test_sharded_prescan_pipeline_on_cpu_mesh(tmp_path):
     reader.release()
     assert res.samples == 10
     assert res.spans == []  # random weights, threshold 0.9: no detections
+
+def test_sharded_step_matches_unsharded():
+    """dp×tp sharding must be numerically transparent: the mesh program and
+    a single-device run of the same math with the same weights agree."""
+    import jax.numpy as jnp
+
+    from person_capture_tpu.core.bank import fd_min_batch_jnp
+    from person_capture_tpu.ops import align as AL
+    from person_capture_tpu.ops import quality as Q
+    from person_capture_tpu.ops.preprocess import letterbox_topleft
+    from person_capture_tpu.parallel.mesh import build_sharded_prescan_step
+
+    mesh = make_mesh("data:4,model:2")
+    run = build_sharded_prescan_step(mesh, scrfd_cfg=SD.TINY,
+                                     arcface_cfg=AF.TINY, det_size=64,
+                                     max_faces=4, dtype=jnp.float32, seed=3)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (8, 48, 64, 3), dtype=np.uint8)
+    bank = rng.normal(size=(4, AF.TINY.embed_dim)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    bank_mask = np.ones(4, bool)
+    sharded = run(frames, bank, bank_mask, score_thresh=0.0)
+
+    # single-device recompute with the SAME (gathered) weights
+    sv = jax.device_get(run.scrfd_vars)
+    av = jax.device_get(run.arcface_vars)
+    from person_capture_tpu.models.arcface import IResNet, encode_chips
+    from person_capture_tpu.models.scrfd import SCRFD, detect_faces
+
+    scrfd_model = SCRFD(SD.TINY, jnp.float32)
+    arc_model = IResNet(AF.TINY, jnp.float32)
+    fr = jnp.asarray(frames).astype(jnp.float32)
+    padded, scales = jax.vmap(lambda f: letterbox_topleft(f, 64))(fr)
+    det = detect_faces(scrfd_model, sv, padded, scales, 0.0, 4)
+    chips = jax.vmap(lambda f, kp, m: AL.align_chips_matmul_jnp(f, kp, m))(
+        fr, det["kps"], det["mask"])
+    feats = encode_chips(arc_model, av, chips.reshape(32, 112, 112, 3),
+                         flip_tta=False).reshape(8, 4, -1)
+    _, best = fd_min_batch_jnp(feats, det["mask"], jnp.asarray(bank),
+                               jnp.asarray(bank_mask))
+
+    np.testing.assert_allclose(np.asarray(sharded["boxes"]),
+                               np.asarray(det["boxes"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sharded["best_fd"]),
+                               np.asarray(best), atol=1e-3)
