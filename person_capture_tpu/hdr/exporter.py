@@ -141,13 +141,16 @@ class HdrStillExporter:
     def __init__(self, source, params: HdrExportParams,
                  out_format: str = "png", archive_dir: Optional[str] = None,
                  archive_fmt: str = "avif",
-                 diag_dir: Optional[str] = None):
+                 diag_dir: Optional[str] = None,
+                 block_guard_mode: str = "reject"):
         self.source = source
         self.params = params
         self.out_format = (out_format or "png").lstrip(".").lower()
         self.archive_dir = archive_dir
         self.archive_fmt = archive_fmt
         self.diag_dir = diag_dir
+        # reject | log | off (reference hdr_wic_block_corruption_guard_mode)
+        self.block_guard_mode = (block_guard_mode or "reject").lower()
 
     def out_path_for(self, jpeg_path: str) -> str:
         base, _ = os.path.splitext(jpeg_path)
@@ -164,6 +167,21 @@ class HdrStillExporter:
         # color-match runs inside the fused render program (its statistics
         # reference is rendered in the same dispatch)
         bgr = render_sdr_crop_from_p010(y, uv, src_crop, self.params)
+        if self.block_guard_mode != "off":
+            from .stills import detect_block_corruption_bgr
+
+            bad, reason = detect_block_corruption_bgr(bgr)
+            if bad and self.block_guard_mode == "reject":
+                # fall back to the plain tone-map chain (no color match),
+                # mirroring the reference's reject-then-fallback ladder
+                plain = HdrExportParams(**{**self.params.__dict__,
+                                           "color_match": False})
+                bgr2 = render_sdr_crop_from_p010(y, uv, src_crop, plain)
+                bad2, _ = detect_block_corruption_bgr(bgr2)
+                if not bad2:
+                    bgr = bgr2
+                else:
+                    return False, f"block_corruption:{reason}"
         ok, err = save_sdr_still(bgr, out_path)
         if ok and self.archive_dir:
             os.makedirs(self.archive_dir, exist_ok=True)

@@ -202,7 +202,8 @@ class Engine:
                         out_format=cfg.hdr_sdr_output_format,
                         archive_dir=archive_dir,
                         archive_fmt=cfg.hdr_crop_format,
-                        diag_dir=diag_dir)
+                        diag_dir=diag_dir,
+                        block_guard_mode=cfg.hdr_wic_block_corruption_guard_mode)
                     self._status_cb(
                         f"HDR source ({', '.join(hdr_info.reasons)}); "
                         f"full-res SDR stills enabled")
@@ -269,14 +270,19 @@ class Engine:
         feats = self.reid_backend.extract([crop])
         return feats[0] if len(feats) else None
 
-    def _run_curator(self, bank: RefBank) -> None:
-        """Post-run curation of produced crops (reference `run_curator`,
-        gui_app.py:4289)."""
+    def run_curator(self, bank: RefBank, pool: str = "",
+                    out: str = "") -> None:
+        """Curate a crop pool (reference Processor.run_curator,
+        gui_app.py:4289); defaults to this session's crops/dataset_out."""
+        self._run_curator(bank, pool, out)
+
+    def _run_curator(self, bank: RefBank, pool: str = "",
+                     out: str = "") -> None:
         from ..curator import Curator
 
         cfg = self.cfg
-        pool = os.path.join(cfg.out_dir, "crops")
-        out = os.path.join(cfg.out_dir, "dataset_out")
+        pool = pool or os.path.join(cfg.out_dir, "crops")
+        out = out or os.path.join(cfg.out_dir, "dataset_out")
         if not os.path.isdir(pool):
             return
         self._status_cb("curating")
