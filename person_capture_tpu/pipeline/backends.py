@@ -77,7 +77,7 @@ class ScrfdArcFaceBackend:
                  scrfd_weights=None, arcface_weights=None,
                  host_align: bool = False, transfer_format: str = "i420",
                  use_arcface: bool = True, clip_face_cfg=None,
-                 clip_face_weights=None):
+                 clip_face_weights=None, embed_slots: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -91,6 +91,10 @@ class ScrfdArcFaceBackend:
         arcface_cfg = arcface_cfg or AF.W600K_R50
         dtype = dtype or jnp.bfloat16
         self.use_arcface = bool(use_arcface)
+        # Embed only the K highest-score face slots (NMS packs by score).
+        # The embedder dominates step FLOPs (~6 GFLOP/slot for r50) and most
+        # slots are empty in real footage; 0 = embed every slot.
+        self.embed_slots = int(embed_slots) if embed_slots else 0
         self.det_size = int(det_size)
         self.score_thresh = float(score_thresh)
         self.max_faces = int(max_faces)
@@ -177,13 +181,24 @@ class ScrfdArcFaceBackend:
             padded, scales = jax.vmap(
                 lambda f: letterbox_topleft(f, self.det_size))(frames)
             det = detect(padded, scales, score_thresh)
+            kps = det["kps"]
+            dmask = det["mask"]
+            k = self.embed_slots or self.max_faces
+            k = min(k, self.max_faces)
             chips = jax.vmap(
                 lambda fr, kp, m: AL.align_chips_matmul_jnp(fr, kp, m))(
-                frames, det["kps"], det["mask"])
+                frames, kps[:, :k], dmask[:, :k])
             b, f = chips.shape[0], chips.shape[1]
             flat = chips.reshape(b * f, *chips.shape[2:])
-            feats = encode(flat).reshape(b, f, -1)
-            quality = Q.chip_quality(flat).reshape(b, f)
+            feats_k = encode(flat).reshape(b, f, -1)
+            quality_k = Q.chip_quality(flat).reshape(b, f)
+            if k < self.max_faces:
+                pad = self.max_faces - k
+                feats = jnp.pad(feats_k, ((0, 0), (0, pad), (0, 0)))
+                quality = jnp.pad(quality_k, ((0, 0), (0, pad)))
+            else:
+                feats = feats_k
+                quality = quality_k
             feats = jnp.where(det["mask"][..., None], feats, 0.0)
             quality = jnp.where(det["mask"], quality, 0.0)
             # pack every output into ONE array: a single device→host
@@ -191,7 +206,7 @@ class ScrfdArcFaceBackend:
             # TPU links; 6 separate downloads would dominate the step)
             packed = jnp.concatenate([
                 det["boxes"],                            # 4
-                det["kps"].reshape(b, f, 10),            # 10
+                det["kps"].reshape(b, self.max_faces, 10),  # 10
                 det["scores"][..., None],                # 1
                 det["mask"].astype(jnp.float32)[..., None],  # 1
                 quality[..., None],                      # 1

@@ -115,3 +115,27 @@ def test_clip_face_fallback_backend():
     if m.any():
         norms = np.linalg.norm(out["feats"][m], axis=-1)
         np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+
+
+def test_embed_slots_limits_embedding_work():
+    backend = ScrfdArcFaceBackend(
+        scrfd_cfg=SD.TINY, arcface_cfg=AF.TINY, det_size=64,
+        score_thresh=0.0, max_faces=4, dtype=jnp.float32, embed_slots=2)
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 255, (2, 48, 64, 3), dtype=np.uint8)
+    out = backend.extract_batch(frames, np.ones(2, bool))
+    assert out["feats"].shape == (2, 4, AF.TINY.embed_dim)
+    # trailing (un-embedded) slots carry zero feats/quality
+    assert np.all(out["feats"][:, 2:] == 0)
+    assert np.all(out["quality"][:, 2:] == 0)
+    # boxes/mask still report all 4 slots
+    assert out["boxes"].shape == (2, 4, 4)
+
+    # default (0) embeds every slot — identical to an explicit max setting
+    b_all = ScrfdArcFaceBackend(
+        scrfd_cfg=SD.TINY, arcface_cfg=AF.TINY, det_size=64,
+        score_thresh=0.0, max_faces=4, dtype=jnp.float32)
+    out_all = b_all.extract_batch(frames, np.ones(2, bool))
+    if out_all["mask"].any():
+        m = out_all["mask"]
+        assert np.linalg.norm(out_all["feats"][m], axis=-1).min() > 0.9
