@@ -142,7 +142,9 @@ class HdrStillExporter:
                  out_format: str = "png", archive_dir: Optional[str] = None,
                  archive_fmt: str = "avif",
                  diag_dir: Optional[str] = None,
-                 block_guard_mode: str = "reject"):
+                 block_guard_mode: str = "reject",
+                 archive_sink=None,
+                 archive_timeout_sec: float = 90.0):
         self.source = source
         self.params = params
         self.out_format = (out_format or "png").lstrip(".").lower()
@@ -151,22 +153,34 @@ class HdrStillExporter:
         self.diag_dir = diag_dir
         # reject | log | off (reference hdr_wic_block_corruption_guard_mode)
         self.block_guard_mode = (block_guard_mode or "reject").lower()
+        # when set (AsyncSaver.submit_archive), archive encodes run on the
+        # dedicated backpressured archive thread instead of inline on the
+        # saver thread (reference archive_q depth 2, gui_app.py:5209-5372)
+        self.archive_sink = archive_sink
+        self.archive_timeout = float(archive_timeout_sec)
 
     def out_path_for(self, jpeg_path: str) -> str:
         base, _ = os.path.splitext(jpeg_path)
         return f"{base}.{self.out_format}"
 
     def export(self, frame_idx: int, crop_xyxy, frame_size: Tuple[int, int],
-               out_path: str) -> Tuple[bool, str]:
+               out_path: str, cancel=None) -> Tuple[bool, str]:
+        def _cancelled() -> bool:
+            return cancel is not None and cancel.is_set()
+
         planes = self.source.get_planes(frame_idx)
         if planes is None:
             return False, "hdr_decode_failed"
+        if _cancelled():
+            return False, "cancelled"
         y, uv = planes
         src_size = (y.shape[1], y.shape[0])
         src_crop = scale_crop_xyxy_to_source(crop_xyxy, frame_size, src_size)
         # color-match runs inside the fused render program (its statistics
         # reference is rendered in the same dispatch)
         bgr = render_sdr_crop_from_p010(y, uv, src_crop, self.params)
+        if _cancelled():
+            return False, "cancelled"
         if self.block_guard_mode != "off":
             from .stills import detect_block_corruption_bgr
 
@@ -183,13 +197,18 @@ class HdrStillExporter:
                 else:
                     return False, f"block_corruption:{reason}"
         ok, err = save_sdr_still(bgr, out_path)
-        if ok and self.archive_dir:
+        if ok and self.archive_dir and not _cancelled():
             os.makedirs(self.archive_dir, exist_ok=True)
             base = os.path.splitext(os.path.basename(out_path))[0]
-            archive_hdr_crop(y, uv, src_crop,
-                             os.path.join(self.archive_dir,
-                                          f"{base}.{self.archive_fmt}"),
-                             fmt=self.archive_fmt)
+            apath = os.path.join(self.archive_dir,
+                                 f"{base}.{self.archive_fmt}")
+            job = (lambda y=y, uv=uv, sc=src_crop, p=apath:
+                   archive_hdr_crop(y, uv, sc, p, fmt=self.archive_fmt,
+                                    timeout_sec=self.archive_timeout))
+            if self.archive_sink is not None:
+                self.archive_sink(job, label=apath)
+            else:
+                job()
         if ok and self.diag_dir:
             from .diagnostics import run_speckle_diagnostics
 

@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--min-gap-sec", type=float, default=0.0)
     ap.add_argument("--face-det-conf", type=float, default=0.5,
                     help="face detector candidate threshold")
-    ap.add_argument("--scrfd-weights", default="", help=".npz checkpoint")
+    ap.add_argument("--scrfd-weights", default="auto",
+                    help=".npz checkpoint | auto (bundled synthetic "
+                         "weights) | random")
     ap.add_argument("--arcface-weights", default="", help=".npz checkpoint")
     ap.add_argument("--face-model", default="scrfd_2.5g")
     ap.add_argument("--arcface-model", default="w600k_r50")
@@ -83,14 +85,15 @@ def main(argv=None) -> int:
 
     from .models import arcface as AF
     from .models import scrfd as SD
-    from .tools.weights import load_npz_variables
 
     import jax.numpy as jnp
 
     cfg.tpu_mesh = args.mesh
     cfg.tpu_compute_dtype = args.compute_dtype
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    scrfd_w = load_npz_variables(args.scrfd_weights) if args.scrfd_weights else None
+    from .models.zoo import resolve_weights
+
+    scrfd_w = resolve_weights(args.scrfd_weights, args.face_model)
     arc_w = None
     if args.arcface_weights:
         from .models.loaders import load_checkpoint
@@ -115,6 +118,27 @@ def main(argv=None) -> int:
             det_size=args.det_size, score_thresh=cfg.face_det_conf,
             dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
 
+    # batched recovery ladder (rotations / scale-TTA / edge-pad) around the
+    # face backend — reference face_embedder.py:2251-2443 semantics
+    from .pipeline.recovery import RecoveringFaceBackend, RecoveryPolicy
+
+    backend = RecoveringFaceBackend(backend, RecoveryPolicy.from_config(cfg))
+
+    # high-imgsz full-frame re-probe backend (reference full-frame face
+    # short-circuit, gui_app.py:6030-6219; imgsz 1408): compiled lazily on
+    # first rescue batch, shares the arcface weights family
+    fullframe_backend = None
+    if (cfg.face_fullframe_when_missed and not args.mesh
+            and int(cfg.face_fullframe_imgsz) > int(args.det_size)):
+        from .pipeline.backends import LazyBackend
+
+        fullframe_backend = LazyBackend(lambda: ScrfdArcFaceBackend(
+            scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
+            arcface_cfg=AF.CONFIGS.get(args.arcface_model, AF.W600K_R50),
+            det_size=int(cfg.face_fullframe_imgsz),
+            score_thresh=cfg.face_det_conf,
+            dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w))
+
     # person/ReID backends only when the requested mode needs them
     person_backend = None
     reid_backend = None
@@ -130,6 +154,7 @@ def main(argv=None) -> int:
 
     eng = Engine(cfg, backend, person_backend=person_backend,
                  reid_backend=reid_backend,
+                 fullframe_backend=fullframe_backend,
                  status=lambda m: print(f"[pc] {m}"),
                  progress=lambda p: None)
     result = eng.run()

@@ -41,7 +41,15 @@ def letterbox_topleft(img, size: int, scale: float | None = None):
         new_w = size
         new_h = int(round(size * im_ratio))
     det_scale = new_h / h
-    resized = resize_bilinear(img, new_h, new_w)
+    if (new_h, new_w) == (h, w):
+        resized = img.astype(jnp.float32)
+    else:
+        resized = resize_bilinear(img, new_h, new_w)
+    if (new_h, new_w) == (size, size):
+        # full-canvas case: the pad write would be a degenerate
+        # whole-shape dynamic-update-slice (XLA CPU check-fails on the
+        # fusion it produces at low optimization levels)
+        return resized, det_scale
     out = jnp.zeros((size, size, img.shape[2]), resized.dtype)
     out = out.at[:new_h, :new_w].set(resized)
     return out, det_scale

@@ -46,6 +46,29 @@ def extract_single_image(backend, img: np.ndarray, canvas: int = 0):
     return out
 
 
+class LazyBackend:
+    """Defer backend construction to first use. Rescue backends (e.g. the
+    face_fullframe_imgsz high-res re-probe) often never trigger; building
+    their params eagerly costs ~20 s on tunneled TPU links."""
+
+    def __init__(self, factory):
+        self._factory = factory
+        self._b = None
+
+    def _get(self):
+        if self._b is None:
+            self._b = self._factory()
+        return self._b
+
+    def extract_batch(self, *a, **k):
+        return self._get().extract_batch(*a, **k)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._get(), name)
+
+
 class FaceBatchBackend(Protocol):
     embed_dim: int
     max_faces: int

@@ -41,6 +41,7 @@ class Engine:
 
     def __init__(self, cfg: SessionConfig, backend,
                  person_backend=None, reid_backend=None,
+                 fullframe_backend=None,
                  status: Optional[Callable[[str], None]] = None,
                  progress: Optional[Callable[[float], None]] = None,
                  on_hit: Optional[Callable[[object], None]] = None,
@@ -49,6 +50,7 @@ class Engine:
         self.backend = backend
         self.person_backend = person_backend
         self.reid_backend = reid_backend
+        self.fullframe_backend = fullframe_backend
         from ..utils.logging import StatusLogger
 
         self._status_cb = StatusLogger(status or (lambda msg: None),
@@ -203,7 +205,8 @@ class Engine:
                         archive_dir=archive_dir,
                         archive_fmt=cfg.hdr_crop_format,
                         diag_dir=diag_dir,
-                        block_guard_mode=cfg.hdr_wic_block_corruption_guard_mode)
+                        block_guard_mode=cfg.hdr_wic_block_corruption_guard_mode,
+                        archive_timeout_sec=cfg.hdr_archive_timeout_sec)
                     self._status_cb(
                         f"HDR source ({', '.join(hdr_info.reasons)}); "
                         f"full-res SDR stills enabled")
@@ -216,7 +219,12 @@ class Engine:
                                                 cfg.frame_stride)
             with AsyncSaver(cfg.out_dir, jpg_quality=cfg.jpg_quality,
                             fsync=cfg.save_fsync,
-                            async_save=cfg.async_save) as saver:
+                            async_save=cfg.async_save,
+                            render_timeout_sec=cfg.hdr_export_timeout_sec
+                            if hdr_exporter is not None else 0.0) as saver:
+                if hdr_exporter is not None:
+                    # archive encodes ride the dedicated backpressured queue
+                    hdr_exporter.archive_sink = saver.submit_archive
                 ref_reid = self._seed_reid_ref(ref_paths) \
                     if self.reid_backend is not None else None
                 mp = run_main_pass(main_reader, self.backend, cfg, bank,
@@ -225,6 +233,7 @@ class Engine:
                                    hdr_exporter=hdr_exporter,
                                    person_backend=self.person_backend,
                                    reid_backend=self.reid_backend,
+                                   fullframe_backend=self.fullframe_backend,
                                    ref_reid_feat=ref_reid,
                                    progress=self._progress_cb,
                                    on_preview=self._on_preview,

@@ -64,6 +64,12 @@ class Candidate:
     # True when det_box is a real YOLO person detection (then it may act as
     # the compose subject box; face-derived boxes may not)
     subject_from_person: bool = False
+    face_feat: Optional[np.ndarray] = None
+    reid_feat: Optional[np.ndarray] = None
+    # lock-carry candidates reuse the lock box without a fresh sighting;
+    # they must not refresh the lock (else the carry self-perpetuates past
+    # the faceless_persist_frames window)
+    carried: bool = False
 
 
 @dataclass
@@ -74,6 +80,28 @@ class LockState:
     last_det_box: Optional[Tuple[float, float, float, float]] = None
     last_seen_frame: int = -1
     misses: int = 0
+    # EMA of the locked subject's ReID feature (reference `locked_reid` +
+    # `lock_momentum`, gui_app.py:7495-7512)
+    reid_feat: Optional[np.ndarray] = None
+
+    def update_reid(self, feat: Optional[np.ndarray],
+                    momentum: float) -> None:
+        if feat is None:
+            return
+        feat = np.asarray(feat, np.float32)
+        feat = feat / max(float(np.linalg.norm(feat)), 1e-6)
+        if self.reid_feat is None:
+            self.reid_feat = feat
+        else:
+            m = float(np.clip(momentum, 0.0, 1.0))
+            mixed = m * self.reid_feat + (1.0 - m) * feat
+            self.reid_feat = mixed / max(float(np.linalg.norm(mixed)), 1e-6)
+
+    def clear(self) -> None:
+        self.locked = False
+        self.hits = 0
+        self.last_face_box = None
+        self.reid_feat = None
 
     def register_hit(self, face_box, frame_idx: int, lock_after_hits: int,
                      det_box=None):
@@ -114,6 +142,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                   spans: Sequence[Tuple[int, int]], saver: AsyncSaver,
                   meta=None, batch_size: Optional[int] = None,
                   person_backend=None, reid_backend=None,
+                  fullframe_backend=None,
                   ref_reid_feat: Optional[np.ndarray] = None,
                   keyframes: Optional[Sequence[int]] = None,
                   hdr_exporter=None,
@@ -150,6 +179,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     last_save_t = -1e9
     min_gap = float(cfg.min_gap_sec)
     bank_mat = bank.matrix()
+
+    def _refresh_bank_mat() -> None:
+        nonlocal bank_mat
+        bank_mat = bank.matrix()
 
     pend: List[Tuple[int, np.ndarray]] = []
     prev_frame: List[Optional[np.ndarray]] = [None]
@@ -206,6 +239,52 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     submit = getattr(backend, "submit_batch", None)
 
     rescue_queue: List[Tuple[int, np.ndarray]] = []
+    ff_queue: List[Tuple[int, np.ndarray]] = []
+    ff_batch = min(batch, 8)  # high-res program: keep the canvas batch small
+    ff_counter = [0]
+
+    def _fullframe_rescue():
+        """High-imgsz full-frame re-probe for frames that produced no
+        candidate (reference full-frame face short-circuit at cadence with
+        `face_fullframe_imgsz` 1408, gui_app.py:6030-6219). The dedicated
+        backend letterboxes the original frame onto its larger canvas, so
+        small faces keep several× more pixels than the main det_size."""
+        nonlocal last_save_t
+        if not ff_queue or fullframe_backend is None:
+            return
+        items = ff_queue[:ff_batch]
+        ff_queue.clear()
+        frames = np.stack([f for (_, f) in items])
+        n = len(items)
+        valid = np.ones((n,), bool)
+        idxs = np.asarray([i for (i, _) in items]
+                          + [items[-1][0]] * (ff_batch - n))
+        if n < ff_batch:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], ff_batch - n, axis=0)], 0)
+            valid = np.concatenate([valid, np.zeros(ff_batch - n, bool)])
+        out = fullframe_backend.extract_batch(frames, valid, idxs)
+        for slot, (frame_idx, frame) in enumerate(items):
+            mask = out["mask"][slot]
+            if not mask.any():
+                continue
+            fds = [(j, _face_fd(out["feats"][slot][j]))
+                   for j in np.flatnonzero(mask)]
+            j, fd = min(fds, key=lambda t: t[1])
+            if fd > float(cfg.face_thresh):
+                continue
+            fb = tuple(float(v) for v in out["boxes"][slot][j])
+            q = float(out["quality"][slot][j])
+            cand = Candidate(_det_box_from_face(fb, frame.shape[1],
+                                                frame.shape[0]),
+                             fb, fd, None, q, fd,
+                             face_feat=out["feats"][slot][j])
+            lock.register_hit(fb, frame_idx, cfg.lock_after_hits,
+                              det_box=cand.det_box)
+            t = frame_idx / fps
+            if t - last_save_t >= min_gap:
+                if _compose_and_save(frame_idx, frame, cand, t):
+                    last_save_t = t
 
     def _roi_rescue():
         """Re-probe miss-while-locked frames on a native-resolution crop
@@ -297,6 +376,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                            reid_map, slot)
         if cfg.lock_face_roi_enable:
             _roi_rescue()
+        _fullframe_rescue()
 
     def flush(drain: bool = True):
         if pend:
@@ -332,6 +412,13 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 and cfg.lock_face_roi_enable
                 and lock.last_face_box is not None):
             rescue_queue.append((frame_idx, frame))
+        elif (decision == "no_candidate" and fullframe_backend is not None
+              and cfg.face_fullframe_when_missed
+              and not out["mask"][slot].any()):
+            # high-res re-probe at cadence (face_fullframe_cadence)
+            ff_counter[0] += 1
+            if ff_counter[0] % max(1, int(cfg.face_fullframe_cadence)) == 0:
+                ff_queue.append((frame_idx, frame))
         if debug_fh is not None:
             n_faces = int(out["mask"][slot].sum())
             n_persons = int(person_out["mask"][slot].sum()) \
@@ -347,13 +434,23 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         res.frames_processed += 1
         _maybe_preview(frame_idx, frame)
         H, W = frame.shape[:2]
+
+        # lock loss timeout (reference gui_app.py:8007-8010): the lock dies
+        # after max(2*faceless_persist, 6*stride) frames without a sighting
+        if lock.locked and lock.last_seen_frame >= 0:
+            lose_after = max(int(cfg.faceless_persist_frames) * 2, stride * 6)
+            if frame_idx - lock.last_seen_frame > lose_after:
+                lock.clear()
+
         fmask = out["mask"][slot]
-        face_list = []  # (box, fd, quality)
+        face_list = []  # (box, fd, quality, feat)
         for j in np.flatnonzero(fmask):
             face_list.append((tuple(float(v) for v in out["boxes"][slot][j]),
                               _face_fd(out["feats"][slot][j]),
-                              float(out["quality"][slot][j])))
-        any_face_match = any(fd <= cfg.face_thresh for _, fd, _ in face_list)
+                              float(out["quality"][slot][j]),
+                              out["feats"][slot][j]))
+        any_face_match = any(fd <= cfg.face_thresh
+                             for _, fd, _, _ in face_list)
 
         candidates: List[Candidate] = []
         mode = cfg.match_mode
@@ -373,11 +470,11 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 area = (pbox[2] - pbox[0]) * (pbox[3] - pbox[1])
                 if area < cfg.min_box_pixels:
                     continue
-                in_faces = [(b, fd, q) for (b, fd, q) in face_list
+                in_faces = [(b, fd, q, ft) for (b, fd, q, ft) in face_list
                             if _center_in_box(b, pbox)]
-                fb, fd, q = (None, None, 0.0)
+                fb, fd, q, fft = (None, None, 0.0, None)
                 if in_faces:
-                    fb, fd, q = min(in_faces, key=lambda t: t[1])
+                    fb, fd, q, fft = min(in_faces, key=lambda t: t[1])
                 rd = None
                 feat = reid_map.get((slot, int(ki)))
                 if feat is not None:
@@ -410,7 +507,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 score = combine_scores(fd, rd, cfg.combine)
                 candidates.append(Candidate(pbox, fb, fd, rd, q,
                                             score if score is not None else 9.0,
-                                            subject_from_person=True))
+                                            subject_from_person=True,
+                                            face_feat=fft,
+                                            reid_feat=reid_map.get(
+                                                (slot, int(ki)))))
 
         # global-face fallback / face_only short path: only in modes where a
         # face match alone may accept (both-mode falls back only when the
@@ -419,22 +519,41 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                            or (mode == "both"
                                and (ref_reid_feat is None or not use_reid)))
         if not candidates and face_list and face_may_accept:
-            fb, fd, q = min(face_list, key=lambda t: t[1])
+            ordered = sorted(face_list, key=lambda t: t[1])
+            fb, fd, q, fft = ordered[0]
+            # face ambiguity margin between two DISTINCT faces (reference
+            # gui_app.py:7797: `face_margin_min` on the top-2 fd gap)
+            if (len(ordered) > 1 and cfg.face_margin_min > 0
+                    and (ordered[1][1] - fd) < float(cfg.face_margin_min)
+                    and box_iou(ordered[1][0], fb) < 0.5
+                    and ordered[1][1] <= cfg.face_thresh):
+                lock.register_miss(cfg.lock_face_roi_max_misses)
+                return "ambiguous_face"
             if fd <= cfg.face_thresh:
                 det_box = None
                 from_person = False
-                # associate with a person box when available
-                for pbox in persons:
-                    if _center_in_box(fb, pbox):
-                        det_box = pbox
-                        from_person = True
-                        break
+                # associate with a person box when available — gated by the
+                # compose association cadence and the face-scale cap
+                # (reference gui_app.py:5924-5933: close-up faces skip the
+                # body association; YOLO association runs on a cadence)
+                assoc_max = float(cfg.compose_person_assoc_max_face_frac)
+                cadence = max(1, int(cfg.compose_person_detect_cadence))
+                face_h_frac = (fb[3] - fb[1]) / max(1.0, float(H))
+                assoc_ok = (assoc_max <= 0.0 or face_h_frac <= assoc_max)
+                on_cadence = (frame_idx // stride) % cadence == 0
+                if assoc_ok and (on_cadence or not persons):
+                    for pbox in persons:
+                        if _center_in_box(fb, pbox):
+                            det_box = pbox
+                            from_person = True
+                            break
                 if det_box is None:
                     det_box = _det_box_from_face(fb, W, H)
                 score = combine_scores(fd, None, cfg.combine)
                 candidates.append(Candidate(det_box, fb, fd, None, q,
                                             score if score is not None else 9.0,
-                                            subject_from_person=from_person))
+                                            subject_from_person=from_person,
+                                            face_feat=fft))
 
         # faceless fallback: while locked, a person box may be accepted via
         # ReID distance or IoU continuity with motion/area/drift gates
@@ -464,8 +583,15 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 feat = reid_map.get((slot, int(ki)))
                 if feat is not None and ref_reid_feat is not None:
                     rd = 1.0 - float(np.dot(feat, ref_reid_feat))
-                ok = iou >= cfg.faceless_iou_min or (
-                    rd is not None and rd <= cfg.faceless_reid_thresh)
+                # the lock's EMA'd ReID feature also validates continuity
+                # (reference locked_feat path, gui_app.py:7660)
+                rd_lock = None
+                if feat is not None and lock.reid_feat is not None:
+                    rd_lock = 1.0 - float(np.dot(feat, lock.reid_feat))
+                ok = (iou >= cfg.faceless_iou_min
+                      or (rd is not None and rd <= cfg.faceless_reid_thresh)
+                      or (rd_lock is not None
+                          and rd_lock <= cfg.faceless_reid_thresh))
                 if not ok:
                     continue
                 if cfg.faceless_min_motion_frac > 0 and prev_frame[0] is not None:
@@ -481,11 +607,29 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                                 continue
                 cand = Candidate(pbox, None, None, rd, 0.0,
                                  rd if rd is not None else 1.0 - iou,
-                                 subject_from_person=True)
+                                 subject_from_person=True, reid_feat=feat)
                 if best_fb is None or cand.score < best_fb.score:
                     best_fb = cand
             if best_fb is not None:
                 candidates.append(best_fb)
+
+        # last-resort lock carry (reference gui_app.py:7719-7730): within
+        # `faceless_persist_frames` of the last sighting, reuse the lock's
+        # subject box verbatim. Off by default (0 disables, like the
+        # reference's "disable carry to avoid background crops").
+        persist = int(cfg.faceless_persist_frames)
+        if (not candidates and persist > 0 and mode != "face_only"
+                and lock.last_det_box is not None
+                and lock.last_seen_frame >= 0
+                and frame_idx - lock.last_seen_frame <= persist):
+            lb = (max(0.0, lock.last_det_box[0]),
+                  max(0.0, lock.last_det_box[1]),
+                  min(float(W), lock.last_det_box[2]),
+                  min(float(H), lock.last_det_box[3]))
+            if lb[2] > lb[0] + 2 and lb[3] > lb[1] + 2:
+                candidates.append(Candidate(lb, None, None, None, 0.0, 8.0,
+                                            subject_from_person=True,
+                                            carried=True))
 
         prev_frame[0] = frame
 
@@ -512,8 +656,20 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 lock.register_miss(cfg.lock_face_roi_max_misses)
                 return "iou_gate"
 
-        lock.register_hit(best.face_box, frame_idx, cfg.lock_after_hits,
-                          det_box=best.det_box)
+        if not best.carried:
+            lock.register_hit(best.face_box, frame_idx, cfg.lock_after_hits,
+                              det_box=best.det_box)
+            lock.update_reid(best.reid_feat, cfg.lock_momentum)
+
+        # optional runtime bank growth (reference gui_app.py:7460: accepted
+        # face embeddings keep enriching the reference bank mid-run)
+        if (cfg.learn_bank_runtime and best.face_feat is not None
+                and best.fd is not None and best.fd <= cfg.prescan_fd_add
+                and best.quality >= cfg.face_quality_min):
+            action, _ = bank.update(np.asarray(best.face_feat, np.float32),
+                                    float(best.quality))
+            if action in ("added", "replaced"):
+                _refresh_bank_mat()
 
         t = frame_idx / fps
         if t - last_save_t < min_gap:
@@ -536,8 +692,12 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         work = frame
         off_x = off_y = 0
         if cfg.auto_crop_borders:
+            # border_scan_frac bounds the scan depth (reference
+            # gui_app.py:3368: fraction of min(W, H))
+            scan = max(8, int(float(cfg.border_scan_frac) * min(H, W))) \
+                if cfg.border_scan_frac > 0 else None
             bx1, by1, bx2, by2 = detect_black_borders(
-                frame, thr=int(cfg.border_threshold))
+                frame, thr=int(cfg.border_threshold), max_scan=scan)
             if (bx1, by1) != (0, 0) or (bx2, by2) != (W, H):
                 work = frame[by1:by2, bx1:bx2]
                 off_x, off_y = bx1, by1
@@ -606,14 +766,21 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
 
         path = os.path.join(crops_dir, f"f{frame_idx:08d}{suffix}.jpg")
         render = None
+        cancel_ev = None
         if hdr_exporter is not None and cfg.hdr_screencap_fullres:
             # full-resolution HDR→SDR still re-rendered from the source
-            # planes on the saver thread (reference: gui_app.py:7233-7312)
+            # planes on the saver thread (reference: gui_app.py:7233-7312);
+            # the cancel event lets the saver abandon a render that blows
+            # the hdr_export_timeout_sec budget (gui_app.py:7320-7332)
+            import threading as _threading
+
             path = hdr_exporter.out_path_for(path)
             crop_frame_coords = (x1 + off_x, y1 + off_y,
                                  x2 + off_x, y2 + off_y)
-            render = (lambda p, fi=frame_idx, cc=crop_frame_coords:
-                      hdr_exporter.export(fi, cc, (W, H), p))
+            cancel_ev = _threading.Event()
+            render = (lambda p, fi=frame_idx, cc=crop_frame_coords,
+                      ev=cancel_ev:
+                      hdr_exporter.export(fi, cc, (W, H), p, cancel=ev))
         row = [frame_idx, f"{t:.3f}",
                f"{best.score:.4f}",
                f"{best.fd:.4f}" if best.fd is not None else "",
@@ -621,7 +788,11 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y,
                os.path.basename(path), f"{sharp:.4f}", ratio or ""]
         saver.submit(SaveItem(img=img, path=path, csv_row=row,
-                              render=render))
+                              render=render, cancel_event=cancel_ev))
+        if cfg.async_save_wait:
+            # synchronous ack (reference wait_for_save, gui_app.py:7278):
+            # block until the saver drained this item
+            saver.wait_empty()
         if cfg.save_annot:
             _save_annot(frame_idx, frame, best, (x1 + off_x, y1 + off_y,
                                                  x2 + off_x, y2 + off_y))

@@ -61,6 +61,30 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
     stride = max(1, int(cfg.prescan_stride))
     batch = int(batch_size or cfg.tpu_batch_frames)
 
+    # pre-scan runtime hints (reference gui_app.py:1162-1196): fast mode on
+    # the recovery ladder + the dedicated pre-scan detector threshold
+    if hasattr(backend, "set_prescan_fast"):
+        backend.set_prescan_fast(True)
+    restore_conf = None
+    if (getattr(backend, "score_thresh", None) is not None
+            and float(getattr(cfg, "prescan_face_conf", 0.0) or 0.0) > 0.0):
+        restore_conf = backend.score_thresh
+        backend.score_thresh = float(cfg.prescan_face_conf)
+    try:
+        return _run_prescan_inner(reader, backend, cfg, bank, meta, batch,
+                                  reopen_reader, progress, should_stop,
+                                  t0, fps, total, stride)
+    finally:
+        if hasattr(backend, "set_prescan_fast"):
+            backend.set_prescan_fast(False)
+        if restore_conf is not None:
+            backend.score_thresh = restore_conf
+
+
+def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
+                       meta, batch, reopen_reader, progress, should_stop,
+                       t0, fps, total, stride) -> PrescanResult:
+
     sb = SpanBuilder(SpanBuilderConfig(
         fps=fps, stride=stride, enter=cfg.prescan_fd_enter,
         exit=cfg.prescan_fd_exit,

@@ -83,22 +83,33 @@ class SaveItem:
     # as render(path) -> (ok, err); `img` may be None then. Mirrors the
     # reference's typed hdr_sdr queue items (gui_app.py:7276-7344).
     render: Optional[object] = None
+    # Cooperative cancellation: set by the saver when `render` exceeds the
+    # render timeout (reference cancel events, gui_app.py:7284-7344)
+    cancel_event: Optional[threading.Event] = None
 
 
 class AsyncSaver:
     """Bounded-queue background writer with CSV accounting.
 
     With ``async_save=False`` everything runs inline (synchronous mode for
-    debugging, like the reference).
+    debugging, like the reference). Deferred renders are bounded by
+    ``render_timeout_sec`` (reference `hdr_export_timeout_sec` ack budget,
+    gui_app.py:7320-7332): a hung render gets its cancel event set and the
+    queue moves on — crop saving never stalls behind one export. Archive
+    work submitted via :meth:`submit_archive` runs on a separate
+    depth-``archive_depth`` backpressured queue (reference `pc.archive_saver`
+    thread + archive_q(2), gui_app.py:5209-5372).
     """
 
     def __init__(self, out_dir: str, jpg_quality: int = 85,
                  fsync: bool = False, async_save: bool = True,
-                 queue_size: int = 512, csv_name: str = "index.csv"):
+                 queue_size: int = 512, csv_name: str = "index.csv",
+                 render_timeout_sec: float = 0.0, archive_depth: int = 2):
         self.out_dir = out_dir
         self.jpg_quality = int(jpg_quality)
         self.fsync = bool(fsync)
         self.async_save = bool(async_save)
+        self.render_timeout = float(render_timeout_sec)
         os.makedirs(out_dir, exist_ok=True)
         self.csv_path = os.path.join(out_dir, csv_name)
         self._csv_f = open(self.csv_path, "w", newline="")
@@ -107,8 +118,11 @@ class AsyncSaver:
         self._csv_lock = threading.Lock()
         self.saved: List[str] = []
         self.errors: List[Tuple[str, str]] = []
+        self.archived: List[str] = []
         self._q: Optional[queue.Queue] = None
         self._thread: Optional[threading.Thread] = None
+        self._aq: queue.Queue = queue.Queue(maxsize=max(1, int(archive_depth)))
+        self._athread: Optional[threading.Thread] = None
         if self.async_save:
             self._q = queue.Queue(maxsize=queue_size)
             self._thread = threading.Thread(target=self._worker,
@@ -121,6 +135,22 @@ class AsyncSaver:
         else:
             self._handle(item)
 
+    def submit_archive(self, fn, label: str = "") -> None:
+        """Queue archive work (zero-arg callable → (ok, path_or_err)) on the
+        dedicated archive thread; blocks when `archive_depth` items pend
+        (intentional backpressure, reference gui_app.py:5219)."""
+        if self._athread is None:
+            self._athread = threading.Thread(target=self._archive_worker,
+                                             name="pc.archive_saver",
+                                             daemon=True)
+            self._athread.start()
+        self._aq.put((fn, label))
+
+    def wait_empty(self) -> None:
+        """Block until every submitted save item has been handled."""
+        if self._q is not None:
+            self._q.join()
+
     def _worker(self) -> None:
         while True:
             item = self._q.get()
@@ -132,10 +162,53 @@ class AsyncSaver:
             finally:
                 self._q.task_done()
 
+    def _archive_worker(self) -> None:
+        while True:
+            got = self._aq.get()
+            if got is None:
+                self._aq.task_done()
+                break
+            fn, label = got
+            try:
+                ok, res = fn()
+                if ok:
+                    self.archived.append(res)
+                else:
+                    self.errors.append((label or "archive", str(res)))
+            except Exception as e:  # noqa: BLE001 — archiver must never die
+                self.errors.append((label or "archive",
+                                    f"{type(e).__name__}: {e}"))
+            finally:
+                self._aq.task_done()
+
+    def _run_render(self, item: SaveItem):
+        """Run a deferred render bounded by the render timeout. On timeout
+        the item's cancel event is set and the (daemon) render thread is
+        abandoned — Python threads can't be killed, but cooperative renders
+        (hdr/exporter.py) observe the event between stages."""
+        if self.render_timeout <= 0:
+            return item.render(item.path)
+        result: List = []
+
+        def _call():
+            try:
+                result.append(item.render(item.path))
+            except Exception as e:  # noqa: BLE001
+                result.append((False, f"{type(e).__name__}: {e}"))
+
+        th = threading.Thread(target=_call, name="pc.render", daemon=True)
+        th.start()
+        th.join(timeout=self.render_timeout)
+        if th.is_alive():
+            if item.cancel_event is not None:
+                item.cancel_event.set()
+            return False, f"render_timeout>{self.render_timeout:.0f}s"
+        return result[0] if result else (False, "render_no_result")
+
     def _handle(self, item: SaveItem) -> None:
         if item.render is not None:
             try:
-                ok, err = item.render(item.path)
+                ok, err = self._run_render(item)
             except Exception as e:  # noqa: BLE001 — saver must never die
                 ok, err = False, f"{type(e).__name__}: {e}"
         else:
@@ -153,6 +226,9 @@ class AsyncSaver:
         if self._q is not None:
             self._q.put(None)
             self._thread.join(timeout=60)
+        if self._athread is not None:
+            self._aq.put(None)
+            self._athread.join(timeout=120)
         with self._csv_lock:
             self._csv_f.flush()
             self._csv_f.close()
