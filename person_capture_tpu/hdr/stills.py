@@ -89,6 +89,16 @@ class HdrExportParams:
     shadow_luma_protect: float = 0.85
     shadow_chroma_protect: float = 0.80
     speckle_cleanup: bool = True
+    # WIC-look reference chain controls (reference gui_app.py:10188-10379):
+    # the statistics reference renders through a genuinely different decode
+    # chain — full-range expansion, nearest (420-style) chroma, pure-2.2
+    # gamma — vs the clean chain's limited/linear/sRGB.
+    clean_range: str = "limited"    # hdr_wic_yuv444_color_match_clean_range
+    ref_max_side: int = 960         # reduced-res statistics reference
+    lowfreq: float = 0.0            # coarse chroma-field residual transfer
+    shadow_deblob: float = 0.0      # wic_shadow_deblob_strength
+    contrast_recovery: float = 0.0  # hdr_sdr_contrast_recovery
+    gamut: str = "clip"             # hdr_sdr_gamut_mapping
 
     @staticmethod
     def from_cfg(cfg) -> "HdrExportParams":
@@ -105,6 +115,12 @@ class HdrExportParams:
             shadow_luma_protect=cfg.hdr_wic_yuv444_color_match_shadow_luma_protect,
             shadow_chroma_protect=cfg.hdr_wic_yuv444_color_match_shadow_chroma_protect,
             speckle_cleanup=cfg.hdr_wic_speckle_cleanup,
+            clean_range=cfg.hdr_wic_yuv444_color_match_clean_range,
+            ref_max_side=cfg.hdr_wic_yuv444_color_match_ref_max_side,
+            lowfreq=cfg.hdr_wic_yuv444_color_match_lowfreq,
+            shadow_deblob=cfg.wic_shadow_deblob_strength,
+            contrast_recovery=cfg.hdr_sdr_contrast_recovery,
+            gamut=cfg.hdr_sdr_gamut_mapping,
         )
         # conversion backend selection (reference: windows_wic = WIC-look
         # with color-match repair; ffmpeg = plain libplacebo/zscale render)
@@ -135,14 +151,29 @@ def _params_key(params: HdrExportParams) -> tuple:
             params.color_match, params.color_match_strength,
             params.color_match_luma, params.color_match_chroma,
             params.shadow_luma_protect, params.shadow_chroma_protect,
-            params.speckle_cleanup)
+            params.speckle_cleanup, params.clean_range, params.ref_max_side,
+            params.lowfreq, params.shadow_deblob, params.contrast_recovery,
+            params.gamut)
+
+
+def _ref_subsample_step(shape_hw, ref_max_side: int) -> int:
+    """Even stride k so the statistics reference renders at ≤ ref_max_side
+    (the reference's reduced-reference fast path, gui_app.py:10380)."""
+    if ref_max_side <= 0:
+        return 1
+    side = max(shape_hw[0], shape_hw[1])
+    k = -(-side // int(ref_max_side))
+    return max(1, int(k))
 
 
 def _get_render_fn(params: HdrExportParams):
-    """One jitted program for the whole export: tone-map (+ its own
-    color-match reference render) + LUT/gain match + despeckle → uint8 BGR.
-    Eager per-op execution pays a host round trip per op on tunneled TPU
-    links (seconds per export); fused it is one dispatch + one download."""
+    """One jitted program for the whole export: clean tone-map + the
+    WIC-look statistics-reference render (a genuinely different decode
+    chain: full-range expansion, nearest 420-style chroma, pure-2.2 gamma —
+    reference gui_app.py:10188-10379 renders yuv420/full vs yuv444/limited
+    pairs for the same purpose) + LUT/gain/lowfreq match + shadow deblob +
+    despeckle → uint8 BGR. Eager per-op execution pays a host round trip
+    per op on tunneled TPU links; fused it is one dispatch + one download."""
     key = _params_key(params)
     fn = _RENDER_CACHE.get(key)
     if fn is not None:
@@ -150,32 +181,44 @@ def _get_render_fn(params: HdrExportParams):
 
     import jax
 
-    from ..kernels.cleanup import despeckle_bgr
+    from ..kernels.cleanup import despeckle_bgr, shadow_deblob_bgr
     from ..kernels.colormatch import color_match_bgr
     from ..kernels.hdr import p010_to_sdr_bgr_jnp
 
     def render(y_crop, uv_crop):
+        clean_full = params.full_range or params.clean_range == "full"
         bgr = p010_to_sdr_bgr_jnp(
-            y_crop, uv_crop, full_range=params.full_range,
+            y_crop, uv_crop, full_range=clean_full,
             transfer=params.transfer, src_peak_nits=params.src_peak_nits,
             sdr_nits=params.sdr_nits, algo=params.tonemap,
             desat=params.desat, param=params.tm_param, dither=params.dither,
-            peak_detect=params.peak_detect)
+            peak_detect=params.peak_detect,
+            contrast_recovery=params.contrast_recovery, gamut=params.gamut)
         if params.color_match:
-            # WIC-look statistics reference: the plain (no-dither) render
+            # WIC-look reference: full-range expansion + nearest chroma +
+            # gamma-2.2, rendered at reduced resolution (stats only)
+            k = _ref_subsample_step(y_crop.shape, params.ref_max_side)
+            y_ref = y_crop[::k, ::k]
+            uv_ref = uv_crop[::k, ::k]
             ref = p010_to_sdr_bgr_jnp(
-                y_crop, uv_crop, full_range=params.full_range,
+                y_ref, uv_ref, full_range=True,
                 transfer=params.transfer,
                 src_peak_nits=params.src_peak_nits,
                 sdr_nits=params.sdr_nits, algo=params.tonemap,
                 desat=params.desat, param=params.tm_param, dither=False,
-                peak_detect=params.peak_detect)
+                peak_detect=params.peak_detect,
+                chroma_upsample="nearest", oetf="gamma22",
+                contrast_recovery=params.contrast_recovery,
+                gamut=params.gamut)
             bgr = color_match_bgr(
                 bgr, ref, strength=params.color_match_strength,
                 luma_strength=params.color_match_luma,
                 chroma_strength=params.color_match_chroma,
                 shadow_luma_protect=params.shadow_luma_protect,
-                shadow_chroma_protect=params.shadow_chroma_protect)
+                shadow_chroma_protect=params.shadow_chroma_protect,
+                lowfreq=params.lowfreq)
+        if params.shadow_deblob > 0.0:
+            bgr = shadow_deblob_bgr(bgr, strength=params.shadow_deblob)
         if params.speckle_cleanup:
             bgr, _ = despeckle_bgr(bgr)
         return bgr
@@ -218,7 +261,8 @@ def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
             luma_strength=params.color_match_luma,
             chroma_strength=params.color_match_chroma,
             shadow_luma_protect=params.shadow_luma_protect,
-            shadow_chroma_protect=params.shadow_chroma_protect))
+            shadow_chroma_protect=params.shadow_chroma_protect,
+            lowfreq=params.lowfreq))
         if params.speckle_cleanup:
             from ..kernels.cleanup import despeckle_bgr
             bgr = np.asarray(despeckle_bgr(bgr)[0])

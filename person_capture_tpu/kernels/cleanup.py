@@ -60,3 +60,36 @@ def despeckle_bgr(bgr, dark_y: float = 0.22, chroma_thresh: float = 0.18,
                      for c in range(3)], axis=-1)
     out = jnp.where(mask[..., None], med, x.astype(jnp.float32))
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8), mask
+
+
+def shadow_deblob_bgr(bgr, strength: float = 0.5, dark_y: float = 0.16,
+                      grid_div: int = 8):
+    """Suppress chroma blobs in deep shadows (reference shadow deblob,
+    gui_app.py:9344-9467: dark regions of the WIC render show coherent
+    multi-pixel chroma clouds that the single-pixel despeckler leaves
+    alone). Chroma in sub-``dark_y`` luma is pulled toward its low-frequency
+    field by up to ``strength``; luma and lit regions are untouched."""
+    import jax
+    import numpy as np
+
+    from .color import YCBCR_BT601, rgb_to_ycbcr
+
+    x = jnp.asarray(bgr)
+    rgb = x[..., ::-1].astype(jnp.float32) / 255.0
+    ycc = rgb_to_ycbcr(rgb, YCBCR_BT601)
+    y = ycc[..., 0]
+    h, w = y.shape
+    gh, gw = max(1, h // grid_div), max(1, w // grid_div)
+    darkness = jnp.clip(1.0 - y / jnp.maximum(float(dark_y), 1e-5), 0.0, 1.0)
+    pull = float(strength) * darkness
+    out_c = [ycc[..., 0]]
+    for c in (ycc[..., 1], ycc[..., 2]):
+        low = jax.image.resize(jax.image.resize(c, (gh, gw), "linear"),
+                               (h, w), "linear")
+        out_c.append(c + pull * (low - c))
+    m = jnp.asarray(np.linalg.inv(YCBCR_BT601), jnp.float32)
+    r = m[0, 0] * out_c[0] + m[0, 1] * out_c[1] + m[0, 2] * out_c[2]
+    g = m[1, 0] * out_c[0] + m[1, 1] * out_c[1] + m[1, 2] * out_c[2]
+    b = m[2, 0] * out_c[0] + m[2, 1] * out_c[1] + m[2, 2] * out_c[2]
+    out = jnp.stack([b, g, r], -1) * 255.0
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)

@@ -81,16 +81,35 @@ def shadow_protect_weight(y, protect: float, knee: float = 0.18):
     return 1.0 - float(protect) * (1.0 - ramp)
 
 
+def lowfreq_residual(out_c, ref_c, amount: float, weight,
+                     grid: int = 24):
+    """Low-frequency chroma residual transfer (reference
+    ``hdr_wic_yuv444_color_match_lowfreq``, gui_app.py:9487-9878): the
+    global side-gain match cannot reproduce spatially varying casts, so the
+    coarse-grid difference ref−matched is added back. ``ref_c`` may be a
+    reduced-resolution rendering — both sides are pooled onto a common
+    coarse grid before differencing."""
+    import jax
+
+    h, w = out_c.shape
+    gh, gw = min(grid, h), min(grid, w)
+    low_out = jax.image.resize(out_c, (gh, gw), "linear")
+    low_ref = jax.image.resize(ref_c, (gh, gw), "linear")
+    resid = jax.image.resize(low_ref - low_out, (h, w), "linear")
+    return out_c + float(amount) * weight * resid
+
+
 def color_match_bgr(clean_bgr, ref_bgr, strength: float = 1.0,
                     luma_strength: float = 0.45,
                     chroma_strength: float = 0.85,
                     shadow_luma_protect: float = 0.85,
                     shadow_chroma_protect: float = 0.80,
-                    n_points: int = 33):
+                    n_points: int = 33, lowfreq: float = 0.0):
     """Match ``clean_bgr`` to ``ref_bgr``'s color response.
 
     ``ref_bgr`` may be a reduced-resolution rendering (statistics only —
     mirrors ``ref_max_side`` in the reference); output is full resolution.
+    ``lowfreq`` > 0 additionally transfers the coarse spatial chroma field.
     """
     y_c, cb_c, cr_c = _to_ycbcr(jnp.asarray(clean_bgr))
     y_r, cb_r, cr_r = _to_ycbcr(jnp.asarray(ref_bgr))
@@ -110,6 +129,9 @@ def color_match_bgr(clean_bgr, ref_bgr, strength: float = 1.0,
         mapped = jnp.where(c_clean >= 0, c_clean * pos_g, c_clean * neg_g)
         w_c = s * float(chroma_strength) * shadow_protect_weight(
             y_c, shadow_chroma_protect)
-        out_c.append(c_clean + w_c * (mapped - c_clean))
+        matched = c_clean + w_c * (mapped - c_clean)
+        if lowfreq > 0.0:
+            matched = lowfreq_residual(matched, c_ref, s * lowfreq, w_c)
+        out_c.append(matched)
 
     return _from_ycbcr(y_out, out_c[0], out_c[1])

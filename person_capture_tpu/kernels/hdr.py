@@ -38,11 +38,15 @@ def _bayer_tile(h: int, w: int):
     return jnp.asarray(_BAYER4)[ys, xs]
 
 
-def p010_unpack(y_u16, uv_u16, full_range: bool = False):
+def p010_unpack(y_u16, uv_u16, full_range: bool = False,
+                chroma_upsample: str = "linear"):
     """P010 planes → normalized Y (0..1), Cb/Cr (-0.5..0.5) at luma size.
 
     ``y_u16``: [H, W] uint16 with 10-bit codes in the high bits (>>6, as the
     Vulkan preview shader does); ``uv_u16``: [H/2, W/2, 2] interleaved CbCr.
+    ``chroma_upsample``: "linear" (clean 444-style reconstruction) or
+    "nearest" (the blockier 420 decode look of the reference's WIC/420
+    accepted-color chain).
     """
     y_code = (y_u16.astype(jnp.uint16) >> 6).astype(jnp.float32)
     uv_code = (uv_u16.astype(jnp.uint16) >> 6).astype(jnp.float32)
@@ -51,9 +55,53 @@ def p010_unpack(y_u16, uv_u16, full_range: bool = False):
     cb = norm(uv_code[..., 0], bits=10, chroma=True)
     cr = norm(uv_code[..., 1], bits=10, chroma=True)
     h, w = y.shape
-    cb = jax.image.resize(cb, (h, w), "linear")
-    cr = jax.image.resize(cr, (h, w), "linear")
+    method = "nearest" if chroma_upsample == "nearest" else "linear"
+    cb = jax.image.resize(cb, (h, w), method)
+    cr = jax.image.resize(cr, (h, w), method)
     return y, cb, cr
+
+
+def map_gamut_709(rgb709, mode: str = "clip"):
+    """Bring out-of-gamut BT.709 values in range (cfg.hdr_sdr_gamut_mapping).
+
+    Device equivalents of libplacebo's gamut modes (same names, simplified
+    curves): clip — hard clip; relative — uniform scale preserving hue;
+    perceptual — desaturate toward luma until the max channel fits;
+    saturation — per-channel soft knee."""
+    rgb = jnp.maximum(rgb709, 0.0)
+    if mode == "relative":
+        m = jnp.max(rgb, axis=-1, keepdims=True)
+        return rgb / jnp.maximum(m, 1.0)
+    if mode == "perceptual":
+        yl = (0.2126 * rgb[..., 0:1] + 0.7152 * rgb[..., 1:2]
+              + 0.0722 * rgb[..., 2:3])
+        m = jnp.max(rgb, axis=-1, keepdims=True)
+        # exact desaturation factor that brings the max channel to 1
+        t = jnp.clip((m - 1.0) / jnp.maximum(m - yl, 1e-5), 0.0, 1.0)
+        out = rgb + t * (yl - rgb)
+        return jnp.clip(out, 0.0, 1.0)
+    if mode == "saturation":
+        knee = 0.75
+        soft = knee + (1.0 - knee) * jnp.tanh((rgb - knee) / (1.0 - knee))
+        return jnp.where(rgb <= knee, rgb, soft)
+    return jnp.minimum(rgb, 1.0)  # clip
+
+
+def recover_contrast(mapped_lin, pre_lin, amount: float):
+    """Restore high-frequency luma detail crushed by tone-map compression
+    (cfg.hdr_sdr_contrast_recovery; libplacebo's contrast recovery): scale
+    the mapped image by the pre-map local detail ratio."""
+    if amount <= 0.0:
+        return mapped_lin
+    y_pre = (0.2627 * pre_lin[..., 0] + 0.6780 * pre_lin[..., 1]
+             + 0.0593 * pre_lin[..., 2])
+    h, w = y_pre.shape
+    ch, cw = max(1, h // 8), max(1, w // 8)
+    low = jax.image.resize(jax.image.resize(y_pre, (ch, cw), "linear"),
+                           (h, w), "linear")
+    detail = jnp.clip((y_pre + 1e-4) / (low + 1e-4), 0.5, 2.0)
+    gain = detail ** float(amount)
+    return mapped_lin * gain[..., None]
 
 
 def hdr_rgb_prime_to_linear(rgb_prime, transfer: str = "pq",
@@ -67,9 +115,20 @@ def hdr_rgb_prime_to_linear(rgb_prime, transfer: str = "pq",
     return lin / sdr_nits
 
 
-def sdr_encode(rgb709_lin, dither: bool = True):
-    """Linear BT.709 RGB (0..1) → dithered uint8 BGR."""
-    encoded = srgb_oetf(jnp.clip(rgb709_lin, 0.0, 1.0)) * 255.0
+def sdr_encode(rgb709_lin, dither: bool = True, oetf: str = "srgb"):
+    """Linear BT.709 RGB (0..1) → dithered uint8 BGR.
+
+    ``oetf``: "srgb" (piecewise sRGB) or "gamma22" (pure 2.2 power — the
+    simple-gamma response Windows decode paths apply; differs from sRGB
+    mostly in shadows, which is exactly where the reference's WIC look
+    diverges from the clean chain)."""
+    if oetf == "gamma22":
+        from .color import bt1886_oetf
+
+        encoded = bt1886_oetf(jnp.clip(rgb709_lin, 0.0, 1.0),
+                              gamma=2.2) * 255.0
+    else:
+        encoded = srgb_oetf(jnp.clip(rgb709_lin, 0.0, 1.0)) * 255.0
     if dither:
         h, w = encoded.shape[-3], encoded.shape[-2]
         encoded = encoded + (_bayer_tile(h, w) - 0.5)[..., None]
@@ -106,9 +165,12 @@ def p010_to_sdr_bgr_jnp(y_u16, uv_u16, full_range: bool = False,
                         transfer: str = "pq", src_peak_nits: float = 1000.0,
                         sdr_nits: float = 100.0, algo: str = "bt.2390",
                         desat: float = 0.25, param: Optional[float] = None,
-                        dither: bool = True, peak_detect: bool = False):
+                        dither: bool = True, peak_detect: bool = False,
+                        chroma_upsample: str = "linear", oetf: str = "srgb",
+                        contrast_recovery: float = 0.0,
+                        gamut: str = "clip"):
     """Full P010 HDR frame → SDR BGR uint8 (jnp reference path)."""
-    y, cb, cr = p010_unpack(y_u16, uv_u16, full_range)
+    y, cb, cr = p010_unpack(y_u16, uv_u16, full_range, chroma_upsample)
     rgb_prime = jnp.clip(ycbcr_to_rgb(y, cb, cr, YCBCR_BT2020), 0.0, 1.0)
     if peak_detect and transfer == "pq":
         # dynamic peak: tone-map relative to the measured scene peak
@@ -117,14 +179,19 @@ def p010_to_sdr_bgr_jnp(y_u16, uv_u16, full_range: bool = False,
         peak_ratio = jnp.maximum(peak_nits / sdr_nits, 1.0 + 1e-3)
         mapped = apply_tonemap(lin, peak_ratio, algo=algo, desat=desat,
                                param=param)
-        rgb709 = jnp.clip(jnp.einsum("...c,dc->...d", mapped,
-                                     jnp.asarray(BT2020_TO_BT709)), 0.0, 1.0)
-        return sdr_encode(rgb709, dither)
+        mapped = recover_contrast(mapped, lin, contrast_recovery)
+        rgb709 = map_gamut_709(jnp.einsum("...c,dc->...d", mapped,
+                                          jnp.asarray(BT2020_TO_BT709)),
+                               gamut)
+        return sdr_encode(rgb709, dither, oetf)
     lin = hdr_rgb_prime_to_linear(rgb_prime, transfer, sdr_nits,
                                   src_peak_nits)
-    rgb709 = hdr_to_sdr_core_jnp(lin, src_peak_nits, sdr_nits, algo, desat,
-                                 param)
-    return sdr_encode(rgb709, dither)
+    peak = max(1.0 + 1e-3, float(src_peak_nits) / float(sdr_nits))
+    mapped = apply_tonemap(lin, peak, algo=algo, desat=desat, param=param)
+    mapped = recover_contrast(mapped, lin, contrast_recovery)
+    rgb709 = map_gamut_709(jnp.einsum("...c,dc->...d", mapped,
+                                      jnp.asarray(BT2020_TO_BT709)), gamut)
+    return sdr_encode(rgb709, dither, oetf)
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,6 @@ import numpy as np
 
 from ..config import LIVE_KEYS, SessionConfig
 from ..core.bank import RefBank
-from ..video.reader import Cv2Reader, open_reader
 from . import cache as prescan_cache
 from .mainpass import MainPassResult, run_main_pass
 from .prescan import PrescanResult, run_prescan
@@ -142,22 +141,34 @@ class Engine:
                 return EngineResult(False, [], None, None,
                                     "no reference embeddings")
 
-            main_reader = open_reader(cfg.video)
+            from ..video.probe import detect_hdr as _detect_hdr
+            from ..video.reader import open_analysis_reader
+
+            src_is_hdr = _detect_hdr(cfg.video).is_hdr
+
+            def _open_analysis(max_w=0, prefer_ffmpeg=False):
+                # HDR sources reach the detectors tone-mapped (reference
+                # open_video_with_tonemap, video_io.py:1093-1160)
+                return open_analysis_reader(
+                    cfg.video, max_w=max_w, prefer_ffmpeg=prefer_ffmpeg,
+                    hdr=src_is_hdr, tonemap_pref=cfg.hdr_tonemap_pref,
+                    tonemap_algo=cfg.hdr_sdr_tonemap,
+                    status=self._status_cb)
+
+            main_reader = _open_analysis()
             meta = main_reader.meta()
             pres: Optional[PrescanResult] = None
             if cfg.prescan_enable:
                 self._status_cb("pre-scan")
 
                 def _reopen():
-                    return open_reader(cfg.video,
-                                       max_w=cfg.prescan_decode_max_w)
+                    return _open_analysis(max_w=cfg.prescan_decode_max_w)
 
                 def _run():
                     from ..video.reader import StridedPrefetchReader
 
-                    base = open_reader(cfg.video,
-                                       max_w=cfg.prescan_decode_max_w,
-                                       prefer_ffmpeg=True)
+                    base = _open_analysis(max_w=cfg.prescan_decode_max_w,
+                                          prefer_ffmpeg=True)
                     r = StridedPrefetchReader(base, cfg.prescan_stride)
                     try:
                         p = run_prescan(r, self.backend, cfg, bank, meta=None,

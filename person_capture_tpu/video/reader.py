@@ -154,17 +154,95 @@ class Cv2Reader:
         self.cap.release()
 
 
+def probe_ffmpeg_filters() -> frozenset:
+    """Names of the available ffmpeg filters (cached); empty when no
+    binary. Used to pick the tone-map chain like the reference's
+    capability probing (video_io.py:1314-1333, gui_app.py:8704-8746)."""
+    global _FILTER_CACHE
+    if _FILTER_CACHE is not None:
+        return _FILTER_CACHE
+    exe = find_ffmpeg()
+    names = set()
+    if exe is not None:
+        try:
+            cp = subprocess.run([exe, "-hide_banner", "-filters"],
+                                capture_output=True, timeout=20, check=False)
+            for line in cp.stdout.decode(errors="ignore").splitlines():
+                parts = line.split()
+                if len(parts) >= 2 and any(c in parts[0] for c in "TSC."):
+                    names.add(parts[1])
+        except (OSError, subprocess.SubprocessError):
+            pass
+    _FILTER_CACHE = frozenset(names)
+    return _FILTER_CACHE
+
+
+_FILTER_CACHE: Optional[frozenset] = None
+
+# ffmpeg's tonemap filter has no bt.2390; rotate to the nearest supported
+# curve like the reference's algo rotation (video_io.py:1214)
+_FF_TONEMAP_ALGO = {"bt.2390": "mobius", "spline": "mobius",
+                    "st2094-40": "mobius", "auto": "mobius",
+                    "mobius": "mobius", "hable": "hable",
+                    "reinhard": "reinhard", "clip": "clip"}
+
+
+def build_tonemap_vf(pref: str = "auto", algo: str = "bt.2390",
+                     filters: Optional[frozenset] = None,
+                     scale_w: int = 0, scale_h: int = 0) -> Tuple[str, str]:
+    """Build the ``-vf`` chain that tone-maps HDR → SDR bt709 inside the
+    decoder, so detection/embedding see properly graded frames (the
+    reference feeds analysis through libplacebo/zscale chains,
+    video_io.py:1093-1160, 2245-2520).
+
+    pref: auto | libplacebo | zscale | scale  (cfg.hdr_tonemap_pref).
+    Returns (chain, backend_used); chain "" means plain decode.
+    """
+    filters = probe_ffmpeg_filters() if filters is None else filters
+    scale = ""
+    if scale_w and scale_h:
+        scale = f"scale={scale_w}:{scale_h}:flags=area"
+    pref = (pref or "auto").lower()
+    want = (["libplacebo", "zscale", "scale"] if pref == "auto"
+            else [pref])
+    for backend in want:
+        if backend == "libplacebo" and "libplacebo" in filters:
+            tm = {"bt.2390": "bt.2390", "spline": "spline",
+                  "auto": "auto"}.get(algo, algo)
+            chain = (f"libplacebo=tonemapping={tm}:colorspace=bt709:"
+                     f"color_primaries=bt709:color_trc=bt709:range=tv")
+            if scale:
+                chain += "," + scale
+            return chain, "libplacebo"
+        if backend == "zscale" and "zscale" in filters \
+                and "tonemap" in filters:
+            tm = _FF_TONEMAP_ALGO.get(algo, "mobius")
+            chain = (f"zscale=transfer=linear:npl=100,tonemap={tm}:"
+                     f"desat=0.5,zscale=transfer=bt709:matrix=bt709:"
+                     f"primaries=bt709:range=limited")
+            if scale:
+                chain += "," + scale
+            return chain, "zscale"
+        if backend == "scale" and "scale" in filters:
+            # cheap mode (reference PC_FORCE_TONEMAP=scale): no tone-map,
+            # decode-downscale only
+            return scale, "scale"
+    return scale, "none"
+
+
 class FfmpegPipeReader:
     """External-ffmpeg rawvideo pipe with decode-level downscale.
 
-    Minimal TPU-era equivalent of the reference FfmpegPipeReader
+    TPU-era equivalent of the reference FfmpegPipeReader
     (video_io.py:1162-3226): bgr24 frames over stdout, optional ``scale``
-    filter, timestamp seek via ``-ss``. Tone-mapping is NOT done here —
-    HDR sources decode to their SDR preview via the device kernel instead.
+    filter, timestamp seek via ``-ss``. For HDR sources pass ``tonemap_vf``
+    (build_tonemap_vf) so analysis frames are tone-mapped in the decoder;
+    stills still re-render from source P010 planes on device.
     """
 
     def __init__(self, path: str, max_w: int = 0, fps: float = 0.0,
-                 width: int = 0, height: int = 0, start_sec: float = 0.0):
+                 width: int = 0, height: int = 0, start_sec: float = 0.0,
+                 tonemap_vf: str = ""):
         exe = find_ffmpeg()
         if exe is None:
             raise RuntimeError("ffmpeg binary not found")
@@ -188,8 +266,12 @@ class FfmpegPipeReader:
         if start_sec > 0:
             cmd += ["-ss", f"{start_sec:.6f}"]
         cmd += ["-i", path]
-        if (self.w, self.h) != (width, height):
-            cmd += ["-vf", f"scale={self.w}:{self.h}:flags=area"]
+        vf = tonemap_vf
+        if (self.w, self.h) != (width, height) and "scale=" not in vf:
+            vf = (vf + "," if vf else "") \
+                + f"scale={self.w}:{self.h}:flags=area"
+        if vf:
+            cmd += ["-vf", vf]
         cmd += ["-f", "rawvideo", "-pix_fmt", "bgr24", "-"]
         self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                      stderr=subprocess.DEVNULL,
@@ -238,6 +320,46 @@ def open_reader(path: str, max_w: int = 0, prefer_ffmpeg: bool = False):
             return FfmpegPipeReader(path, max_w=max_w)
         except Exception:
             pass
+    return Cv2Reader(path, max_w=max_w)
+
+
+def open_analysis_reader(path: str, max_w: int = 0,
+                         prefer_ffmpeg: bool = False,
+                         hdr: Optional[bool] = None,
+                         tonemap_pref: str = "auto",
+                         tonemap_algo: str = "bt.2390",
+                         status=None):
+    """Reader for the ANALYSIS stream (detection/embedding input).
+
+    Equivalent of the reference's ``open_video_with_tonemap`` selection
+    (video_io.py:1093-1160): HDR sources must reach the detectors as
+    tone-mapped SDR, not as cv2's washed-out default 8-bit conversion.
+    When ffmpeg exists the tone-map runs in the decoder (libplacebo →
+    zscale → plain scale, per ``tonemap_pref`` = cfg.hdr_tonemap_pref);
+    without it we fall back to cv2 decode with a logged warning.
+    """
+    if hdr is None:
+        try:
+            from .probe import detect_hdr
+
+            hdr = detect_hdr(path).is_hdr
+        except Exception:
+            hdr = False
+    if not hdr:
+        return open_reader(path, max_w=max_w, prefer_ffmpeg=prefer_ffmpeg)
+    if find_ffmpeg() is not None:
+        chain, backend = build_tonemap_vf(tonemap_pref, tonemap_algo)
+        try:
+            r = FfmpegPipeReader(path, max_w=max_w, tonemap_vf=chain)
+            if status is not None:
+                status(f"HDR analysis decode: {backend} chain")
+            return r
+        except Exception:
+            pass
+    if status is not None:
+        status("HDR source but no ffmpeg: analysis frames use cv2's "
+               "default conversion (washed); detection thresholds may "
+               "need loosening")
     return Cv2Reader(path, max_w=max_w)
 
 

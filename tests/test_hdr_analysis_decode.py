@@ -1,0 +1,99 @@
+"""HDR analysis decode selection (video/reader.py: build_tonemap_vf,
+open_analysis_reader) — reference open_video_with_tonemap semantics
+(video_io.py:1093-1160, 2245-2520): HDR sources must reach detection as
+tone-mapped SDR; chain picked by capability + cfg.hdr_tonemap_pref."""
+
+import numpy as np
+import pytest
+
+from person_capture_tpu.video import reader as R
+
+
+def test_build_vf_libplacebo_preferred_when_available():
+    f = frozenset({"libplacebo", "zscale", "tonemap", "scale"})
+    chain, backend = R.build_tonemap_vf("auto", "bt.2390", filters=f)
+    assert backend == "libplacebo"
+    assert "tonemapping=bt.2390" in chain and "bt709" in chain
+
+
+def test_build_vf_zscale_fallback():
+    f = frozenset({"zscale", "tonemap", "scale"})
+    chain, backend = R.build_tonemap_vf("auto", "bt.2390", filters=f)
+    assert backend == "zscale"
+    # bt.2390 rotates to a supported ffmpeg tonemap curve
+    assert "tonemap=mobius" in chain
+    assert "transfer=bt709" in chain
+
+
+def test_build_vf_respects_explicit_pref():
+    f = frozenset({"libplacebo", "zscale", "tonemap", "scale"})
+    chain, backend = R.build_tonemap_vf("zscale", "hable", filters=f)
+    assert backend == "zscale" and "tonemap=hable" in chain
+
+
+def test_build_vf_scale_mode_and_scaling():
+    f = frozenset({"scale"})
+    chain, backend = R.build_tonemap_vf("scale", "bt.2390", filters=f,
+                                        scale_w=384, scale_h=216)
+    assert backend == "scale" and chain == "scale=384:216:flags=area"
+
+
+def test_build_vf_none_when_nothing_available():
+    chain, backend = R.build_tonemap_vf("auto", "bt.2390",
+                                        filters=frozenset())
+    assert backend == "none" and chain == ""
+
+
+def test_open_analysis_reader_sdr_plain(tmp_path):
+    from person_capture_tpu.video.synthetic import generate_video
+
+    vid = str(tmp_path / "v.mp4")
+    generate_video(vid, total_frames=8)
+    r = R.open_analysis_reader(vid, hdr=False)
+    try:
+        assert r.read() is not None
+    finally:
+        r.release()
+
+
+def test_open_analysis_reader_hdr_without_ffmpeg_warns(tmp_path,
+                                                       monkeypatch):
+    from person_capture_tpu.video.synthetic import generate_video
+
+    vid = str(tmp_path / "v.mp4")
+    generate_video(vid, total_frames=8)
+    monkeypatch.setattr(R, "find_ffmpeg", lambda: None)
+    msgs = []
+    r = R.open_analysis_reader(vid, hdr=True, status=msgs.append)
+    try:
+        assert isinstance(r, R.Cv2Reader)
+        assert any("no ffmpeg" in m for m in msgs)
+    finally:
+        r.release()
+
+
+def test_open_analysis_reader_hdr_builds_tonemap_pipe(tmp_path,
+                                                      monkeypatch):
+    """With a (fake) ffmpeg available, the HDR analysis reader builds an
+    FfmpegPipeReader carrying the tone-map chain."""
+    from person_capture_tpu.video.synthetic import generate_video
+
+    vid = str(tmp_path / "v.mp4")
+    generate_video(vid, total_frames=8)
+    captured = {}
+
+    class FakePipe:
+        def __init__(self, path, max_w=0, tonemap_vf=""):
+            captured["vf"] = tonemap_vf
+
+    monkeypatch.setattr(R, "find_ffmpeg", lambda: "/bin/true")
+    monkeypatch.setattr(
+        R, "probe_ffmpeg_filters",
+        lambda: frozenset({"zscale", "tonemap", "scale"}))
+    monkeypatch.setattr(R, "FfmpegPipeReader", FakePipe)
+    msgs = []
+    r = R.open_analysis_reader(vid, hdr=True, tonemap_pref="auto",
+                               status=msgs.append)
+    assert isinstance(r, FakePipe)
+    assert "tonemap=" in captured["vf"]
+    assert any("zscale chain" in m for m in msgs)
