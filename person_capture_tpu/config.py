@@ -346,4 +346,5 @@ LIVE_KEYS = frozenset({
     "require_face_if_visible", "prefer_face_when_available",
     "frame_stride", "debug_dump", "overlay_scores", "overlay_face_fd",
     "smart_crop_enable", "compose_crop_enable",
+    "prescan_fd_enter", "prescan_fd_exit",
 })

@@ -155,12 +155,20 @@ class Item:
     bg_clip: Optional[np.ndarray] = None
     scene: int = -1
     meta: Dict = field(default_factory=dict)
+    # (identity, sharpness, exposure) weights — cfg.curate_weights; set by
+    # Curator.describe so downstream scoring honors the session's tuning
+    qweights: Optional[Tuple[float, float, float]] = None
 
     def quality_score(self) -> float:
-        """Weighted quality (reference: dataset_curator.py:266-284)."""
+        """Weighted quality (reference: dataset_curator.py:266-284); the
+        weight triple is cfg-driven (curate_weights)."""
         fd = max(0.0, float(self.face_fd))
         idq = float(np.clip(1.0 - fd / 0.5, 0.0, 1.0))
-        q = (0.45 * idq + 0.30 * self.sharpness + 0.20 * self.exposure
+        w = self.qweights or (0.45, 0.30, 0.20)
+        total = max(1e-6, sum(w))
+        scale = 0.95 / total  # keep 0.05 for the chip-quality term
+        q = (scale * (w[0] * idq + w[1] * self.sharpness
+                      + w[2] * self.exposure)
              + 0.05 * min(1.0, self.face_quality / 1200.0))
         q *= max(0.0, 1.0 - 0.6 * self.wmark)
         bb = float(min(max(self.meta.get("black_border_frac", 0.0), 0.0), 0.4))
@@ -263,6 +271,28 @@ DEFAULT_QUOTAS = {
     "wide": (0, 0.20),
     "profile": (0, 0.25),   # cap, not target
 }
+
+
+def quotas_from_bucket_fracs(bucket_quota, use_yaw_quota: bool = True,
+                             profile_cap_frac: float = 0.25) -> Dict:
+    """Map cfg.curate_bucket_quota = (closeup, portrait, body) fractions to
+    the per-category (min, max_frac) table; cfg.curate_use_yaw_quota=False
+    lifts the profile cap."""
+    c, p, b = (float(v) for v in bucket_quota)
+    return {
+        "closeup": (2, max(0.05, c)),
+        "portrait": (2, max(0.05, p)),
+        "cowboy": (1, max(0.05, b)),
+        "full": (1, max(0.05, b)),
+        "wide": (0, max(0.05, b * 0.8)),
+        "profile": (0, profile_cap_frac if use_yaw_quota else 1.0),
+    }
+
+
+def phash_sim_to_hamm(sim: float) -> int:
+    """cfg.curate_phash_dedup is a 0..1 similarity; the dedup gate works in
+    Hamming distance over 64 bits."""
+    return max(0, int(round((1.0 - float(sim)) * 64.0)))
 
 
 def mmr_select(items: List[Item], max_images: int = 200,
@@ -504,20 +534,34 @@ class Curator:
     def run(self, pool_dir: str, out_dir: str, max_images: int = 200,
             fd_gate: float = 0.45, lam: float = 0.70,
             dedup_hamm: int = 5, cos_face_dedup: float = 0.985,
-            copy: bool = True) -> Dict:
+            copy: bool = True, weights=None, bucket_quota=None,
+            use_yaw_quota: bool = True, scene_softcap: int = 6,
+            scene_penalty: float = 0.08,
+            profile_yaw_thresh: float = 20.0) -> Dict:
         exts = (".jpg", ".jpeg", ".png", ".webp")
         paths = sorted(
             os.path.join(pool_dir, f) for f in os.listdir(pool_dir)
             if f.lower().endswith(exts))
         t0 = time.perf_counter()
         items = self.describe(paths)
+        if weights is not None:
+            for it in items:
+                it.qweights = tuple(float(v) for v in weights)
         scene_ids = cluster_scenes(items)
         for it, sid in zip(items, scene_ids):
             it.scene = sid
+        quotas = (quotas_from_bucket_fracs(bucket_quota, use_yaw_quota)
+                  if bucket_quota is not None else
+                  (None if use_yaw_quota else
+                   {**DEFAULT_QUOTAS, "profile": (0, 1.0)}))
         chosen, debug = mmr_select(items, max_images=max_images,
                                    fd_gate=fd_gate, lam=lam,
                                    dedup_hamm=dedup_hamm,
-                                   cos_face_dedup=cos_face_dedup)
+                                   cos_face_dedup=cos_face_dedup,
+                                   scene_softcap=scene_softcap,
+                                   scene_penalty=scene_penalty,
+                                   profile_yaw_thresh=profile_yaw_thresh,
+                                   quotas=quotas)
         os.makedirs(out_dir, exist_ok=True)
         selected_paths = []
         for i in chosen:

@@ -421,11 +421,23 @@ class YoloPersonBackend:
         self._jnp = jnp
 
     def detect_batch(self, frames, valid, frame_idxs=None):
-        out = self._fused(self._jnp.asarray(frames),
-                          self._jnp.float32(self.conf))
-        host = {k: np.asarray(v) for k, v in out.items()}
-        host["mask"] = host["mask"] & np.asarray(valid)[:, None]
-        return host
+        return self.submit_batch(frames, valid, frame_idxs)()
+
+    def submit_batch(self, frames, valid, frame_idxs=None):
+        """Async dispatch: enqueue the YOLO program and return a fetcher.
+        Submitting it back-to-back with the face program lets both run on
+        device before either download — the person stage stops serializing
+        the main-pass step (VERDICT weak #6)."""
+        out_dev = self._fused(self._jnp.asarray(frames),
+                              self._jnp.float32(self.conf))
+        valid = np.asarray(valid).copy()
+
+        def fetch():
+            host = {k: np.asarray(v) for k, v in out_dev.items()}
+            host["mask"] = host["mask"] & valid[:, None]
+            return host
+
+        return fetch
 
 
 class ClipReidBackend:

@@ -105,8 +105,13 @@ def load_cache(path: str, key: str,
 
 
 def get_or_run(cfg: SessionConfig, video_path: str, ref_paths: List[str],
-               fps: float, total_frames: int, run_fn):
-    """Cache wrapper: ``run_fn()`` must return (spans, bank)."""
+               fps: float, total_frames: int, run_fn, skip_save=None):
+    """Cache wrapper: ``run_fn()`` must return (spans, bank).
+
+    ``skip_save``: optional zero-arg callable checked after the run; True
+    suppresses caching (interactively perturbed scans must not be cached —
+    reference gui_app.py:5047-5058).
+    """
     mode = (cfg.prescan_cache_mode or "auto").lower()
     if mode == "off":
         return run_fn(), False
@@ -117,6 +122,8 @@ def get_or_run(cfg: SessionConfig, video_path: str, ref_paths: List[str],
         if hit is not None:
             return hit, True
     spans, bank = run_fn()
+    if skip_save is not None and skip_save():
+        return (spans, bank), False
     try:
         save_cache(path, spans, bank, key)
     except OSError:

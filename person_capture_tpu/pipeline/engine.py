@@ -174,14 +174,19 @@ class Engine:
                         p = run_prescan(r, self.backend, cfg, bank, meta=None,
                                         reopen_reader=_reopen,
                                         progress=self._progress_cb,
-                                        should_stop=self._should_stop)
+                                        should_stop=self._should_stop,
+                                        seek_request=self._poll_seek)
                     finally:
                         r.release()
                     self._last_prescan = p
                     return p.spans, p.bank
 
                 (spans, bank2), cached = prescan_cache.get_or_run(
-                    cfg, cfg.video, ref_paths, meta.fps, meta.total_frames, _run)
+                    cfg, cfg.video, ref_paths, meta.fps, meta.total_frames,
+                    _run,
+                    skip_save=lambda: bool(getattr(
+                        getattr(self, "_last_prescan", None), "perturbed",
+                        False)))
                 bank = bank2
                 pres = getattr(self, "_last_prescan", None) if not cached else None
                 self._status_cb(f"pre-scan spans: {spans} (cached={cached})")
@@ -307,9 +312,16 @@ class Engine:
             return
         self._status_cb("curating")
         canvas = int(getattr(self.backend, "det_size", 0) or 640)
+        from ..curator.core import phash_sim_to_hamm
+
         cur = Curator(self.backend, bank, clip_backend=self.reid_backend,
                       canvas=canvas, batch=cfg.tpu_batch_frames)
         res = cur.run(pool, out, max_images=cfg.curate_max_images,
-                      fd_gate=cfg.curate_fd_gate, lam=cfg.curate_lambda)
+                      fd_gate=cfg.curate_fd_gate, lam=cfg.curate_lambda,
+                      dedup_hamm=phash_sim_to_hamm(cfg.curate_phash_dedup),
+                      cos_face_dedup=cfg.curate_cos_face_dedup,
+                      weights=cfg.curate_weights,
+                      bucket_quota=cfg.curate_bucket_quota,
+                      use_yaw_quota=cfg.curate_use_yaw_quota)
         self._status_cb(
             f"curated {res['metrics']['selected']}/{res['metrics']['pool']}")

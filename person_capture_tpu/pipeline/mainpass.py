@@ -349,11 +349,9 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     last_save_t = t
 
     def _resolve(entry):
-        fetch, frames, idxs, valid, n = entry
+        fetch, person_fetch, frames, idxs, valid, n = entry
         out = fetch()
-        person_out = None
-        if use_person:
-            person_out = person_backend.detect_batch(frames, valid, idxs)
+        person_out = person_fetch() if person_fetch is not None else None
         reid_map: Dict[Tuple[int, int], np.ndarray] = {}
         if use_reid and person_out is not None:
             crops, keys = [], []
@@ -394,7 +392,17 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             else:
                 out_now = backend.extract_batch(frames, valid, idxs)
                 fetch = lambda out_now=out_now: out_now
-            inflight.append((fetch, frames, idxs, valid, n))
+            person_fetch = None
+            if use_person:
+                # dispatch the person program immediately after the face
+                # program: both execute on device before either download
+                psubmit = getattr(person_backend, "submit_batch", None)
+                if psubmit is not None:
+                    person_fetch = psubmit(frames, valid, idxs)
+                else:
+                    p_now = person_backend.detect_batch(frames, valid, idxs)
+                    person_fetch = lambda p_now=p_now: p_now
+            inflight.append((fetch, person_fetch, frames, idxs, valid, n))
             pend.clear()
         while inflight and (drain or len(inflight) > 1):
             _resolve(inflight.pop(0))

@@ -38,13 +38,18 @@ class PrescanResult:
     skipped: int = 0
     wall_s: float = 0.0
     per_sample_fd: Dict[int, float] = field(default_factory=dict)
+    # True when an interactive command (seek) modified the scan — the
+    # result must not be cached (reference gui_app.py:5047-5058)
+    perturbed: bool = False
 
 
 def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
                 meta=None, batch_size: Optional[int] = None,
                 reopen_reader: Optional[Callable[[], object]] = None,
                 progress: Optional[Callable[[float], None]] = None,
-                should_stop: Optional[Callable[[], bool]] = None) -> PrescanResult:
+                should_stop: Optional[Callable[[], bool]] = None,
+                seek_request: Optional[Callable[[], Optional[int]]] = None
+                ) -> PrescanResult:
     """Run the batched pre-scan over ``reader`` using ``backend``.
 
     Args:
@@ -73,7 +78,7 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
     try:
         return _run_prescan_inner(reader, backend, cfg, bank, meta, batch,
                                   reopen_reader, progress, should_stop,
-                                  t0, fps, total, stride)
+                                  seek_request, t0, fps, total, stride)
     finally:
         if hasattr(backend, "set_prescan_fast"):
             backend.set_prescan_fast(False)
@@ -83,7 +88,7 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
 
 def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
                        meta, batch, reopen_reader, progress, should_stop,
-                       t0, fps, total, stride) -> PrescanResult:
+                       seek_request, t0, fps, total, stride) -> PrescanResult:
 
     sb = SpanBuilder(SpanBuilderConfig(
         fps=fps, stride=stride, enter=cfg.prescan_fd_enter,
@@ -177,6 +182,23 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
     while total <= 0 or idx < total:
         if should_stop is not None and should_stop():
             break
+        # interactive commands inside the pre-scan (reference drains the
+        # command queue twice per iteration, gui_app.py:1230-1415): seek
+        # jumps the scan position; LIVE span thresholds re-read each step
+        if seek_request is not None:
+            target = seek_request()
+            if target is not None:
+                flush()
+                target = max(0, int(target))
+                if hasattr(reader, "seek"):
+                    reader.seek(target)
+                else:
+                    reader.skip(max(0, target - reader.pos))
+                idx = target
+                res.perturbed = True
+                continue
+        sb.cfg.enter = float(cfg.prescan_fd_enter)
+        sb.cfg.exit = float(cfg.prescan_fd_exit)
         # The gate's skip decision must see every earlier sample's fd; if the
         # gate could be active, resolve pending/in-flight probes first. This
         # costs batch/pipeline efficiency only inside long no-face

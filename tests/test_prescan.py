@@ -172,3 +172,44 @@ def test_get_or_run_modes(tmp_path, synth):
     cfg.prescan_cache_mode = "off"
     _, hit4 = C.get_or_run(cfg, synth.path, [], 30.0, 240, run_fn)
     assert not hit4 and len(calls) == 3
+
+
+def test_prescan_seek_command_and_cache_skip(tmp_path):
+    """Interactive seek inside the pre-scan jumps the scan position and
+    marks the result perturbed (so the cache wrapper skips saving) —
+    reference gui_app.py:1230-1415 + 5047-5058."""
+    from person_capture_tpu.config import SessionConfig
+    from person_capture_tpu.core.bank import RefBank
+    from person_capture_tpu.pipeline.backends import OracleBackend
+    from person_capture_tpu.pipeline.prescan import run_prescan
+    from person_capture_tpu.video.reader import open_reader
+    from person_capture_tpu.video.synthetic import generate_video
+
+    vid = str(tmp_path / "v.mp4")
+    sv = generate_video(vid, total_frames=200, segments=[(0, 199, 0)],
+                        moving=False)
+    backend = OracleBackend(sv)
+    bank = RefBank(cap=8)
+    bank.update(backend.identity_feat(0), 100.0)
+    cfg = SessionConfig()
+    cfg.prescan_stride = 10
+    cfg.tpu_batch_frames = 4
+    cfg.prescan_fd9_skip = False
+    cfg.prescan_boundary_refine_sec = 0.0
+
+    seeks = [120]  # fire once, then no more seeks
+
+    def seek_request():
+        return seeks.pop() if seeks else None
+
+    reader = open_reader(vid)
+    try:
+        res = run_prescan(reader, backend, cfg, bank, batch_size=4,
+                          seek_request=seek_request)
+    finally:
+        reader.release()
+    assert res.perturbed
+    sampled = sorted(res.per_sample_fd)
+    # the scan jumped to 120: no samples in (0, 120) beyond the very first
+    assert not [i for i in sampled if 10 <= i < 120]
+    assert [i for i in sampled if i >= 120]
