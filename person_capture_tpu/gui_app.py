@@ -84,6 +84,10 @@ class EngineBridge(QtCore.QObject):
         if self._engine:
             self._engine.update_cfg(**kv)
 
+    def seek(self, frame_idx: int):
+        if self._engine:
+            self._engine.seek(int(frame_idx))
+
 
 def _bgr_to_qimage(bgr: np.ndarray) -> QtGui.QImage:
     h, w = bgr.shape[:2]
@@ -186,12 +190,29 @@ class MainWindow(QtWidgets.QMainWindow):
 
         layout.addWidget(form_w, 0)
 
-        # right: preview + log
+        # right: preview + seek + log
         right = QtWidgets.QVBoxLayout()
         self.preview_label = QtWidgets.QLabel("preview")
         self.preview_label.setMinimumSize(480, 270)
         self.preview_label.setAlignment(QtCore.Qt.AlignCenter)
         right.addWidget(self.preview_label, 1)
+
+        # seek slider + keyframe jumps (reference gui_app.py:17683-17759)
+        seek_row = QtWidgets.QHBoxLayout()
+        self.kf_prev_btn = QtWidgets.QPushButton("⏮ key")
+        self.kf_prev_btn.clicked.connect(lambda: self._jump_keyframe(-1))
+        self.seek_slider = QtWidgets.QSlider(QtCore.Qt.Horizontal)
+        self.seek_slider.setRange(0, 0)
+        self.seek_slider.sliderReleased.connect(self._on_seek_released)
+        self.kf_next_btn = QtWidgets.QPushButton("key ⏭")
+        self.kf_next_btn.clicked.connect(lambda: self._jump_keyframe(+1))
+        seek_row.addWidget(self.kf_prev_btn)
+        seek_row.addWidget(self.seek_slider, 1)
+        seek_row.addWidget(self.kf_next_btn)
+        self.seek_pos_label = QtWidgets.QLabel("0")
+        seek_row.addWidget(self.seek_pos_label)
+        right.addLayout(seek_row)
+
         self.log_pane = QtWidgets.QPlainTextEdit()
         self.log_pane.setReadOnly(True)
         self.log_pane.setMaximumBlockCount(2000)
@@ -200,9 +221,127 @@ class MainWindow(QtWidgets.QMainWindow):
 
         tabs = QtWidgets.QTabWidget()
         tabs.addTab(central, "Capture")
+        tabs.addTab(self._build_settings_tab(), "All settings")
         tabs.addTab(self._build_curate_tab(), "Curate")
         self.setCentralWidget(tabs)
         self._build_menu()
+        self._keyframes = []
+
+    # ------------------------------------------------------------------
+    def _build_settings_tab(self) -> QtWidgets.QWidget:
+        """Every SessionConfig field as a typed control, grouped into
+        collapsible sections generated from the dataclass (the reference
+        hand-builds ~200 widgets, gui_app.py:13558-15090; here new config
+        keys appear automatically). Fields in the LIVE set push
+        ``update_cfg`` to the running engine on change."""
+        from .utils.cfgbind import grouped_fields, widget_kind
+
+        self._field_widgets = {}
+        scroll = QtWidgets.QScrollArea()
+        scroll.setWidgetResizable(True)
+        host = QtWidgets.QWidget()
+        vbox = QtWidgets.QVBoxLayout(host)
+        for section, fields in grouped_fields().items():
+            box = QtWidgets.QGroupBox(section)
+            box.setCheckable(True)   # poor-man's collapsible
+            form = QtWidgets.QFormLayout(box)
+            for name, default in fields:
+                current = getattr(self.cfg, name, default)
+                kind = widget_kind(default)
+                if kind == "check":
+                    w = QtWidgets.QCheckBox()
+                    w.setChecked(bool(current))
+                    sig = w.toggled
+                elif kind == "int":
+                    w = QtWidgets.QSpinBox()
+                    w.setRange(-2 ** 30, 2 ** 30)
+                    w.setValue(int(current))
+                    sig = w.valueChanged
+                elif kind == "float":
+                    w = QtWidgets.QDoubleSpinBox()
+                    w.setRange(-1e9, 1e9)
+                    w.setDecimals(4)
+                    w.setValue(float(current))
+                    sig = w.valueChanged
+                else:  # tuple | text
+                    w = QtWidgets.QLineEdit(
+                        ", ".join(str(v) for v in current)
+                        if isinstance(current, tuple) else str(current))
+                    sig = w.editingFinished
+                w.setToolTip(f"{type(default).__name__}: {name}")
+                self._field_widgets[name] = (w, default, kind)
+                if name in LIVE_KEYS:
+                    sig.connect(lambda *_a, n=name: self._push_live(n))
+                form.addRow(name, w)
+            box.toggled.connect(
+                lambda on, b=box: [c.widget().setVisible(on)
+                                   for c in (b.layout().itemAt(i)
+                                             for i in range(b.layout().count()))
+                                   if c and c.widget()])
+            vbox.addWidget(box)
+        vbox.addStretch(1)
+        scroll.setWidget(host)
+        return scroll
+
+    def _widget_value(self, name: str):
+        from .utils.cfgbind import coerce_field_value
+
+        w, default, kind = self._field_widgets[name]
+        if kind == "check":
+            raw = w.isChecked()
+        elif kind in ("int", "float"):
+            raw = w.value()
+        else:
+            raw = w.text()
+        return coerce_field_value(default, raw)
+
+    def _push_live(self, name: str):
+        """LIVE key changed mid-run → push to the engine command queue
+        (reference `_apply_live_cfg`, gui_app.py:15947)."""
+        try:
+            value = self._widget_value(name)
+        except (ValueError, TypeError):
+            return
+        setattr(self.cfg, name, value)
+        if self.bridge:
+            self.bridge.update_cfg(**{name: value})
+
+    # ------------------------------------------------------------------
+    def _on_seek_released(self):
+        pos = int(self.seek_slider.value())
+        self.seek_pos_label.setText(str(pos))
+        if self.bridge:
+            self.bridge.seek(pos)
+
+    def _jump_keyframe(self, direction: int):
+        if not self._keyframes:
+            self._load_keyframes()
+        pos = int(self.seek_slider.value())
+        if direction < 0:
+            cands = [k for k in self._keyframes if k < pos]
+            target = max(cands) if cands else 0
+        else:
+            cands = [k for k in self._keyframes if k > pos]
+            target = min(cands) if cands else pos
+        self.seek_slider.setValue(int(target))
+        self._on_seek_released()
+
+    def _load_keyframes(self):
+        path = self.video_edit.text()
+        if not path or not os.path.isfile(path):
+            return
+        try:
+            from .video.keyframes import read_keyframes
+            from .video.reader import Cv2Reader
+
+            r = Cv2Reader(path)
+            meta = r.meta()
+            r.release()
+            self.seek_slider.setRange(0, max(0, meta.total_frames - 1))
+            self._keyframes = list(
+                read_keyframes(path, meta.fps, meta.total_frames))
+        except Exception as e:  # noqa: BLE001
+            self._log(f"keyframe index failed: {e}")
 
     def _build_curate_tab(self) -> QtWidgets.QWidget:
         """Curate tab (reference: gui_curate_tab.add_tab_to): pool/ref/out
@@ -308,6 +447,12 @@ class MainWindow(QtWidgets.QMainWindow):
 
     def _collect_cfg(self) -> SessionConfig:
         cfg = self.cfg
+        # the generated settings tab binds every remaining field
+        for name in getattr(self, "_field_widgets", {}):
+            try:
+                setattr(cfg, name, self._widget_value(name))
+            except (ValueError, TypeError):
+                pass
         cfg.video = self.video_edit.text()
         cfg.ref = ";".join(self.ref_list.item(i).text()
                            for i in range(self.ref_list.count()))
@@ -335,6 +480,7 @@ class MainWindow(QtWidgets.QMainWindow):
             lambda h: self._log(f"hit f{h.frame} fd={h.face_dist}"))
         self.bridge.finished.connect(
             lambda ok, err: self._log("done" if ok else f"FAILED: {err}"))
+        self._load_keyframes()
         self.bridge.start()
 
     def on_pause(self, value: bool):
@@ -350,6 +496,9 @@ class MainWindow(QtWidgets.QMainWindow):
         self.preview_label.setPixmap(QtGui.QPixmap.fromImage(qimg).scaled(
             self.preview_label.size(), QtCore.Qt.KeepAspectRatio,
             QtCore.Qt.SmoothTransformation))
+        if not self.seek_slider.isSliderDown():
+            self.seek_slider.setValue(int(idx))
+            self.seek_pos_label.setText(str(int(idx)))
 
     def _log(self, msg: str):
         self.log_pane.appendPlainText(str(msg))

@@ -153,24 +153,194 @@ def _read(path: str) -> Optional[str]:
         return None
 
 
+# ---------------------------------------------------------------------------
+# GitHub release check / download (reference: updater.py:209-242, 348-390)
+# ---------------------------------------------------------------------------
+
+def _default_fetch_json(url: str, timeout: float = 20.0):
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={
+        "Accept": "application/vnd.github+json",
+        "User-Agent": "person-capture-tpu-updater"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def github_latest_release(repo_slug: str, fetch_json=None) -> Optional[dict]:
+    """Latest release metadata for ``owner/repo``; None on any failure.
+    ``fetch_json`` is injectable so offline installs/tests can stub it."""
+    fetch_json = fetch_json or _default_fetch_json
+    try:
+        data = fetch_json(
+            f"https://api.github.com/repos/{repo_slug}/releases/latest")
+    except Exception:
+        # fall back to the branch ZIP (repos without releases)
+        return None
+    if not isinstance(data, dict):
+        return None
+    return {
+        "tag": data.get("tag_name") or "",
+        "zip_url": data.get("zipball_url") or "",
+        "name": data.get("name") or "",
+    }
+
+
+def download_zip(url: str, dest_path: str, opener=None) -> Tuple[bool, str]:
+    """Download a release ZIP. ``opener(url) -> bytes`` is injectable;
+    local paths / file: URLs are read directly (offline tests)."""
+    try:
+        if opener is not None:
+            data = opener(url)
+        elif os.path.isfile(url):
+            data = _read_bytes(url)
+        elif url.startswith("file://"):
+            data = _read_bytes(url[len("file://"):])
+        else:
+            import urllib.request
+
+            req = urllib.request.Request(
+                url, headers={"User-Agent": "person-capture-tpu-updater"})
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                data = resp.read()
+        if not data:
+            return False, "empty_download"
+        with open(dest_path, "wb") as fh:
+            fh.write(data)
+        return True, dest_path
+    except Exception as e:  # noqa: BLE001 — updater reports, never raises
+        return False, f"download_failed:{type(e).__name__}:{e}"
+
+
+def _read_bytes(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+# ---------------------------------------------------------------------------
+# dependency install + restart handshake (reference: updater.py:209-242,
+# 595-652)
+# ---------------------------------------------------------------------------
+
+def pip_install_cmd(repo_dir: str) -> List[str]:
+    import sys
+
+    return [sys.executable, "-m", "pip", "install", "-r",
+            os.path.join(repo_dir, "requirements.txt")]
+
+
+def pip_install_requirements(repo_dir: str, runner=None) -> Tuple[bool, str]:
+    """Run ``pip install -r requirements.txt`` (only called when the apply
+    step reported deps_changed). ``runner`` is injectable for tests."""
+    cmd = pip_install_cmd(repo_dir)
+    if not os.path.isfile(cmd[-1]):
+        return True, "no_requirements_file"
+    runner = runner or (lambda c: subprocess.run(
+        c, capture_output=True, text=True, timeout=1800, check=False))
+    try:
+        cp = runner(cmd)
+        rc = getattr(cp, "returncode", 0)
+        if rc != 0:
+            tail = (getattr(cp, "stderr", "") or "")[-400:]
+            return False, f"pip_failed_rc{rc}:{tail}"
+        return True, "deps_installed"
+    except Exception as e:  # noqa: BLE001
+        return False, f"pip_error:{type(e).__name__}:{e}"
+
+
+RESTART_ENV = "PC_UPDATER_RESTARTED"
+
+
+def build_restart_argv() -> List[str]:
+    import sys
+
+    return [sys.executable] + sys.argv
+
+
+def restart_process(execv=None) -> Optional[str]:
+    """Replace the process with a fresh interpreter after an applied update
+    (reference self-restart, updater.py:595-652). The RESTART_ENV handshake
+    prevents restart loops: a process that was itself started by the
+    updater refuses to restart again. Returns an error string instead of
+    exec'ing when refused."""
+    if os.environ.get(RESTART_ENV):
+        return "already_restarted_once"
+    os.environ[RESTART_ENV] = "1"
+    argv = build_restart_argv()
+    (execv or os.execv)(argv[0], argv)
+    return None  # pragma: no cover — execv does not return
+
+
 @dataclass
 class UpdateManager:
-    """Check/perform updates with plain callbacks (GUI-free)."""
+    """Check/perform updates with plain callbacks (GUI-free).
+
+    Strategy mirrors the reference UpdateManager (updater.py:660): a clean
+    git checkout fast-forwards in place; otherwise the latest GitHub
+    release ZIP is downloaded and staged for apply-on-next-start, with
+    ``pip install -r`` re-run only when requirements changed, then a
+    restart handshake."""
 
     repo_dir: str
     remote: str = "origin"
     branch: str = ""
+    github_repo: str = ""           # "owner/repo" for the ZIP path
     status: Callable[[str], None] = lambda msg: None
+    fetch_json: Optional[Callable] = None   # injectable (offline/test)
+    zip_opener: Optional[Callable] = None
+    pip_runner: Optional[Callable] = None
 
     def version(self) -> str:
         return current_version(self.repo_dir)
 
     def check(self) -> Tuple[bool, str]:
         self.status("checking for updates")
-        return git_update_available(self.repo_dir, self.remote, self.branch)
+        ok, detail = git_update_available(self.repo_dir, self.remote,
+                                          self.branch)
+        if detail not in ("not_a_git_checkout", "fetch_failed",
+                          "no_upstream"):
+            return ok, detail
+        if not self.github_repo:
+            return ok, detail
+        rel = github_latest_release(self.github_repo, self.fetch_json)
+        if rel is None or not rel["zip_url"]:
+            return False, f"{detail};github_unavailable"
+        cur = self.version()
+        available = bool(rel["tag"]) and rel["tag"] not in (cur,)
+        return available, f"github:{rel['tag'] or 'unknown'}"
 
     def perform(self) -> Tuple[bool, str]:
         self.status("updating")
         ok, detail = git_fast_forward(self.repo_dir, self.remote, self.branch)
-        self.status(f"update {'ok' if ok else 'failed'}: {detail}")
-        return ok, detail
+        if ok or not self.github_repo:
+            self.status(f"update {'ok' if ok else 'failed'}: {detail}")
+            return ok, detail
+        rel = github_latest_release(self.github_repo, self.fetch_json)
+        if rel is None or not rel["zip_url"]:
+            return False, f"{detail};github_unavailable"
+        zpath = os.path.join(self.repo_dir, ".pc_update.zip")
+        ok, got = download_zip(rel["zip_url"], zpath, self.zip_opener)
+        if not ok:
+            return False, got
+        ok, staged = stage_zip_update(self.repo_dir, zpath,
+                                      version=rel["tag"])
+        self.status(f"staged {rel['tag']}: {staged}" if ok
+                    else f"stage failed: {staged}")
+        return ok, ("staged_for_next_start" if ok else staged)
+
+    def apply_on_start(self, auto_deps: bool = True) -> Tuple[bool, str]:
+        """Call early at process start: applies a pending staged update and
+        re-installs dependencies when requirements changed. Returns
+        (restart_recommended, detail)."""
+        if not staged_update_pending(self.repo_dir):
+            return False, "no_staged_update"
+        ok, detail = apply_staged_update(self.repo_dir)
+        if not ok:
+            return False, detail
+        if detail == "deps_changed" and auto_deps:
+            dok, ddetail = pip_install_requirements(self.repo_dir,
+                                                    self.pip_runner)
+            self.status(f"dependencies: {ddetail}")
+            detail = f"{detail};{ddetail}" if dok else f"{detail};{ddetail}"
+        self.status("update applied; restart recommended")
+        return True, detail

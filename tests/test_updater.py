@@ -83,3 +83,81 @@ def test_git_ff_refuses_dirty(tmp_path):
     (repo / "a.txt").write_text("dirty")
     ok, detail = U.git_fast_forward(str(repo))
     assert not ok and detail == "working_tree_dirty"
+
+
+def _make_release_zip(tmp_path, reqs="new==2.0\n"):
+    import zipfile
+
+    zpath = tmp_path / "rel.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("proj-1.2.3/requirements.txt", reqs)
+        zf.writestr("proj-1.2.3/person_capture_tpu/__init__.py", "# v1.2.3\n")
+    return str(zpath)
+
+
+def test_github_zip_check_download_stage_apply_deps(tmp_path):
+    """Offline GitHub-path end to end: release check (stubbed fetcher) →
+    ZIP download (local path) → stage → apply detects a requirements change
+    → pip command issued (stubbed runner) — reference updater.py:209-242,
+    348-652."""
+    from person_capture_tpu import updater as U
+
+    repo = tmp_path / "install"
+    repo.mkdir()
+    (repo / "requirements.txt").write_text("old==1.0\n")
+    (repo / "output").mkdir()
+    (repo / "output" / "keep.txt").write_text("user data")
+    zpath = _make_release_zip(tmp_path)
+
+    calls = {}
+    mgr = U.UpdateManager(
+        repo_dir=str(repo), github_repo="owner/proj",
+        fetch_json=lambda url: {"tag_name": "v1.2.3",
+                                "zipball_url": zpath, "name": "r"},
+        pip_runner=lambda cmd: calls.setdefault("pip", cmd) or
+        type("R", (), {"returncode": 0, "stderr": ""})())
+
+    avail, detail = mgr.check()
+    assert avail and detail == "github:v1.2.3"
+    ok, detail = mgr.perform()
+    assert ok and detail == "staged_for_next_start"
+    assert U.staged_update_pending(str(repo))
+
+    restart, detail = mgr.apply_on_start(auto_deps=True)
+    assert restart
+    assert detail.startswith("deps_changed")
+    assert "pip" in calls and calls["pip"][-1].endswith("requirements.txt")
+    # user data preserved, new code applied
+    assert (repo / "output" / "keep.txt").read_text() == "user data"
+    assert (repo / "requirements.txt").read_text() == "new==2.0\n"
+    assert not U.staged_update_pending(str(repo))
+
+
+def test_github_zip_same_requirements_no_pip(tmp_path):
+    from person_capture_tpu import updater as U
+
+    repo = tmp_path / "install"
+    repo.mkdir()
+    (repo / "requirements.txt").write_text("same==1.0\n")
+    zpath = _make_release_zip(tmp_path, reqs="same==1.0\n")
+    ok, _ = U.download_zip(zpath, str(repo / "dl.zip"))
+    assert ok
+    ok, root = U.stage_zip_update(str(repo), str(repo / "dl.zip"), "v9")
+    assert ok
+    ok, detail = U.apply_staged_update(str(repo))
+    assert ok and detail == "applied"
+
+
+def test_restart_handshake_prevents_loops(monkeypatch):
+    from person_capture_tpu import updater as U
+
+    monkeypatch.delenv(U.RESTART_ENV, raising=False)
+    execd = {}
+
+    def fake_execv(exe, argv):
+        execd["argv"] = argv
+
+    assert U.restart_process(execv=fake_execv) is None
+    assert execd["argv"][0] == U.build_restart_argv()[0]
+    # second attempt in the restarted process is refused
+    assert U.restart_process(execv=fake_execv) == "already_restarted_once"
