@@ -348,3 +348,58 @@ LIVE_KEYS = frozenset({
     "smart_crop_enable", "compose_crop_enable",
     "prescan_fd_enter", "prescan_fd_exit",
 })
+
+
+# ---------------------------------------------------------------------------
+# Documented no-op keys.
+#
+# Every SessionConfig field either changes runtime behavior (grep the
+# package for its name) or appears here with the reason it cannot / must
+# not on TPU. tests/test_config_wiring.py enforces the invariant — a new
+# key that is neither consumed nor registered fails CI.
+# ---------------------------------------------------------------------------
+NOOP_KEYS = {
+    "face_det_pad": (
+        "reference pads a PERSON crop and re-runs face detection on it "
+        "(gui_app.py:6273-6293); the TPU design detects on full frames in "
+        "one batched program, so there is no per-person re-extract to pad"),
+    "fast_no_face_imgsz": (
+        "reference shrinks the detector imgsz during no-face streaks "
+        "(face_embedder.py:489-497); XLA programs are fixed-shape — "
+        "adaptivity moved to the recovery policy (pipeline/recovery.py) "
+        "and the fd9 decode-skip gate instead"),
+    "hdr_passthrough": (
+        "reference streams P010 to a Vulkan HDR swapchain "
+        "(pc_hdr_vulkan.cpp); TPU hosts have no display — previews are "
+        "tone-mapped SDR frames (SURVEY.md §2.2 sanctions the collapse)"),
+    "hdr_wic_experimental_primary": (
+        "selects an experimental Windows-WIC decoder; no WIC exists off "
+        "Windows — kernels/hdr.py replaces the WIC decode entirely"),
+    "hdr_wic_yuv444_color_match_gpu_mode": (
+        "reference chooses CPU-numpy vs torch-CUDA for the color match "
+        "(gui_app.py:10041-10061); the match is always part of the fused "
+        "device program here — there is no split to configure"),
+    "hdr_wic_yuv444_color_match_gpu_auto_min_pixels": (
+        "threshold for the gpu_mode auto split above; same rationale"),
+    "reid_pretrained": (
+        "names the OpenCLIP checkpoint family; consumed by the offline "
+        "converter workflow (tools/convert_weights.py), not at runtime — "
+        "runtime weights load from explicit .npz paths"),
+    "clip_face_pretrained": (
+        "same as reid_pretrained, for the CLIP face-embedding fallback"),
+    "trt_lib_dir": "TensorRT plumbing; XLA compiled programs replace TRT "
+                   "engines (kept for preset round-trip compatibility)",
+    "trt_fp16_enable": "see trt_lib_dir; bf16 compute is the TPU analogue "
+                       "(tpu_compute_dtype)",
+    "trt_timing_cache_enable": "see trt_lib_dir; XLA's compilation cache "
+                               "is the analogue",
+    "trt_engine_cache_enable": "see trt_lib_dir",
+    "trt_cache_root": "see trt_lib_dir",
+    "trt_builder_optimization_level": "see trt_lib_dir",
+    "trt_cuda_graph_enable": "see trt_lib_dir; jit-compiled programs are "
+                             "already replayable graphs",
+    "trt_context_memory_sharing_enable": "see trt_lib_dir",
+    "trt_auxiliary_streams": "see trt_lib_dir",
+    "cuda_use_tf32": "CUDA matmul precision knob; TPU equivalent is "
+                     "tpu_compute_dtype=bfloat16",
+}

@@ -90,7 +90,9 @@ class FfmpegP010Source:
 
 def archive_hdr_crop(y_plane: np.ndarray, uv_plane: np.ndarray, crop_xyxy,
                      out_path: str, fmt: str = "avif",
-                     timeout_sec: float = 90.0) -> Tuple[bool, str]:
+                     timeout_sec: float = 90.0,
+                     out_pix_fmt: str = "", color_range: str = ""
+                     ) -> Tuple[bool, str]:
     """Archive the SOURCE HDR crop (no tone-map) — reference
     `_save_hdr_archive_crop` (gui_app.py:11563, `_save_hdr_crop_p010`
     13046): AVIF 10-bit still or MKV FFV1 via ffmpeg when the binary
@@ -124,7 +126,14 @@ def archive_hdr_crop(y_plane: np.ndarray, uv_plane: np.ndarray, crop_xyxy,
            "-i", "-",
            "-frames:v", "1", *codec,
            "-color_primaries", "bt2020", "-color_trc", "smpte2084",
-           "-colorspace", "bt2020nc", "-y", out_path]
+           "-colorspace", "bt2020nc"]
+    if out_pix_fmt:  # cfg.hdr_wic_avif_pixfmt
+        cmd += ["-pix_fmt", out_pix_fmt]
+    if color_range in ("limited", "tv"):
+        cmd += ["-color_range", "tv"]
+    elif color_range in ("full", "pc"):
+        cmd += ["-color_range", "pc"]
+    cmd += ["-y", out_path]
     try:
         cp = subprocess.run(cmd, input=raw, capture_output=True,
                             timeout=timeout_sec, check=False)
@@ -133,6 +142,16 @@ def archive_hdr_crop(y_plane: np.ndarray, uv_plane: np.ndarray, crop_xyxy,
         return True, out_path
     except subprocess.SubprocessError as e:
         return False, str(e)
+
+
+def _write_display_compat(bgr: np.ndarray, out_path: str) -> Tuple[bool, str]:
+    """SDR display-compatible archive variant of the rendered still
+    (reference display-compat AVIF, gui_app.py:11518; PNG here — every
+    viewer decodes it, and no ffmpeg round trip is needed)."""
+    from ..pipeline.saver import atomic_image_write
+
+    ok, err = atomic_image_write(np.asarray(bgr), out_path)
+    return ok, (out_path if ok else err)
 
 
 class HdrStillExporter:
@@ -144,7 +163,9 @@ class HdrStillExporter:
                  diag_dir: Optional[str] = None,
                  block_guard_mode: str = "reject",
                  archive_sink=None,
-                 archive_timeout_sec: float = 90.0):
+                 archive_timeout_sec: float = 90.0,
+                 archive_pix_fmt: str = "", archive_range: str = "",
+                 display_compat: bool = False):
         self.source = source
         self.params = params
         self.out_format = (out_format or "png").lstrip(".").lower()
@@ -158,6 +179,11 @@ class HdrStillExporter:
         # saver thread (reference archive_q depth 2, gui_app.py:5209-5372)
         self.archive_sink = archive_sink
         self.archive_timeout = float(archive_timeout_sec)
+        self.archive_pix_fmt = archive_pix_fmt   # hdr_wic_avif_pixfmt
+        self.archive_range = archive_range       # hdr_wic_avif_range
+        # extra SDR (display-compatible) archive variant alongside the HDR
+        # crop (reference display-compat AVIF, gui_app.py:11518)
+        self.display_compat = bool(display_compat)
 
     def out_path_for(self, jpeg_path: str) -> str:
         base, _ = os.path.splitext(jpeg_path)
@@ -204,11 +230,22 @@ class HdrStillExporter:
                                  f"{base}.{self.archive_fmt}")
             job = (lambda y=y, uv=uv, sc=src_crop, p=apath:
                    archive_hdr_crop(y, uv, sc, p, fmt=self.archive_fmt,
-                                    timeout_sec=self.archive_timeout))
+                                    timeout_sec=self.archive_timeout,
+                                    out_pix_fmt=self.archive_pix_fmt,
+                                    color_range=self.archive_range))
             if self.archive_sink is not None:
                 self.archive_sink(job, label=apath)
             else:
                 job()
+            if self.display_compat:
+                dpath = os.path.join(self.archive_dir,
+                                     f"{base}_display.png")
+                djob = (lambda b=bgr.copy(), p=dpath:
+                        _write_display_compat(b, p))
+                if self.archive_sink is not None:
+                    self.archive_sink(djob, label=dpath)
+                else:
+                    djob()
         if ok and self.diag_dir:
             from .diagnostics import run_speckle_diagnostics
 

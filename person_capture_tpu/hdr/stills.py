@@ -99,6 +99,7 @@ class HdrExportParams:
     shadow_deblob: float = 0.0      # wic_shadow_deblob_strength
     contrast_recovery: float = 0.0  # hdr_sdr_contrast_recovery
     gamut: str = "clip"             # hdr_sdr_gamut_mapping
+    guide_cleanup: bool = False     # hdr_wic_yuv444_guide_cleanup
 
     @staticmethod
     def from_cfg(cfg) -> "HdrExportParams":
@@ -121,6 +122,7 @@ class HdrExportParams:
             shadow_deblob=cfg.wic_shadow_deblob_strength,
             contrast_recovery=cfg.hdr_sdr_contrast_recovery,
             gamut=cfg.hdr_sdr_gamut_mapping,
+            guide_cleanup=cfg.hdr_wic_yuv444_guide_cleanup,
         )
         # conversion backend selection (reference: windows_wic = WIC-look
         # with color-match repair; ffmpeg = plain libplacebo/zscale render)
@@ -153,7 +155,7 @@ def _params_key(params: HdrExportParams) -> tuple:
             params.shadow_luma_protect, params.shadow_chroma_protect,
             params.speckle_cleanup, params.clean_range, params.ref_max_side,
             params.lowfreq, params.shadow_deblob, params.contrast_recovery,
-            params.gamut)
+            params.gamut, params.guide_cleanup)
 
 
 def _ref_subsample_step(shape_hw, ref_max_side: int) -> int:
@@ -217,6 +219,10 @@ def _get_render_fn(params: HdrExportParams):
                 shadow_luma_protect=params.shadow_luma_protect,
                 shadow_chroma_protect=params.shadow_chroma_protect,
                 lowfreq=params.lowfreq)
+            if params.guide_cleanup:
+                from ..kernels.cleanup import guide_cleanup_bgr
+
+                bgr = guide_cleanup_bgr(bgr, ref)
         if params.shadow_deblob > 0.0:
             bgr = shadow_deblob_bgr(bgr, strength=params.shadow_deblob)
         if params.speckle_cleanup:

@@ -93,3 +93,28 @@ def shadow_deblob_bgr(bgr, strength: float = 0.5, dark_y: float = 0.16,
     b = m[2, 0] * out_c[0] + m[2, 1] * out_c[1] + m[2, 2] * out_c[2]
     out = jnp.stack([b, g, r], -1) * 255.0
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+def guide_cleanup_bgr(bgr, guide_bgr, strength: float = 1.0,
+                      dark_y: float = 0.20, delta: float = 0.12):
+    """Guide-masked artifact cleanup (reference guide-mask cleanup,
+    gui_app.py:10737-10949): pixels that disagree strongly with the guide
+    render in dark regions are artifacts of the primary chain (the guide
+    was rendered through an independent chain) — pull them toward the
+    guide. ``guide_bgr`` may be reduced resolution; it is upsampled."""
+    import jax
+
+    from .color import YCBCR_BT601, rgb_to_ycbcr
+
+    x = jnp.asarray(bgr).astype(jnp.float32)
+    g = jnp.asarray(guide_bgr).astype(jnp.float32)
+    if g.shape != x.shape:
+        g = jax.image.resize(g, x.shape, "linear")
+    ycc = rgb_to_ycbcr(x[..., ::-1] / 255.0, YCBCR_BT601)
+    y = ycc[..., 0]
+    diff = jnp.abs(x - g).max(-1) / 255.0
+    dark = jnp.clip(1.0 - y / jnp.maximum(float(dark_y), 1e-5), 0.0, 1.0)
+    bad = jnp.clip((diff - float(delta)) / max(float(delta), 1e-5), 0.0, 1.0)
+    w = (float(strength) * dark * bad)[..., None]
+    out = x + w * (g - x)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)

@@ -116,6 +116,11 @@ def main(argv=None) -> int:
             scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
             arcface_cfg=AF.CONFIGS.get(args.arcface_model, AF.W600K_R50),
             det_size=args.det_size, score_thresh=cfg.face_det_conf,
+            max_faces=cfg.tpu_max_faces,
+            use_arcface=cfg.use_arcface,
+            clip_face_cfg=None if cfg.use_arcface else __import__(
+                "person_capture_tpu.models.clip_vit", fromlist=["CONFIGS"]
+            ).CONFIGS.get(cfg.clip_face_backbone),
             dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
 
     # batched recovery ladder (rotations / scale-TTA / edge-pad) around the
@@ -147,10 +152,15 @@ def main(argv=None) -> int:
 
         person_backend = YoloPersonBackend(conf=cfg.min_det_conf)
     if cfg.match_mode in ("either", "both", "reid_only"):
+        from .models import clip_vit as CV
         from .pipeline.backends import ClipReidBackend
 
         cfg.disable_reid = False
-        reid_backend = ClipReidBackend()
+        # reid_backbone selects the OpenCLIP tower (reference
+        # reid_embedder.py:10-57 default ViT-L-14/laion2b);
+        # reid_pretrained names the checkpoint family for loaders
+        reid_backend = ClipReidBackend(
+            cfg=CV.CONFIGS.get(cfg.reid_backbone, CV.VIT_L_14))
 
     eng = Engine(cfg, backend, person_backend=person_backend,
                  reid_backend=reid_backend,

@@ -153,6 +153,11 @@ class Engine:
                     cfg.video, max_w=max_w, prefer_ffmpeg=prefer_ffmpeg,
                     hdr=src_is_hdr, tonemap_pref=cfg.hdr_tonemap_pref,
                     tonemap_algo=cfg.hdr_sdr_tonemap,
+                    allow_inaccurate=cfg.hdr_sdr_allow_inaccurate_fallback,
+                    # NVDEC doesn't exist on TPU hosts; other hwaccels
+                    # (vaapi, auto, …) pass through to the decoder
+                    hwaccel="" if cfg.ff_hwaccel in ("", "none", "cuda")
+                    else cfg.ff_hwaccel,
                     status=self._status_cb)
 
             main_reader = _open_analysis()
@@ -175,7 +180,9 @@ class Engine:
                                         reopen_reader=_reopen,
                                         progress=self._progress_cb,
                                         should_stop=self._should_stop,
-                                        seek_request=self._poll_seek)
+                                        seek_request=self._poll_seek,
+                                        on_preview=self._on_preview,
+                                        source_is_hdr=src_is_hdr)
                     finally:
                         r.release()
                     self._last_prescan = p
@@ -206,8 +213,10 @@ class Engine:
                                                 HdrStillExporter)
                     from ..hdr.stills import HdrExportParams
 
-                    src = FfmpegP010Source(cfg.video, meta.width, meta.height,
-                                           meta.fps)
+                    src = FfmpegP010Source(
+                        cfg.video, meta.width, meta.height, meta.fps,
+                        preroll_sec=cfg.hdr_wic_yuv444_color_match_preroll_sec,
+                        timeout_sec=cfg.hdr_export_timeout_sec)
                     archive_dir = (os.path.join(cfg.out_dir, "hdr_crops")
                                    if cfg.hdr_archive_crops else None)
                     diag_dir = None
@@ -222,7 +231,10 @@ class Engine:
                         archive_fmt=cfg.hdr_crop_format,
                         diag_dir=diag_dir,
                         block_guard_mode=cfg.hdr_wic_block_corruption_guard_mode,
-                        archive_timeout_sec=cfg.hdr_archive_timeout_sec)
+                        archive_timeout_sec=cfg.hdr_archive_timeout_sec,
+                        archive_pix_fmt=cfg.hdr_wic_avif_pixfmt,
+                        archive_range=cfg.hdr_wic_avif_range,
+                        display_compat=cfg.hdr_avif_wic_display_compat)
                     self._status_cb(
                         f"HDR source ({', '.join(hdr_info.reasons)}); "
                         f"full-res SDR stills enabled")

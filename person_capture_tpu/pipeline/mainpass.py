@@ -179,6 +179,11 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     last_save_t = -1e9
     min_gap = float(cfg.min_gap_sec)
     bank_mat = bank.matrix()
+    # hard-negative face embeddings (suppress_negatives/neg_tolerance/
+    # max_negatives: the reference exposes these as LIVE GUI knobs,
+    # gui_app.py:5432-5434/14407-14408, without wiring them into its loop;
+    # here they get the behavior the knobs describe, default-off)
+    negatives: List[np.ndarray] = []
 
     def _refresh_bank_mat() -> None:
         nonlocal bank_mat
@@ -453,10 +458,24 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         fmask = out["mask"][slot]
         face_list = []  # (box, fd, quality, feat)
         for j in np.flatnonzero(fmask):
+            feat = out["feats"][slot][j]
+            fd = _face_fd(feat)
+            if cfg.suppress_negatives and negatives:
+                v = feat / max(np.linalg.norm(feat), 1e-6)
+                neg_d = min(1.0 - float(np.dot(n, v)) for n in negatives)
+                if neg_d <= float(cfg.neg_tolerance):
+                    continue  # known hard negative — suppress this face
             face_list.append((tuple(float(v) for v in out["boxes"][slot][j]),
-                              _face_fd(out["feats"][slot][j]),
-                              float(out["quality"][slot][j]),
-                              out["feats"][slot][j]))
+                              fd, float(out["quality"][slot][j]), feat))
+            # learn hard negatives: clearly-other-identity faces
+            if (cfg.suppress_negatives
+                    and fd >= cfg.face_thresh + float(cfg.neg_tolerance)
+                    and len(negatives) < int(cfg.max_negatives)):
+                v = feat / max(np.linalg.norm(feat), 1e-6)
+                if not negatives or all(
+                        1.0 - float(np.dot(n, v)) > float(cfg.neg_tolerance)
+                        for n in negatives):
+                    negatives.append(v.astype(np.float32))
         any_face_match = any(fd <= cfg.face_thresh
                              for _, fd, _, _ in face_list)
 
@@ -599,7 +618,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 ok = (iou >= cfg.faceless_iou_min
                       or (rd is not None and rd <= cfg.faceless_reid_thresh)
                       or (rd_lock is not None
-                          and rd_lock <= cfg.faceless_reid_thresh))
+                          and rd_lock <= float(cfg.lock_reid_thresh)))
                 if not ok:
                     continue
                 if cfg.faceless_min_motion_frac > 0 and prev_frame[0] is not None:
@@ -645,7 +664,12 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             lock.register_miss(cfg.lock_face_roi_max_misses)
             return "no_candidate"
 
-        candidates.sort(key=lambda c: c.score)
+        if cfg.prefer_face_when_available:
+            # candidates with a visible matched face outrank faceless ones
+            # regardless of raw score (reference prefer_face knob)
+            candidates.sort(key=lambda c: (c.face_box is None, c.score))
+        else:
+            candidates.sort(key=lambda c: c.score)
         best = candidates[0]
         # ambiguity margin between distinct identities (gui_app.py:7788+)
         if len(candidates) > 1 and cfg.score_margin > 0:
@@ -826,11 +850,17 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         if best.face_box is not None:
             f = tuple(int(v) for v in best.face_box)
             cv2.rectangle(vis, f[:2], f[2:], (0, 0, 255), 2)
-        fd_s = f"{best.fd:.3f}" if best.fd is not None else "-1"
-        rd_s = f"{best.rd:.3f}" if best.rd is not None else "-1"
-        cv2.putText(vis, f"score={best.score:.3f} fd={fd_s} rd={rd_s}",
-                    (15, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.8,
-                    (255, 255, 255), 2)
+        # overlay gates (reference overlay_scores / overlay_face_fd knobs)
+        text = []
+        if cfg.overlay_scores:
+            rd_s = f"{best.rd:.3f}" if best.rd is not None else "-1"
+            text.append(f"score={best.score:.3f} rd={rd_s}")
+        if cfg.overlay_face_fd:
+            text.append(f"fd={best.fd:.3f}" if best.fd is not None
+                        else "fd=-1")
+        if text:
+            cv2.putText(vis, " ".join(text), (15, 30),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
         saver.submit(SaveItem(
             img=vis, path=os.path.join(annot_dir, f"f{frame_idx:08d}.jpg")))
 
@@ -866,6 +896,12 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 # interactive seek (reference seek_frame command): flush in
                 # order, then resume at the span containing/after the target
                 flush()
+                if int(cfg.seek_preview_peek_every) > 0:
+                    # peek preview at the seek landing (reference decodes a
+                    # peek every N frames while scrubbing; keyframe seeks
+                    # land instantly so one peek per landing suffices)
+                    preview_state["count"] = -1  # next frame emits
+                    preview_state["last_t"] = -1e9
                 nsi = span_index_for(int(seek_to), spans)
                 if nsi is None:
                     si = len(spans)

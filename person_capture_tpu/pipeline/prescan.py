@@ -48,8 +48,9 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
                 reopen_reader: Optional[Callable[[], object]] = None,
                 progress: Optional[Callable[[float], None]] = None,
                 should_stop: Optional[Callable[[], bool]] = None,
-                seek_request: Optional[Callable[[], Optional[int]]] = None
-                ) -> PrescanResult:
+                seek_request: Optional[Callable[[], Optional[int]]] = None,
+                on_preview: Optional[Callable] = None,
+                source_is_hdr: bool = False) -> PrescanResult:
     """Run the batched pre-scan over ``reader`` using ``backend``.
 
     Args:
@@ -75,10 +76,18 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
             and float(getattr(cfg, "prescan_face_conf", 0.0) or 0.0) > 0.0):
         restore_conf = backend.score_thresh
         backend.score_thresh = float(cfg.prescan_face_conf)
+    # pre-scan preview: SDR sources always; HDR sources only when the
+    # dedicated pre-scan HDR preview is enabled (reference
+    # prescan_hdr_preview; the analysis reader already tone-maps, so the
+    # emitted frame IS the SDR preview)
+    if on_preview is not None and source_is_hdr \
+            and not bool(getattr(cfg, "prescan_hdr_preview", False)):
+        on_preview = None
     try:
         return _run_prescan_inner(reader, backend, cfg, bank, meta, batch,
                                   reopen_reader, progress, should_stop,
-                                  seek_request, t0, fps, total, stride)
+                                  seek_request, t0, fps, total, stride,
+                                  on_preview)
     finally:
         if hasattr(backend, "set_prescan_fast"):
             backend.set_prescan_fast(False)
@@ -88,7 +97,8 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
 
 def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
                        meta, batch, reopen_reader, progress, should_stop,
-                       seek_request, t0, fps, total, stride) -> PrescanResult:
+                       seek_request, t0, fps, total, stride,
+                       on_preview=None) -> PrescanResult:
 
     sb = SpanBuilder(SpanBuilderConfig(
         fps=fps, stride=stride, enter=cfg.prescan_fd_enter,
@@ -227,6 +237,8 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
         pend_frames.append(frame)
         order.append((idx, len(pend_frames) - 1, False))
         if len(pend_frames) == batch:
+            if on_preview is not None:
+                on_preview(pend_frames[0], pend_idxs[0])
             flush(drain=False)
             if progress is not None and total > 0:
                 progress(min(1.0, idx / total))

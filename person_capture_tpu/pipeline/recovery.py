@@ -104,6 +104,32 @@ def make_scale_variant(frame: np.ndarray, scale: float):
     return np.ascontiguousarray(canvas), m
 
 
+def make_zoom_rot_variant(frame: np.ndarray, box_xyxy, k: int,
+                          pad: float = 0.75):
+    """Heavy re-detect variant (reference rotated probe→heavy pass,
+    face_embedder.py:2363-2433 with prescan_heavy_90/180 imgsz): crop the
+    original frame around a probe hit, rotate upright, scale-fill the
+    canvas — the face gets several× more pixels without changing the
+    compiled shape."""
+    h, w = frame.shape[:2]
+    x1, y1, x2, y2 = box_xyxy
+    bw, bh = max(8.0, x2 - x1), max(8.0, y2 - y1)
+    cx1 = int(max(0, x1 - pad * bw))
+    cy1 = int(max(0, y1 - pad * bh))
+    cx2 = int(min(w, x2 + pad * bw))
+    cy2 = int(min(h, y2 + pad * bh))
+    if cx2 - cx1 < 8 or cy2 - cy1 < 8:
+        return None
+    crop = np.ascontiguousarray(frame[cy1:cy2, cx1:cx2])
+    off = np.array([[1.0, 0.0, cx1], [0.0, 1.0, cy1]], np.float64)
+    if k:
+        img, m = _variant_rot(crop, k)
+        m = _compose(off, m)
+    else:
+        img, m = crop, off
+    return _fit_to_canvas(img, h, w, m)
+
+
 def make_edgepad_variant(frame: np.ndarray, frac: float = EDGE_PAD_FRAC):
     """Replicate-pad all borders then resize back to the canvas — recovers
     faces clipped at frame edges (reference face_embedder.py:2288-2315)."""
@@ -171,6 +197,7 @@ class RecoveryPolicy:
         self.use_scale_tta = bool(use_scale_tta)
         self.use_edge_pad = bool(use_edge_pad)
         self.prescan_fast = False
+        self.heavy = False       # zoomed re-detect after rotated hits
         self.streak = 0          # consecutive no-face frames
         self.empty_count = 0     # total no-face frames seen
         self.sticky_rot: Optional[int] = None
@@ -182,11 +209,17 @@ class RecoveryPolicy:
 
     @classmethod
     def from_config(cls, cfg) -> "RecoveryPolicy":
-        return cls(rot_adaptive=getattr(cfg, "rot_adaptive", True),
-                   rot_every_n=getattr(cfg, "rot_every_n", 12),
-                   rot_after_hit_frames=getattr(cfg, "rot_after_hit_frames", 8),
-                   prescan_rot_probe_period=getattr(
-                       cfg, "prescan_rot_probe_period", 3))
+        p = cls(rot_adaptive=getattr(cfg, "rot_adaptive", True),
+                rot_every_n=getattr(cfg, "rot_every_n", 12),
+                rot_after_hit_frames=getattr(cfg, "rot_after_hit_frames", 8),
+                prescan_rot_probe_period=getattr(
+                    cfg, "prescan_rot_probe_period", 3))
+        # heavy zoomed re-detect after a rotated probe hit
+        # (prescan_heavy_90/prescan_heavy_180 imgsz caps; >0 enables — the
+        # zoom keeps the compiled canvas, so the cap itself is moot)
+        p.heavy = (int(getattr(cfg, "prescan_heavy_90", 0)) > 0
+                   or int(getattr(cfg, "prescan_heavy_180", 0)) > 0)
+        return p
 
     def note_hit(self, rotation_k: Optional[int]) -> None:
         self.streak = 0
@@ -348,6 +381,11 @@ class RecoveringFaceBackend:
                         "rot": int(param) if kind == "rot" else None,
                     })
 
+        # heavy phase: zoomed upright re-detect of small rotated hits
+        # (reference probe→heavy escalation, face_embedder.py:2363-2433)
+        if self.policy.heavy and cand:
+            self._heavy_refine(frames, cand)
+
         for slot, cands in cand.items():
             boxes = np.stack([c["box"] for c in cands])
             scores = np.asarray([c["score"] for c in cands])
@@ -364,3 +402,50 @@ class RecoveringFaceBackend:
                 self.recovered_faces += len(keep)
                 self.policy.note_hit(cands[keep[0]]["rot"])
         return out
+
+    def _heavy_refine(self, frames: np.ndarray,
+                      cand: Dict[int, List[dict]]) -> None:
+        """One extra fixed-shape batch re-detecting small rotated hits on a
+        zoomed upright crop; better detections replace the probe's."""
+        b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        small = 0.35 * min(h, w)
+        tasks = []
+        for slot, cands in cand.items():
+            best = max(cands, key=lambda c: c["score"])
+            if best["rot"] is None:
+                continue
+            bw = best["box"][2] - best["box"][0]
+            bh = best["box"][3] - best["box"][1]
+            if max(bw, bh) >= small:
+                continue
+            made = make_zoom_rot_variant(frames[slot], best["box"],
+                                         int(best["rot"]))
+            if made is not None:
+                tasks.append((slot, made))
+        if not tasks:
+            return
+        tasks = tasks[:b]
+        vframes = np.zeros_like(frames[: len(tasks)])
+        for vi, (_, (img, _m)) in enumerate(tasks):
+            vframes[vi] = img
+        if len(tasks) < b:
+            vframes = np.concatenate(
+                [vframes, np.repeat(vframes[-1:], b - len(tasks), 0)], 0)
+        vvalid = np.zeros(b, bool)
+        vvalid[: len(tasks)] = True
+        vout = self.inner.extract_batch(vframes, vvalid)
+        for vi, (slot, (_img, m)) in enumerate(tasks):
+            js = np.flatnonzero(vout["mask"][vi])
+            if not js.size:
+                continue
+            j = js[np.argmax(vout["scores"][vi][js])]
+            best = max(cand[slot], key=lambda c: c["score"])
+            if float(vout["scores"][vi, j]) >= best["score"] - 0.05:
+                cand[slot] = [{
+                    "box": apply_remap_boxes(m, vout["boxes"][vi, j]),
+                    "kps": apply_remap_points(m, vout["kps"][vi, j]),
+                    "score": float(vout["scores"][vi, j]),
+                    "feat": vout["feats"][vi, j],
+                    "quality": float(vout["quality"][vi, j]),
+                    "rot": best["rot"],
+                }]

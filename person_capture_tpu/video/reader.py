@@ -189,7 +189,8 @@ _FF_TONEMAP_ALGO = {"bt.2390": "mobius", "spline": "mobius",
 
 def build_tonemap_vf(pref: str = "auto", algo: str = "bt.2390",
                      filters: Optional[frozenset] = None,
-                     scale_w: int = 0, scale_h: int = 0) -> Tuple[str, str]:
+                     scale_w: int = 0, scale_h: int = 0,
+                     allow_inaccurate: bool = True) -> Tuple[str, str]:
     """Build the ``-vf`` chain that tone-maps HDR → SDR bt709 inside the
     decoder, so detection/embedding see properly graded frames (the
     reference feeds analysis through libplacebo/zscale chains,
@@ -223,9 +224,12 @@ def build_tonemap_vf(pref: str = "auto", algo: str = "bt.2390",
             if scale:
                 chain += "," + scale
             return chain, "zscale"
-        if backend == "scale" and "scale" in filters:
+        if backend == "scale" and "scale" in filters \
+                and (allow_inaccurate or pref == "scale"):
             # cheap mode (reference PC_FORCE_TONEMAP=scale): no tone-map,
-            # decode-downscale only
+            # decode-downscale only. In auto mode this color-inaccurate
+            # fallback is gated by cfg.hdr_sdr_allow_inaccurate_fallback
+            # (reference inaccurate-scale fallback, gui_app.py:12598+)
             return scale, "scale"
     return scale, "none"
 
@@ -242,7 +246,7 @@ class FfmpegPipeReader:
 
     def __init__(self, path: str, max_w: int = 0, fps: float = 0.0,
                  width: int = 0, height: int = 0, start_sec: float = 0.0,
-                 tonemap_vf: str = ""):
+                 tonemap_vf: str = "", hwaccel: str = ""):
         exe = find_ffmpeg()
         if exe is None:
             raise RuntimeError("ffmpeg binary not found")
@@ -263,6 +267,9 @@ class FfmpegPipeReader:
         self.fps = fps or 30.0
         self.frame_bytes = self.w * self.h * 3
         cmd = [exe, "-v", "error", "-nostdin"]
+        if hwaccel:
+            # decode acceleration (reference PC_HWACCEL / cfg.ff_hwaccel)
+            cmd += ["-hwaccel", hwaccel]
         if start_sec > 0:
             cmd += ["-ss", f"{start_sec:.6f}"]
         cmd += ["-i", path]
@@ -328,6 +335,8 @@ def open_analysis_reader(path: str, max_w: int = 0,
                          hdr: Optional[bool] = None,
                          tonemap_pref: str = "auto",
                          tonemap_algo: str = "bt.2390",
+                         allow_inaccurate: bool = True,
+                         hwaccel: str = "",
                          status=None):
     """Reader for the ANALYSIS stream (detection/embedding input).
 
@@ -348,9 +357,11 @@ def open_analysis_reader(path: str, max_w: int = 0,
     if not hdr:
         return open_reader(path, max_w=max_w, prefer_ffmpeg=prefer_ffmpeg)
     if find_ffmpeg() is not None:
-        chain, backend = build_tonemap_vf(tonemap_pref, tonemap_algo)
+        chain, backend = build_tonemap_vf(tonemap_pref, tonemap_algo,
+                                          allow_inaccurate=allow_inaccurate)
         try:
-            r = FfmpegPipeReader(path, max_w=max_w, tonemap_vf=chain)
+            r = FfmpegPipeReader(path, max_w=max_w, tonemap_vf=chain,
+                                 hwaccel=hwaccel)
             if status is not None:
                 status(f"HDR analysis decode: {backend} chain")
             return r

@@ -83,7 +83,7 @@ def test_open_analysis_reader_hdr_builds_tonemap_pipe(tmp_path,
     captured = {}
 
     class FakePipe:
-        def __init__(self, path, max_w=0, tonemap_vf=""):
+        def __init__(self, path, max_w=0, tonemap_vf="", hwaccel=""):
             captured["vf"] = tonemap_vf
 
     monkeypatch.setattr(R, "find_ffmpeg", lambda: "/bin/true")
