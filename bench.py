@@ -36,11 +36,35 @@ def main() -> None:
     fps = 24.0
     target_realtime_x = 30.0           # BASELINE.json north star
 
+    from person_capture_tpu.models.zoo import resolve_weights
+
     backend = ScrfdArcFaceBackend(det_size=det_size, score_thresh=0.5,
-                                  max_faces=8, host_align=False)
+                                  max_faces=8, host_align=False,
+                                  scrfd_weights=resolve_weights(
+                                      "auto", "scrfd_2.5g"))
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (batch, decode_h, decode_w, 3),
                           dtype=np.uint8)
+    # draw real synthetic faces so the trained detector populates face
+    # slots (throughput is detection-count independent — fixed shapes —
+    # but faces_per_batch now reflects a working detector)
+    try:
+        import cv2  # noqa: F401
+
+        from person_capture_tpu.video.synthetic import (FacePlacement,
+                                                        draw_face)
+
+        for i in range(batch):
+            n = int(rng.integers(1, 3))
+            for j in range(n):
+                fw = float(rng.uniform(30, 90))
+                cx = float(rng.uniform(fw, decode_w - fw))
+                cy = float(rng.uniform(fw, decode_h - fw))
+                draw_face(frames[i], FacePlacement(
+                    i, j, (cx - fw / 2, cy - fw / 2,
+                           cx + fw / 2, cy + fw / 2)))
+    except ImportError:
+        pass
     valid = np.ones(batch, bool)
     bank = RefBank(cap=64)
     bank.seed(rng.normal(size=(16, 512)).astype(np.float32))

@@ -148,3 +148,58 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
     run.arcface_vars = av
     run.mesh = mesh
     return run
+
+
+def build_sharded_train_step(mesh: Mesh, scrfd_cfg=None, size: int = 128,
+                             lr: float = 1e-3, seed: int = 0,
+                             dtype=None):
+    """SCRFD training step jitted over a mesh: the scene batch (images +
+    dense targets) shards over ``data``; params/optimizer state shard wide
+    kernels over ``model`` when present. XLA inserts the gradient psum over
+    the data axis and the activation collectives for the tp-sharded
+    kernels — the SPMD analogue of a DDP+TP trainer, with no hand-written
+    collectives (SURVEY.md §2.3).
+
+    Returns ``(step, state)`` with
+    ``step(state, images_u8 [B,S,S,3], targets) -> (state, metrics)``.
+    """
+    import optax
+
+    from ..models import scrfd as SD
+    from ..train.scrfd_synth import make_loss_fn
+
+    scrfd_cfg = scrfd_cfg or SD.TINY
+    dtype = dtype or jnp.float32
+    model, variables = SD.init_scrfd(jax.random.PRNGKey(seed), scrfd_cfg,
+                                     size=size, dtype=dtype)
+    tx = optax.adamw(lr, weight_decay=1e-4)
+    params = shard_params_for_tp(variables["params"], mesh)
+    batch_stats = jax.device_put(variables["batch_stats"],
+                                 replicated(mesh))
+    opt_state = jax.device_put(tx.init(jax.device_get(variables["params"])),
+                               replicated(mesh))
+    state = {"params": params, "batch_stats": batch_stats,
+             "opt_state": opt_state}
+
+    loss_fn = make_loss_fn(model, scrfd_cfg.strides)
+    data_sh = shard_batch(mesh)
+
+    def step(st, images_u8, targets):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            st["params"], st["batch_stats"], images_u8, targets)
+        updates, opt_state_ = tx.update(grads, st["opt_state"], st["params"])
+        import optax as _optax
+
+        new_params = _optax.apply_updates(st["params"], updates)
+        new_state = {"params": new_params,
+                     "batch_stats": aux["batch_stats"],
+                     "opt_state": opt_state_}
+        return new_state, {"loss": loss, "npos": aux["npos"]}
+
+    target_sh = {"labels": data_sh, "box_t": data_sh, "kps_t": data_sh,
+                 "pos": data_sh}
+    jit_step = jax.jit(
+        step,
+        in_shardings=(None, data_sh, [target_sh] * len(scrfd_cfg.strides)),
+        donate_argnums=(0,))
+    return jit_step, state, model

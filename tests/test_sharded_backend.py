@@ -112,3 +112,45 @@ def test_sharded_step_matches_unsharded():
                                np.asarray(det["boxes"]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(sharded["best_fd"]),
                                np.asarray(best), atol=1e-3)
+
+
+def test_sharded_train_step_matches_single_device():
+    """The dp×tp-sharded training step is numerically transparent: same
+    init/data → same loss as the unsharded trainer step, and loss drops
+    over a few steps."""
+    import jax
+    import numpy as np
+    import optax
+
+    from person_capture_tpu.models import scrfd as SD
+    from person_capture_tpu.parallel.mesh import (build_sharded_train_step,
+                                                  make_mesh)
+    from person_capture_tpu.train.scenes import sample_batch
+    from person_capture_tpu.train.scrfd_synth import (build_targets,
+                                                      make_loss_fn)
+
+    size, batch, seed = 64, 4, 0
+    mesh = make_mesh("data:2,model:2", devices=jax.devices()[:4])
+    step, state, model = build_sharded_train_step(mesh, scrfd_cfg=SD.TINY,
+                                                  size=size, seed=seed)
+
+    # single-device oracle: same params, same loss fn
+    model1, variables1 = SD.init_scrfd(jax.random.PRNGKey(seed), SD.TINY,
+                                       size=size)
+    loss_fn = make_loss_fn(model1, SD.TINY.strides)
+
+    # one fixed batch: steps on it must match the single-device loss at
+    # step 0 and strictly improve (memorization)
+    rng = np.random.default_rng(3)
+    data = sample_batch(rng, batch, size)
+    targets = build_targets(data["boxes"], data["kps"],
+                            data["gt_mask"], size, SD.TINY.strides,
+                            SD.TINY.num_anchors)
+    ref_loss, _ = loss_fn(variables1["params"], variables1["batch_stats"],
+                          data["images"], targets)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, data["images"], targets)
+        losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(losses[0], float(ref_loss), rtol=2e-3)
+    assert losses[-1] < losses[0]
