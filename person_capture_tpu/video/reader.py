@@ -357,21 +357,83 @@ def open_analysis_reader(path: str, max_w: int = 0,
     if not hdr:
         return open_reader(path, max_w=max_w, prefer_ffmpeg=prefer_ffmpeg)
     if find_ffmpeg() is not None:
-        chain, backend = build_tonemap_vf(tonemap_pref, tonemap_algo,
-                                          allow_inaccurate=allow_inaccurate)
-        try:
-            r = FfmpegPipeReader(path, max_w=max_w, tonemap_vf=chain,
-                                 hwaccel=hwaccel)
+        # fallback ladder (essence of the reference's try_fallback_chain,
+        # video_io.py:1774-2126): each candidate chain must actually
+        # produce a first frame before it is accepted; a chain whose
+        # filters probe OK but fail at runtime rotates to the next
+        prefs = ([tonemap_pref] if tonemap_pref not in ("", "auto")
+                 else ["libplacebo", "zscale", "scale"])
+        tried = set()
+        for pref in prefs + (["zscale", "scale"]
+                             if tonemap_pref not in ("", "auto") else []):
+            chain, backend = build_tonemap_vf(
+                pref, tonemap_algo, allow_inaccurate=allow_inaccurate)
+            if backend in tried or backend == "none":
+                continue
+            tried.add(backend)
+            try:
+                r = _probe_first_frame(FfmpegPipeReader(
+                    path, max_w=max_w, tonemap_vf=chain, hwaccel=hwaccel))
+            except Exception:
+                r = None
+            if r is not None:
+                if status is not None:
+                    status(f"HDR analysis decode: {backend} chain")
+                return r
             if status is not None:
-                status(f"HDR analysis decode: {backend} chain")
-            return r
-        except Exception:
-            pass
+                status(f"HDR analysis chain failed, rotating: {backend}")
     if status is not None:
-        status("HDR source but no ffmpeg: analysis frames use cv2's "
-               "default conversion (washed); detection thresholds may "
-               "need loosening")
+        status("HDR source but no working ffmpeg chain: analysis frames "
+               "use cv2's default conversion (washed); detection "
+               "thresholds may need loosening")
     return Cv2Reader(path, max_w=max_w)
+
+
+class _BufferedFirstFrame:
+    """Reader wrapper replaying the probe frame consumed during chain
+    validation."""
+
+    def __init__(self, reader, frame):
+        self._reader = reader
+        self._frame = frame
+        self.pos = max(0, reader.pos - 1)
+
+    def read(self):
+        if self._frame is not None:
+            f, self._frame = self._frame, None
+            self.pos += 1
+            return f
+        f = self._reader.read()
+        self.pos = self._reader.pos
+        return f
+
+    def skip(self, count: int) -> int:
+        count = int(count)
+        done = 0
+        if self._frame is not None and count > 0:
+            self._frame = None
+            self.pos += 1
+            done = 1
+            count -= 1
+        done += self._reader.skip(count)
+        self.pos = self._reader.pos if self._frame is None else self.pos
+        return done
+
+    def __getattr__(self, name):
+        return getattr(self._reader, name)
+
+    def release(self):
+        self._reader.release()
+
+
+def _probe_first_frame(reader):
+    """Validate a pipe by decoding one frame; return a reader that replays
+    it, or None when the chain produced nothing."""
+    frame = reader.read()
+    if frame is None:
+        reader.release()
+        return None
+    return _BufferedFirstFrame(reader, frame)
 
 
 class StridedPrefetchReader:

@@ -67,7 +67,7 @@ def test_open_analysis_reader_hdr_without_ffmpeg_warns(tmp_path,
     r = R.open_analysis_reader(vid, hdr=True, status=msgs.append)
     try:
         assert isinstance(r, R.Cv2Reader)
-        assert any("no ffmpeg" in m for m in msgs)
+        assert any("no working ffmpeg chain" in m for m in msgs)
     finally:
         r.release()
 
@@ -83,8 +83,21 @@ def test_open_analysis_reader_hdr_builds_tonemap_pipe(tmp_path,
     captured = {}
 
     class FakePipe:
+        pos = 0
+
         def __init__(self, path, max_w=0, tonemap_vf="", hwaccel=""):
             captured["vf"] = tonemap_vf
+
+        def read(self):
+            self.pos += 1
+            return np.zeros((8, 8, 3), np.uint8)
+
+        def skip(self, n):
+            self.pos += n
+            return n
+
+        def release(self):
+            pass
 
     monkeypatch.setattr(R, "find_ffmpeg", lambda: "/bin/true")
     monkeypatch.setattr(
@@ -94,6 +107,48 @@ def test_open_analysis_reader_hdr_builds_tonemap_pipe(tmp_path,
     msgs = []
     r = R.open_analysis_reader(vid, hdr=True, tonemap_pref="auto",
                                status=msgs.append)
-    assert isinstance(r, FakePipe)
+    assert r.read() is not None  # probe frame replays
     assert "tonemap=" in captured["vf"]
+    assert any("zscale chain" in m for m in msgs)
+
+
+def test_open_analysis_reader_chain_rotation(tmp_path, monkeypatch):
+    """A chain that dies before producing a frame rotates to the next
+    (reference try_fallback_chain, video_io.py:1774-2126)."""
+    from person_capture_tpu.video.synthetic import generate_video
+
+    vid = str(tmp_path / "v.mp4")
+    generate_video(vid, total_frames=8)
+    built = []
+
+    class DeadThenAlivePipe:
+        def __init__(self, path, max_w=0, tonemap_vf="", hwaccel=""):
+            built.append(tonemap_vf)
+            self.dead = "libplacebo" in tonemap_vf
+            self.pos = 0
+
+        def read(self):
+            if self.dead:
+                return None
+            self.pos += 1
+            return np.zeros((8, 8, 3), np.uint8)
+
+        def skip(self, n):
+            return n
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(R, "find_ffmpeg", lambda: "/bin/true")
+    monkeypatch.setattr(
+        R, "probe_ffmpeg_filters",
+        lambda: frozenset({"libplacebo", "zscale", "tonemap", "scale"}))
+    monkeypatch.setattr(R, "FfmpegPipeReader", DeadThenAlivePipe)
+    msgs = []
+    r = R.open_analysis_reader(vid, hdr=True, tonemap_pref="auto",
+                               status=msgs.append)
+    assert len(built) == 2  # libplacebo failed, zscale accepted
+    assert "libplacebo" in built[0] and "zscale" in built[1]
+    assert r.read() is not None
+    assert any("rotating: libplacebo" in m for m in msgs)
     assert any("zscale chain" in m for m in msgs)
