@@ -486,25 +486,15 @@ class Curator:
             for it, im in zip(metas, imgs):
                 it.phash = phash64(im)
 
-        # batched device features on a fixed canvas (single compilation)
+        # batched device features on a fixed canvas (single compilation),
+        # depth-1 pipelined: chunk i+1's program is submitted before chunk
+        # i's results download, like the pre-scan/main-pass drivers
         cvs = self.canvas
-        for start in range(0, len(imgs), self.batch):
-            chunk = imgs[start:start + self.batch]
-            mchunk = metas[start:start + self.batch]
-            n = len(chunk)
-            batch_arr = np.zeros((self.batch, cvs, cvs, 3), np.uint8)
-            scales = np.ones(n, np.float32)
-            for i, im in enumerate(chunk):
-                s = min(1.0, cvs / max(im.shape[0], im.shape[1]))
-                if s < 1.0 and cv2 is not None:
-                    im = cv2.resize(im, (int(round(im.shape[1] * s)),
-                                         int(round(im.shape[0] * s))),
-                                    interpolation=cv2.INTER_AREA)
-                scales[i] = s
-                batch_arr[i, :im.shape[0], :im.shape[1]] = im
-            valid = np.zeros(self.batch, bool)
-            valid[:n] = True
-            out = self.face.extract_batch(batch_arr, valid)
+        submit = getattr(self.face, "submit_batch", None)
+
+        def _consume(entry):
+            fetch, chunk, mchunk, scales = entry
+            out = fetch()
             for i, it in enumerate(mchunk):
                 mask = out["mask"][i]
                 if mask.any():
@@ -527,7 +517,39 @@ class Curator:
                 feats = self.clip.extract(chunk)
                 for i, it in enumerate(mchunk):
                     it.bg_clip = feats[i]
-            self.progress("describe", start + len(chunk), len(imgs))
+
+        pending = None
+        done = 0
+        for start in range(0, len(imgs), self.batch):
+            chunk = imgs[start:start + self.batch]
+            mchunk = metas[start:start + self.batch]
+            n = len(chunk)
+            batch_arr = np.zeros((self.batch, cvs, cvs, 3), np.uint8)
+            scales = np.ones(n, np.float32)
+            for i, im in enumerate(chunk):
+                s = min(1.0, cvs / max(im.shape[0], im.shape[1]))
+                if s < 1.0 and cv2 is not None:
+                    im = cv2.resize(im, (int(round(im.shape[1] * s)),
+                                         int(round(im.shape[0] * s))),
+                                    interpolation=cv2.INTER_AREA)
+                scales[i] = s
+                batch_arr[i, :im.shape[0], :im.shape[1]] = im
+            valid = np.zeros(self.batch, bool)
+            valid[:n] = True
+            if submit is not None:
+                fetch = submit(batch_arr, valid)
+            else:
+                out_now = self.face.extract_batch(batch_arr, valid)
+                fetch = lambda out_now=out_now: out_now
+            if pending is not None:
+                _consume(pending)
+                done += len(pending[1])
+                self.progress("describe", done, len(imgs))
+            pending = (fetch, chunk, mchunk, scales)
+        if pending is not None:
+            _consume(pending)
+            done += len(pending[1])
+            self.progress("describe", done, len(imgs))
         items.extend(metas)
         return items
 

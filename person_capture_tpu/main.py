@@ -12,6 +12,7 @@ models/loaders.py and tools/convert_weights.py).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -150,7 +151,12 @@ def main(argv=None) -> int:
     if cfg.match_mode != "face_only" or not cfg.skip_yolo_when_faceonly:
         from .pipeline.backends import YoloPersonBackend
 
-        person_backend = YoloPersonBackend(conf=cfg.min_det_conf)
+        # bundled synthetic-trained weights by default; a user-supplied
+        # ultralytics .pt converts via models/loaders.py
+        yolo_name = os.path.splitext(os.path.basename(cfg.yolo_model))[0]
+        person_backend = YoloPersonBackend(
+            conf=cfg.min_det_conf,
+            weights=resolve_weights("auto", yolo_name or "yolov8n"))
     if cfg.match_mode in ("either", "both", "reid_only"):
         from .models import clip_vit as CV
         from .pipeline.backends import ClipReidBackend

@@ -32,11 +32,17 @@ class ArcFaceConfig:
 TINY = ArcFaceConfig(name="arcface_tiny", stage_channels=(8, 16, 24, 32),
                      stage_blocks=(1, 1, 1, 1), embed_dim=64, input_size=112)
 
+# compact embedder for the in-repo synthetic-identity weights (the real
+# r50/r100 checkpoints are user-supplied; this one ships trained)
+SYNTH_R18 = ArcFaceConfig(name="arcface_synth",
+                          stage_channels=(24, 48, 96, 192),
+                          stage_blocks=(2, 2, 2, 2), embed_dim=256)
+
 W600K_R50 = ArcFaceConfig(name="w600k_r50")
 
 GLINTR100 = ArcFaceConfig(name="glintr100", stage_blocks=(3, 13, 30, 3))
 
-CONFIGS = {c.name: c for c in (TINY, W600K_R50, GLINTR100)}
+CONFIGS = {c.name: c for c in (TINY, SYNTH_R18, W600K_R50, GLINTR100)}
 
 
 class IResNet(nn.Module):

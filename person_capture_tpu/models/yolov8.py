@@ -48,12 +48,12 @@ class ConvSiLU(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=self.kernel // 2, use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                          momentum=0.97, dtype=self.dtype)(x)
         return nn.silu(x)
 
@@ -64,9 +64,9 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        y = ConvSiLU(self.features, 3, dtype=self.dtype)(x)
-        y = ConvSiLU(self.features, 3, dtype=self.dtype)(y)
+    def __call__(self, x, train: bool = False):
+        y = ConvSiLU(self.features, 3, dtype=self.dtype)(x, train)
+        y = ConvSiLU(self.features, 3, dtype=self.dtype)(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             return x + y
         return y
@@ -80,17 +80,17 @@ class C2f(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         c = self.features // 2
-        y = ConvSiLU(self.features, 1, dtype=self.dtype)(x)
+        y = ConvSiLU(self.features, 1, dtype=self.dtype)(x, train)
         y1, y2 = y[..., :c], y[..., c:]
         outs = [y1, y2]
         h = y2
         for _ in range(self.n):
-            h = Bottleneck(c, self.shortcut, dtype=self.dtype)(h)
+            h = Bottleneck(c, self.shortcut, dtype=self.dtype)(h, train)
             outs.append(h)
         return ConvSiLU(self.features, 1, dtype=self.dtype)(
-            jnp.concatenate(outs, axis=-1))
+            jnp.concatenate(outs, axis=-1), train)
 
 
 class SPPF(nn.Module):
@@ -98,14 +98,14 @@ class SPPF(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         c = self.features // 2
-        y = ConvSiLU(c, 1, dtype=self.dtype)(x)
+        y = ConvSiLU(c, 1, dtype=self.dtype)(x, train)
         p1 = nn.max_pool(y, (5, 5), strides=(1, 1), padding="SAME")
         p2 = nn.max_pool(p1, (5, 5), strides=(1, 1), padding="SAME")
         p3 = nn.max_pool(p2, (5, 5), strides=(1, 1), padding="SAME")
         return ConvSiLU(self.features, 1, dtype=self.dtype)(
-            jnp.concatenate([y, p1, p2, p3], axis=-1))
+            jnp.concatenate([y, p1, p2, p3], axis=-1), train)
 
 
 def _upsample2x(x):
@@ -118,32 +118,32 @@ class YoloV8(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         c = self.cfg
         w0, w1, w2, w3, w4 = c.width
         d1, d2, d3, d4 = c.depth
         # backbone
-        x = ConvSiLU(w0, 3, 2, dtype=self.dtype)(x)          # /2
-        x = ConvSiLU(w1, 3, 2, dtype=self.dtype)(x)          # /4
-        x = C2f(w1, d1, dtype=self.dtype)(x)
-        x = ConvSiLU(w2, 3, 2, dtype=self.dtype)(x)          # /8
-        p3 = C2f(w2, d2, dtype=self.dtype)(x)
-        x = ConvSiLU(w3, 3, 2, dtype=self.dtype)(p3)         # /16
-        p4 = C2f(w3, d3, dtype=self.dtype)(x)
-        x = ConvSiLU(w4, 3, 2, dtype=self.dtype)(p4)         # /32
-        x = C2f(w4, d4, dtype=self.dtype)(x)
-        p5 = SPPF(w4, dtype=self.dtype)(x)
+        x = ConvSiLU(w0, 3, 2, dtype=self.dtype)(x, train)          # /2
+        x = ConvSiLU(w1, 3, 2, dtype=self.dtype)(x, train)          # /4
+        x = C2f(w1, d1, dtype=self.dtype)(x, train)
+        x = ConvSiLU(w2, 3, 2, dtype=self.dtype)(x, train)          # /8
+        p3 = C2f(w2, d2, dtype=self.dtype)(x, train)
+        x = ConvSiLU(w3, 3, 2, dtype=self.dtype)(p3, train)         # /16
+        p4 = C2f(w3, d3, dtype=self.dtype)(x, train)
+        x = ConvSiLU(w4, 3, 2, dtype=self.dtype)(p4, train)         # /32
+        x = C2f(w4, d4, dtype=self.dtype)(x, train)
+        p5 = SPPF(w4, dtype=self.dtype)(x, train)
         # PAN neck
         u4 = C2f(w3, d1, shortcut=False, dtype=self.dtype)(
-            jnp.concatenate([_upsample2x(p5), p4], axis=-1))
+            jnp.concatenate([_upsample2x(p5), p4], axis=-1), train)
         u3 = C2f(w2, d1, shortcut=False, dtype=self.dtype)(
-            jnp.concatenate([_upsample2x(u4), p3], axis=-1))
+            jnp.concatenate([_upsample2x(u4), p3], axis=-1), train)
         d4_ = C2f(w3, d1, shortcut=False, dtype=self.dtype)(
-            jnp.concatenate([ConvSiLU(w2, 3, 2, dtype=self.dtype)(u3), u4],
-                            axis=-1))
+            jnp.concatenate([ConvSiLU(w2, 3, 2, dtype=self.dtype)(u3, train),
+                             u4], axis=-1), train)
         d5_ = C2f(w4, d1, shortcut=False, dtype=self.dtype)(
-            jnp.concatenate([ConvSiLU(w3, 3, 2, dtype=self.dtype)(d4_), p5],
-                            axis=-1))
+            jnp.concatenate([ConvSiLU(w3, 3, 2, dtype=self.dtype)(d4_, train),
+                             p5], axis=-1), train)
         # decoupled heads (separate weights per level); channel formulas
         # match ultralytics Detect so real checkpoints map 1:1:
         #   box c2 = max(16, ch[0]//4, 4*reg_max); cls c3 = max(ch[0],
@@ -152,11 +152,11 @@ class YoloV8(nn.Module):
         c3 = max(w2, min(c.num_classes, 100))
         outs = []
         for feat in (u3, d4_, d5_):
-            box = ConvSiLU(c2, 3, dtype=self.dtype)(feat)
-            box = ConvSiLU(c2, 3, dtype=self.dtype)(box)
+            box = ConvSiLU(c2, 3, dtype=self.dtype)(feat, train)
+            box = ConvSiLU(c2, 3, dtype=self.dtype)(box, train)
             box = nn.Conv(4 * c.reg_max, (1, 1), dtype=self.dtype)(box)
-            cls = ConvSiLU(c3, 3, dtype=self.dtype)(feat)
-            cls = ConvSiLU(c3, 3, dtype=self.dtype)(cls)
+            cls = ConvSiLU(c3, 3, dtype=self.dtype)(feat, train)
+            cls = ConvSiLU(c3, 3, dtype=self.dtype)(cls, train)
             cls = nn.Conv(c.num_classes, (1, 1), dtype=self.dtype,
                           bias_init=nn.initializers.constant(-4.6))(cls)
             outs.append((box, cls))

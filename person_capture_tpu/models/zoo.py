@@ -23,6 +23,8 @@ _WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.dirname(
 BUNDLED = {
     "scrfd_2.5g": "scrfd_2.5g_synth.npz",
     "scrfd_tiny": "scrfd_tiny_synth.npz",
+    "yolov8n": "yolov8n_synth.npz",
+    "yolo_tiny": "yolo_tiny_synth.npz",
 }
 
 

@@ -144,3 +144,71 @@ def sample_batch(rng, batch: int, size: int = 256, **kw):
         "kps": np.stack([s["kps"] for s in scenes]),
         "gt_mask": np.stack([s["gt_mask"] for s in scenes]),
     }
+
+
+def _draw_person(img, face_box, rng) -> np.ndarray:
+    """Schematic person for detector training: torso + legs + face head
+    (video/synthetic.py:draw_person layout). Returns the person gt box."""
+    from ..video.synthetic import FacePlacement, draw_person
+
+    h, w = img.shape[:2]
+    clothing = tuple(int(v) for v in rng.integers(40, 220, 3))
+    draw_person(img, FacePlacement(0, int(rng.integers(0, 4)),
+                                   tuple(face_box)), clothing=clothing)
+    from ..video.synthetic import person_box_for_face
+
+    return np.asarray(person_box_for_face(face_box, w, h), np.float32)
+
+
+def sample_person_scene(rng, size: int = 256, min_face: int = 10,
+                        max_face: int = 48) -> Dict[str, np.ndarray]:
+    """Scene with 0-3 schematic persons; gt boxes are PERSON extents."""
+    if cv2 is None:  # pragma: no cover
+        raise RuntimeError("cv2 required for scene generation")
+    base = int(rng.integers(20, 120))
+    img = np.full((size, size, 3), base, np.uint8)
+    img += rng.integers(0, 18, (size, size, 3), dtype=np.uint8)
+    _draw_distractors(img, rng, int(rng.integers(0, 5)))
+    n = int(rng.choice([0, 1, 1, 2, 2, 3], p=[0.12, 0.3, 0.3, 0.12,
+                                              0.1, 0.06]))
+    boxes = np.zeros((MAX_GT, 4), np.float32)
+    mask = np.zeros((MAX_GT,), bool)
+    placed = []
+    # the body extends ~4.2 face-heights below the head plus placement
+    # margin: cap the face size so a whole person fits the canvas
+    max_face = min(max_face, size / 5.6)
+    min_face = min(min_face, max_face * 0.8)
+    for j in range(n):
+        for _ in range(12):
+            fw = float(np.exp(rng.uniform(np.log(min_face),
+                                          np.log(max_face))))
+            fh = fw * rng.uniform(0.9, 1.15)
+            # head near the top so the body fits below
+            cx = rng.uniform(fw * 1.6, size - fw * 1.6)
+            cy = rng.uniform(fh * 0.8, size - fh * 4.0)
+            fbox = np.array([cx - fw / 2, cy - fh / 2,
+                             cx + fw / 2, cy + fh / 2], np.float32)
+            pbox = np.asarray(
+                [max(0, fbox[0] - fw), max(0, fbox[1] - 0.2 * fh),
+                 min(size, fbox[2] + fw), min(size, fbox[3] + 4.2 * fh)],
+                np.float32)
+            if not _boxes_overlap(pbox, placed):
+                break
+        else:
+            continue
+        placed.append(pbox)
+        boxes[j] = _draw_person(img, fbox, rng)
+        mask[j] = True
+    if rng.random() < 0.25:
+        k = int(rng.choice([3, 5]))
+        img = cv2.GaussianBlur(img, (k, k), 0)
+    return {"image": img, "boxes": boxes, "gt_mask": mask}
+
+
+def sample_person_batch(rng, batch: int, size: int = 256, **kw):
+    scenes = [sample_person_scene(rng, size, **kw) for _ in range(batch)]
+    return {
+        "images": np.stack([s["image"] for s in scenes]),
+        "boxes": np.stack([s["boxes"] for s in scenes]),
+        "gt_mask": np.stack([s["gt_mask"] for s in scenes]),
+    }

@@ -80,10 +80,46 @@ def draw_face(img: np.ndarray, pl: FacePlacement) -> None:
         img[max(0, y1):y2, max(0, x1):x2] = color
 
 
+def person_box_for_face(box, width: int, height: int):
+    """Deterministic body extent below a face box (matches the rendering
+    of draw_person and OraclePersonBackend's inflation)."""
+    x1, y1, x2, y2 = box
+    fw, fh = x2 - x1, y2 - y1
+    return (max(0.0, x1 - fw), max(0.0, y1 - 0.2 * fh),
+            min(float(width), x2 + fw), min(float(height), y2 + 4.2 * fh))
+
+
+def draw_person(img: np.ndarray, pl: FacePlacement,
+                clothing=None) -> None:
+    """Render a schematic person: torso + legs below the face, then the
+    face on top (so the face pattern stays detector-visible)."""
+    if cv2 is None:
+        draw_face(img, pl)
+        return
+    x1, y1, x2, y2 = pl.box
+    fw, fh = x2 - x1, y2 - y1
+    h, w = img.shape[:2]
+    clothing = clothing or tuple(
+        int(v) for v in np.random.default_rng(pl.identity + 7)
+        .integers(40, 220, 3))
+    dark = tuple(max(0, c - 60) for c in clothing)
+    # torso
+    tx1, ty1 = int(x1 - 0.35 * fw), int(y2)
+    tx2, ty2 = int(x2 + 0.35 * fw), int(min(h, y2 + 2.4 * fh))
+    cv2.rectangle(img, (tx1, ty1), (tx2, ty2), clothing, -1)
+    # legs
+    ly2 = int(min(h, y2 + 4.2 * fh))
+    mid = (tx1 + tx2) // 2
+    cv2.rectangle(img, (tx1 + 2, ty2), (mid - 2, ly2), dark, -1)
+    cv2.rectangle(img, (mid + 2, ty2), (tx2 - 2, ly2), dark, -1)
+    draw_face(img, pl)
+
+
 def generate_video(path: str, width: int = 320, height: int = 240,
                    fps: float = 30.0, total_frames: int = 120,
                    segments: Optional[Sequence[Tuple[int, int, int]]] = None,
-                   moving: bool = True, seed: int = 0) -> SyntheticVideo:
+                   moving: bool = True, seed: int = 0,
+                   draw_body: bool = False) -> SyntheticVideo:
     """Write an mp4 with faces present in the given ``(start, end, identity)``
     frame segments (inclusive), plus background noise.
     """
@@ -114,7 +150,10 @@ def generate_video(path: str, width: int = 320, height: int = 240,
                     cx, cy = width * 0.5, height * 0.5
                 box = (cx - fw / 2, cy - fw / 2, cx + fw / 2, cy + fw / 2)
                 pl = FacePlacement(f, ident, box)
-                draw_face(img, pl)
+                if draw_body:
+                    draw_person(img, pl)
+                else:
+                    draw_face(img, pl)
                 sv.truth.setdefault(f, []).append(pl)
         writer.write(img)
     writer.release()
