@@ -27,6 +27,10 @@ class PersonDetector:
 
             cfg_name = model_name.replace(".pt", "")
             cfg = Y.CONFIGS.get(cfg_name, Y.YOLOV8N)
+            if weights is None:
+                from .models.zoo import resolve_weights
+
+                weights = resolve_weights("auto", cfg.name)
             self._backend = YoloPersonBackend(cfg=cfg, det_size=det_size,
                                              weights=weights)
 

@@ -29,8 +29,11 @@ class FaceEmbedder:
         if backend is None:
             from .models import arcface as AF
             from .models import scrfd as SD
+            from .models.zoo import resolve_weights
             from .pipeline.backends import ScrfdArcFaceBackend
 
+            if scrfd_weights is None:
+                scrfd_weights = resolve_weights("auto", face_model)
             backend = ScrfdArcFaceBackend(
                 scrfd_cfg=SD.CONFIGS.get(face_model, SD.SCRFD_2_5G),
                 arcface_cfg=AF.CONFIGS.get(arcface_model, AF.W600K_R50),

@@ -108,9 +108,15 @@ class MainWindow(QtWidgets.QMainWindow):
 
     # ------------------------------------------------------------------
     def _default_backend(self):
+        from .models.zoo import resolve_weights
         from .pipeline.backends import ScrfdArcFaceBackend
+        from .pipeline.recovery import RecoveringFaceBackend, RecoveryPolicy
 
-        return ScrfdArcFaceBackend()
+        backend = ScrfdArcFaceBackend(
+            scrfd_weights=resolve_weights("auto", "scrfd_2.5g"),
+            max_faces=self.cfg.tpu_max_faces)
+        return RecoveringFaceBackend(backend,
+                                     RecoveryPolicy.from_config(self.cfg))
 
     def _build_ui(self):
         central = QtWidgets.QWidget()

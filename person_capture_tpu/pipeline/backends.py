@@ -196,11 +196,16 @@ class ScrfdArcFaceBackend:
             return jnp.clip(jnp.stack([bl, g, r], axis=-1), 0.0, 255.0)
 
         @jax.jit
-        def fused_fn(frames_u8, score_thresh):
+        def convert_fn(frames_u8):
+            """Wire format → device-resident float32 BGR (shared-upload
+            path: one host→device transfer feeds BOTH the face and the
+            person programs instead of two independent uploads)."""
             if self.transfer_format == "i420":
-                frames = _i420_to_bgr(frames_u8)
-            else:
-                frames = frames_u8.astype(jnp.float32)
+                return _i420_to_bgr(frames_u8)
+            return frames_u8.astype(jnp.float32)
+
+        @jax.jit
+        def fused_from_bgr(frames, score_thresh):
             padded, scales = jax.vmap(
                 lambda f: letterbox_topleft(f, self.det_size))(frames)
             det = detect(padded, scales, score_thresh)
@@ -237,10 +242,29 @@ class ScrfdArcFaceBackend:
             ], axis=-1)
             return packed
 
+        def fused_fn(frames_u8, score_thresh):
+            return fused_from_bgr(convert_fn(frames_u8), score_thresh)
+
         self._detect = detect_fn
         self._embed = embed_fn
         self._fused = fused_fn
+        self._convert = convert_fn
+        self._fused_bgr = fused_from_bgr
         self._jnp = jnp
+
+    # ---- shared-upload path (one transfer feeds face + person programs) --
+    def upload_shared(self, frames: np.ndarray):
+        """Host frames → device-resident float32 BGR via the wire format
+        (i420 halves the bytes); the returned array feeds both
+        :meth:`submit_device` and YoloPersonBackend.submit_device."""
+        wire = self._prepare_transfer(np.asarray(frames))
+        return self._convert(self._jnp.asarray(wire))
+
+    def submit_device(self, bgr_dev, valid, frame_idxs=None):
+        packed_dev = self._fused_bgr(bgr_dev,
+                                     self._jnp.float32(self.score_thresh))
+        valid = np.asarray(valid).copy()
+        return lambda: self._unpack(np.asarray(packed_dev), valid)
 
     def _align_host(self, frames, kps, mask):
         """cv2 similarity warp of every valid face (reference:
@@ -428,8 +452,16 @@ class YoloPersonBackend:
         Submitting it back-to-back with the face program lets both run on
         device before either download — the person stage stops serializing
         the main-pass step (VERDICT weak #6)."""
-        out_dev = self._fused(self._jnp.asarray(frames),
-                              self._jnp.float32(self.conf))
+        return self._submit(self._jnp.asarray(frames), valid)
+
+    def submit_device(self, bgr_dev, valid, frame_idxs=None):
+        """Shared-upload variant: consume the device-resident float32 BGR
+        produced by ScrfdArcFaceBackend.upload_shared — no second
+        host→device transfer of the same frames."""
+        return self._submit(bgr_dev, valid)
+
+    def _submit(self, frames_dev, valid):
+        out_dev = self._fused(frames_dev, self._jnp.float32(self.conf))
         valid = np.asarray(valid).copy()
 
         def fetch():

@@ -392,21 +392,31 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     [frames, np.repeat(frames[-1:], batch - n, axis=0)], 0)
                 idxs = np.concatenate([idxs, np.repeat(idxs[-1:], batch - n)])
                 valid = np.concatenate([valid, np.zeros(batch - n, bool)])
-            if submit is not None:
-                fetch = submit(frames, valid, idxs)
-            else:
-                out_now = backend.extract_batch(frames, valid, idxs)
-                fetch = lambda out_now=out_now: out_now
             person_fetch = None
-            if use_person:
-                # dispatch the person program immediately after the face
-                # program: both execute on device before either download
-                psubmit = getattr(person_backend, "submit_batch", None)
-                if psubmit is not None:
-                    person_fetch = psubmit(frames, valid, idxs)
+            if (use_person and hasattr(backend, "upload_shared")
+                    and hasattr(person_backend, "submit_device")):
+                # shared-upload: ONE host→device transfer (i420 wire) feeds
+                # both the face and person programs
+                dev_bgr = backend.upload_shared(frames)
+                fetch = backend.submit_device(dev_bgr, valid, idxs)
+                person_fetch = person_backend.submit_device(dev_bgr, valid,
+                                                            idxs)
+            else:
+                if submit is not None:
+                    fetch = submit(frames, valid, idxs)
                 else:
-                    p_now = person_backend.detect_batch(frames, valid, idxs)
-                    person_fetch = lambda p_now=p_now: p_now
+                    out_now = backend.extract_batch(frames, valid, idxs)
+                    fetch = lambda out_now=out_now: out_now
+                if use_person:
+                    # dispatch the person program immediately after the
+                    # face program: both execute before either download
+                    psubmit = getattr(person_backend, "submit_batch", None)
+                    if psubmit is not None:
+                        person_fetch = psubmit(frames, valid, idxs)
+                    else:
+                        p_now = person_backend.detect_batch(frames, valid,
+                                                            idxs)
+                        person_fetch = lambda p_now=p_now: p_now
             inflight.append((fetch, person_fetch, frames, idxs, valid, n))
             pend.clear()
         while inflight and (drain or len(inflight) > 1):

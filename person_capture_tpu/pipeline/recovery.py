@@ -326,6 +326,29 @@ class RecoveringFaceBackend:
 
         return fetch
 
+    # shared-upload path passthrough: the ladder still needs the HOST
+    # frames (variants are built on host), so upload_shared retains them
+    # for the matching submit_device (single-threaded driver contract)
+    def upload_shared(self, frames):
+        if not hasattr(self.inner, "upload_shared"):
+            raise AttributeError("inner backend has no upload_shared")
+        self._shared_host = np.asarray(frames).copy()
+        return self.inner.upload_shared(frames)
+
+    def submit_device(self, bgr_dev, valid, frame_idxs=None):
+        kept = getattr(self, "_shared_host", None)
+        self._shared_host = None
+        fetch0 = self.inner.submit_device(bgr_dev, valid, frame_idxs)
+        valid = np.asarray(valid).copy()
+
+        def fetch():
+            out = fetch0()
+            if kept is None:
+                return out
+            return self._recover(kept, valid, out)
+
+        return fetch
+
     def extract_batch(self, frames, valid, frame_idxs=None):
         return self.submit_batch(frames, valid, frame_idxs)()
 
