@@ -47,9 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--scrfd-weights", default="auto",
                     help=".npz checkpoint | auto (bundled synthetic "
                          "weights) | random")
-    ap.add_argument("--arcface-weights", default="", help=".npz checkpoint")
+    ap.add_argument("--arcface-weights", default="auto",
+                    help=".npz checkpoint | auto (bundled synthetic "
+                         "weights) | random")
     ap.add_argument("--face-model", default="scrfd_2.5g")
-    ap.add_argument("--arcface-model", default="w600k_r50")
+    ap.add_argument("--arcface-model", default="auto",
+                    help="w600k_r50 | glintr100 | arcface_synth | auto "
+                         "(bundled trained embedder when present)")
     ap.add_argument("--mesh", default="",
                     help="device mesh spec, e.g. 'data:4,model:2'; ''=1 chip")
     ap.add_argument("--compute-dtype", default="bfloat16",
@@ -95,11 +99,23 @@ def main(argv=None) -> int:
     from .models.zoo import resolve_weights
 
     scrfd_w = resolve_weights(args.scrfd_weights, args.face_model)
+    # arcface: "auto" prefers the bundled synthetic-identity embedder;
+    # explicit model names + user checkpoints (torch layouts) still load
+    # via models/loaders.py
+    arc_model_name = args.arcface_model
+    if arc_model_name == "auto":
+        from .models.zoo import bundled_weights_path
+
+        arc_model_name = ("arcface_synth"
+                          if bundled_weights_path("arcface_synth")
+                          else "w600k_r50")
+    arc_cfg = AF.CONFIGS.get(arc_model_name, AF.W600K_R50)
     arc_w = None
-    if args.arcface_weights:
+    if args.arcface_weights.lower() in ("auto", ""):
+        arc_w = resolve_weights("auto", arc_model_name)
+    elif args.arcface_weights.lower() not in ("random", "none"):
         from .models.loaders import load_checkpoint
 
-        arc_cfg = AF.CONFIGS.get(args.arcface_model, AF.W600K_R50)
         import jax as _jax
         _m, _v = AF.init_arcface(_jax.random.PRNGKey(0), arc_cfg, dtype=dtype)
         arc_w = load_checkpoint(args.arcface_weights, "arcface", _v, arc_cfg)
@@ -109,13 +125,13 @@ def main(argv=None) -> int:
         backend = ShardedScrfdArcFaceBackend(
             mesh_spec=args.mesh,
             scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
-            arcface_cfg=AF.CONFIGS.get(args.arcface_model, AF.W600K_R50),
+            arcface_cfg=arc_cfg,
             det_size=args.det_size, score_thresh=cfg.face_det_conf,
             dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
     else:
         backend = ScrfdArcFaceBackend(
             scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
-            arcface_cfg=AF.CONFIGS.get(args.arcface_model, AF.W600K_R50),
+            arcface_cfg=arc_cfg,
             det_size=args.det_size, score_thresh=cfg.face_det_conf,
             max_faces=cfg.tpu_max_faces,
             use_arcface=cfg.use_arcface,
@@ -140,7 +156,7 @@ def main(argv=None) -> int:
 
         fullframe_backend = LazyBackend(lambda: ScrfdArcFaceBackend(
             scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
-            arcface_cfg=AF.CONFIGS.get(args.arcface_model, AF.W600K_R50),
+            arcface_cfg=arc_cfg,
             det_size=int(cfg.face_fullframe_imgsz),
             score_thresh=cfg.face_det_conf,
             dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w))

@@ -157,3 +157,32 @@ def test_rotated_face_recovered_by_ladder_real_weights(tiny_backend):
     ua = ((bx[2] - bx[0]) * (bx[3] - bx[1])
           + (wx2 - wx1) * (wy2 - wy1) - inter)
     assert inter / max(ua, 1e-9) >= 0.4, (bx, (wx1, wy1, wx2, wy2))
+
+
+def test_bundled_arcface_synth_separates_identities():
+    """The bundled margin-trained embedder separates synthetic identities
+    (intra-cos >> inter-cos) through the production encode path."""
+    from person_capture_tpu.models import arcface as AF
+    from person_capture_tpu.models.zoo import resolve_weights
+    from person_capture_tpu.train.arcface_synth import (make_identities,
+                                                        render_chip)
+
+    w = resolve_weights("auto", "arcface_synth")
+    if w is None:
+        pytest.skip("bundled arcface_synth weights not present")
+    import jax
+
+    model = AF.IResNet(AF.SYNTH_R18)
+    rng = np.random.default_rng(123)
+    ident = make_identities(rng, 6)
+    feats = []
+    for i in range(6):
+        chips = np.stack([render_chip(rng, ident, i) for _ in range(3)])
+        feats.append(np.asarray(AF.encode_chips(model, w, chips,
+                                                flip_tta=False)))
+    intra = np.mean([feats[i][0] @ feats[i][1] for i in range(6)])
+    inter = np.mean([feats[i][0] @ feats[j][0]
+                     for i in range(6) for j in range(6) if i != j])
+    assert intra > 0.75, intra
+    assert inter < 0.35, inter
+    assert intra - inter > 0.4
