@@ -93,6 +93,13 @@ class HdrExportParams:
     # the statistics reference renders through a genuinely different decode
     # chain — full-range expansion, nearest (420-style) chroma, pure-2.2
     # gamma — vs the clean chain's limited/linear/sRGB.
+    # render-shape bucketing (TPU-native): pad crops to multiples of this
+    # before the kernel and trim after, so varying crop sizes reuse ONE
+    # compiled program instead of recompiling per shape (compiles cost
+    # seconds on tunneled links). Edge-replicated padding only duplicates
+    # existing pixel values, so quantile-based stats (peak detect, LUT fit)
+    # barely move. 0 disables.
+    shape_bucket: int = 64
     clean_range: str = "limited"    # hdr_wic_yuv444_color_match_clean_range
     ref_max_side: int = 960         # reduced-res statistics reference
     lowfreq: float = 0.0            # coarse chroma-field residual transfer
@@ -257,6 +264,21 @@ def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
     uv_crop = np.ascontiguousarray(
         np.asarray(uv_plane)[y1 // 2:y2 // 2, x1 // 2:x2 // 2])
 
+    ch, cw = y_crop.shape
+    bucket = int(getattr(params, "shape_bucket", 0) or 0)
+    trim = None
+    if bucket > 1 and (ch % bucket or cw % bucket):
+        ph = (-ch) % bucket
+        pw = (-cw) % bucket
+        pad_frac = ((ch + ph) * (cw + pw) - ch * cw) / float(ch * cw)
+        # replicated pixels enter the quantile statistics (peak detect,
+        # LUT fit); keep their share small — tiny crops render exact
+        if pad_frac <= 0.25:
+            y_crop = np.pad(y_crop, ((0, ph), (0, pw)), mode="edge")
+            uv_crop = np.pad(uv_crop, ((0, ph // 2), (0, pw // 2), (0, 0)),
+                             mode="edge")
+            trim = (ch, cw)
+
     if reference_bgr is not None and params.color_match:
         # external reference: render without internal match, then match
         base = HdrExportParams(**{**params.__dict__, "color_match": False,
@@ -272,8 +294,9 @@ def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
         if params.speckle_cleanup:
             from ..kernels.cleanup import despeckle_bgr
             bgr = np.asarray(despeckle_bgr(bgr)[0])
-        return bgr
-    return np.asarray(_get_render_fn(params)(y_crop, uv_crop))
+        return bgr[: trim[0], : trim[1]] if trim is not None else bgr
+    out = np.asarray(_get_render_fn(params)(y_crop, uv_crop))
+    return out[: trim[0], : trim[1]] if trim is not None else out
 
 
 def save_sdr_still(bgr: np.ndarray, out_path: str,

@@ -118,3 +118,37 @@ def test_from_cfg_wires_the_keys():
     assert p.lowfreq == 0.4 and p.ref_max_side == 512
     assert p.shadow_deblob == 0.3 and p.contrast_recovery == 0.25
     assert p.gamut == "perceptual" and p.clean_range == "full"
+
+
+def test_shape_bucketing_matches_exact_render():
+    """Bucketed (pad-to-multiple + trim) renders must match the exact-shape
+    render closely — the bucket exists so varying crop sizes reuse one
+    compiled program instead of recompiling per shape."""
+    y, uv = _synth_planes()
+    crop = (2, 2, 2 + 124, 2 + 60)  # 124x60: pads ~10% to 128x64
+    exact = render_sdr_crop_from_p010(
+        y, uv, crop, HdrExportParams(**{**BASE, "shape_bucket": 0}))
+    bucketed = render_sdr_crop_from_p010(
+        y, uv, crop, HdrExportParams(**{**BASE, "shape_bucket": 64}))
+    assert bucketed.shape == exact.shape
+    diff = np.abs(bucketed.astype(np.int16) - exact.astype(np.int16))
+    assert diff.mean() < 1.5, diff.mean()
+
+
+def test_shape_bucketing_single_compilation():
+    """Different sub-bucket crop sizes hit the same compiled program."""
+    import jax
+
+    y, uv = _synth_planes()
+    p = HdrExportParams(**{**BASE, "shape_bucket": 64})
+    from person_capture_tpu.hdr.stills import _get_render_fn
+
+    fn = _get_render_fn(p)
+    sizes_before = fn._cache_size() if hasattr(fn, "_cache_size") else None
+    for crop in ((0, 0, 124, 60), (2, 2, 122, 62), (0, 0, 126, 64)):
+        out = render_sdr_crop_from_p010(y, uv, crop, p)
+        x1, y1, x2, y2 = crop
+        # even-legalized sizes
+        assert abs(out.shape[1] - (x2 - x1)) <= 2
+    if sizes_before is not None:
+        assert fn._cache_size() - sizes_before <= 1
