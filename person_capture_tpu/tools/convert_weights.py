@@ -44,12 +44,21 @@ def _require(mod: str):
 
 
 def onnx_param_dict(path: str) -> Dict[str, np.ndarray]:
-    onnx = _require("onnx")
-    from onnx import numpy_helper
+    """Graph initializers from an .onnx file. Prefers the installed `onnx`
+    package; falls back to the dependency-free wire-format reader
+    (tools/onnx_lite.py) so conversion also runs on TPU hosts where onnx
+    isn't installed."""
+    try:
+        import onnx
+        from onnx import numpy_helper
 
-    model = onnx.load(path)
-    return {init.name: numpy_helper.to_array(init)
-            for init in model.graph.initializer}
+        model = onnx.load(path)
+        return {init.name: numpy_helper.to_array(init)
+                for init in model.graph.initializer}
+    except ImportError:
+        from .onnx_lite import onnx_initializers
+
+        return onnx_initializers(path)
 
 
 def torch_param_dict(path: str) -> Dict[str, np.ndarray]:
