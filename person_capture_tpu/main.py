@@ -113,6 +113,10 @@ def main(argv=None) -> int:
     arc_w = None
     if args.arcface_weights.lower() in ("auto", ""):
         arc_w = resolve_weights("auto", arc_model_name)
+    elif args.arcface_weights.lower().endswith(".onnx"):
+        # checkpoint-exact ONNX execution (models/onnx_zoo) — the
+        # reference's own w600k_r50.onnx format, face_embedder.py:68-83
+        arc_w = resolve_weights(args.arcface_weights, arc_model_name)
     elif args.arcface_weights.lower() not in ("random", "none"):
         from .models.loaders import load_checkpoint
 

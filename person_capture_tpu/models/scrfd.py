@@ -169,6 +169,43 @@ def make_detect_fn(model: SCRFD, variables, max_faces: int | None = None):
     return fn
 
 
+def select_detections(level_scores, level_boxes, level_kps, det_scales,
+                      score_thresh, max_faces: int, nms_iou: float,
+                      max_candidates: int):
+    """Shared SCRFD selection tail: per-level top-k → concat → NMS →
+    fixed-slot output, mapped back to original-frame coordinates.
+
+    Args:
+      level_scores/boxes/kps: per-level lists ``[B, N]`` / ``[B, N, 4]`` /
+        ``[B, N, 5, 2]`` in letterboxed-image pixels (any decoder — the
+        native flax model or an executed ONNX graph — produces these).
+    """
+    all_scores, all_boxes, all_kps = [], [], []
+    for s, bx, kp in zip(level_scores, level_boxes, level_kps):
+        # per-level top-k keeps the concat small and static
+        k = min(max_candidates, s.shape[1])
+        top_s, top_i = jax.lax.top_k(s, k)
+        bi = jnp.arange(s.shape[0])[:, None]
+        all_scores.append(top_s)
+        all_boxes.append(bx[bi, top_i])
+        all_kps.append(kp[bi, top_i])
+
+    scores = jnp.concatenate(all_scores, axis=1)
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    kps = jnp.concatenate(all_kps, axis=1)
+    valid = scores >= score_thresh
+
+    def per_frame(s, b, kp, v):
+        idx, mask = nms_select(b, s, v, max_faces, nms_iou)
+        return s[idx], b[idx], kp[idx], mask
+
+    s_out, b_out, k_out, m_out = jax.vmap(per_frame)(scores, boxes, kps, valid)
+    inv = 1.0 / jnp.maximum(det_scales.astype(jnp.float32), 1e-9)
+    b_out = b_out * inv[:, None, None]
+    k_out = k_out * inv[:, None, None, None]
+    return {"boxes": b_out, "kps": k_out, "scores": s_out, "mask": m_out}
+
+
 def detect_faces(model: SCRFD, variables, frames_bgr, det_scales,
                  score_thresh: float = 0.5, max_faces: int | None = None):
     """Fused SCRFD detection over a pre-letterboxed batch.
@@ -186,29 +223,13 @@ def detect_faces(model: SCRFD, variables, frames_bgr, det_scales,
     x = normalize_scrfd(frames_bgr).astype(model.dtype)
     levels = model.apply(variables, x)
 
-    all_scores, all_boxes, all_kps = [], [], []
+    level_scores, level_boxes, level_kps = [], [], []
     for (cls_map, bbox_map, kps_map), stride in zip(levels, cfg.strides):
         s, bx, kp = decode_level(cls_map, bbox_map, kps_map, stride,
                                  cfg.num_anchors)
-        # per-level top-k keeps the concat small and static
-        k = min(cfg.max_candidates, s.shape[1])
-        top_s, top_i = jax.lax.top_k(s, k)
-        bi = jnp.arange(s.shape[0])[:, None]
-        all_scores.append(top_s)
-        all_boxes.append(bx[bi, top_i])
-        all_kps.append(kp[bi, top_i])
-
-    scores = jnp.concatenate(all_scores, axis=1)
-    boxes = jnp.concatenate(all_boxes, axis=1)
-    kps = jnp.concatenate(all_kps, axis=1)
-    valid = scores >= score_thresh
-
-    def per_frame(s, b, kp, v):
-        idx, mask = nms_select(b, s, v, max_faces, cfg.nms_iou)
-        return s[idx], b[idx], kp[idx], mask
-
-    s_out, b_out, k_out, m_out = jax.vmap(per_frame)(scores, boxes, kps, valid)
-    inv = 1.0 / jnp.maximum(det_scales.astype(jnp.float32), 1e-9)
-    b_out = b_out * inv[:, None, None]
-    k_out = k_out * inv[:, None, None, None]
-    return {"boxes": b_out, "kps": k_out, "scores": s_out, "mask": m_out}
+        level_scores.append(s)
+        level_boxes.append(bx)
+        level_kps.append(kp)
+    return select_detections(level_scores, level_boxes, level_kps,
+                             det_scales, score_thresh, max_faces,
+                             cfg.nms_iou, cfg.max_candidates)

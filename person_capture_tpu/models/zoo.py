@@ -54,6 +54,12 @@ def resolve_weights(spec: str, model_name: str) -> Optional[Dict[str, Any]]:
     spec = (spec or "auto").strip()
     if spec.lower() in ("random", "none"):
         return None
+    if spec.lower().endswith(".onnx"):
+        # checkpoint-exact execution of the reference's own ONNX files
+        # (models/onnx_zoo adapters; face_embedder.py:55-83 mirrors)
+        if not os.path.isfile(spec):
+            raise FileNotFoundError(f"ONNX checkpoint not found: {spec!r}")
+        return spec
     if spec.lower() in ("auto", ""):
         path = bundled_weights_path(model_name)
         if path is None:

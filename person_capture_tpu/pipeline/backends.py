@@ -134,19 +134,33 @@ class ScrfdArcFaceBackend:
         except ImportError:
             self.transfer_format = "bgr"
 
-        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-        self.scrfd_model, self.scrfd_vars = SD.init_scrfd(
-            k1, scrfd_cfg, size=det_size, dtype=dtype)
-        self.arcface_model, self.arcface_vars = AF.init_arcface(
-            k2, arcface_cfg, dtype=dtype)
-        if scrfd_weights is not None:
-            self.scrfd_vars = scrfd_weights
-        if arcface_weights is not None:
-            self.arcface_vars = arcface_weights
+        from ..models.onnx_zoo import (OnnxArcFaceEncoder, OnnxScrfdDetector,
+                                       is_onnx_path)
 
-        detect = partial(SD.detect_faces, self.scrfd_model, self.scrfd_vars,
-                         max_faces=self.max_faces)
-        if self.use_arcface:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        self.scrfd_model = self.scrfd_vars = None
+        self.arcface_model = self.arcface_vars = None
+        if is_onnx_path(scrfd_weights):
+            # checkpoint-exact path: execute the insightface graph itself
+            # (reference loads these same files, face_embedder.py:55-65)
+            detect = OnnxScrfdDetector(scrfd_weights, det_size=det_size,
+                                       max_faces=self.max_faces)
+        else:
+            self.scrfd_model, self.scrfd_vars = SD.init_scrfd(
+                k1, scrfd_cfg, size=det_size, dtype=dtype)
+            if scrfd_weights is not None:
+                self.scrfd_vars = scrfd_weights
+            detect = partial(SD.detect_faces, self.scrfd_model,
+                             self.scrfd_vars, max_faces=self.max_faces)
+        if self.use_arcface and is_onnx_path(arcface_weights):
+            encode = OnnxArcFaceEncoder(arcface_weights,
+                                        flip_tta=self.flip_tta)
+            self.embed_dim = encode.embed_dim
+        elif self.use_arcface:
+            self.arcface_model, self.arcface_vars = AF.init_arcface(
+                k2, arcface_cfg, dtype=dtype)
+            if arcface_weights is not None:
+                self.arcface_vars = arcface_weights
             encode = partial(AF.encode_chips, self.arcface_model,
                              self.arcface_vars, flip_tta=self.flip_tta)
         else:
@@ -371,6 +385,13 @@ class ShardedScrfdArcFaceBackend:
         from ..models import scrfd as SD
         from ..parallel.mesh import build_sharded_prescan_step, make_mesh
 
+        from ..models.onnx_zoo import is_onnx_path
+
+        if is_onnx_path(scrfd_weights) or is_onnx_path(arcface_weights):
+            raise ValueError(
+                "ONNX checkpoints are not supported by the sharded backend "
+                "yet — convert to .npz (tools/convert_weights.py) or use "
+                "the single-device ScrfdArcFaceBackend")
         self.mesh = mesh if mesh is not None else make_mesh(mesh_spec)
         scrfd_cfg = scrfd_cfg or SD.SCRFD_2_5G
         arcface_cfg = arcface_cfg or AF.W600K_R50
