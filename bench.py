@@ -123,7 +123,8 @@ def _bench_hdr_exports() -> float:
 
     from person_capture_tpu.hdr.stills import (HdrExportParams,
                                                render_sdr_crop_from_p010,
-                                               save_sdr_still)
+                                               save_sdr_still,
+                                               submit_sdr_crop_render)
 
     rng = np.random.default_rng(1)
     h, w = 2160, 3840
@@ -133,13 +134,18 @@ def _bench_hdr_exports() -> float:
     params = HdrExportParams(color_match=True, speckle_cleanup=True)
 
     # warm (compile)
-    bgr = render_sdr_crop_from_p010(y, uv, crop, params)
+    _ = render_sdr_crop_from_p010(y, uv, crop, params)
+    # depth-1 export pipeline, exactly as the saver thread runs it
+    # (pipeline/saver.py): dispatch render i+1 before PNG-encoding i
     n = 5
     t0 = time.perf_counter()
     with tempfile.TemporaryDirectory() as td:
+        pending = submit_sdr_crop_render(y, uv, crop, params)
         for i in range(n):
-            bgr = render_sdr_crop_from_p010(y, uv, crop, params)
-            save_sdr_still(bgr, f"{td}/f{i}.png")
+            nxt = submit_sdr_crop_render(y, uv, crop, params) \
+                if i + 1 < n else None
+            save_sdr_still(pending(), f"{td}/f{i}.png")
+            pending = nxt
     return round(n / (time.perf_counter() - t0), 2)
 
 

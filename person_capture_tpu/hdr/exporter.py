@@ -21,7 +21,8 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from .stills import (HdrExportParams, render_sdr_crop_from_p010,
-                     save_sdr_still, scale_crop_xyxy_to_source)
+                     save_sdr_still, scale_crop_xyxy_to_source,
+                     submit_sdr_crop_render)
 
 
 class ArrayP010Source:
@@ -237,22 +238,38 @@ class HdrStillExporter:
         base, _ = os.path.splitext(jpeg_path)
         return f"{base}.{self.out_format}"
 
-    def export(self, frame_idx: int, crop_xyxy, frame_size: Tuple[int, int],
-               out_path: str, cancel=None) -> Tuple[bool, str]:
-        def _cancelled() -> bool:
-            return cancel is not None and cancel.is_set()
+    def begin(self, frame_idx: int, crop_xyxy, frame_size: Tuple[int, int],
+              cancel=None):
+        """Phase 1: decode the HDR frame and DISPATCH the device render.
 
+        Returns an opaque pending object for :meth:`finish`. Between the
+        two phases the device computes while the caller does host work —
+        the saver thread begins item i+1 before finishing item i (depth-1
+        export pipelining), overlapping PNG encode with the next render.
+        """
+        if cancel is not None and cancel.is_set():
+            return ("err", "cancelled")
         planes = self.source.get_planes(frame_idx)
         if planes is None:
-            return False, "hdr_decode_failed"
-        if _cancelled():
-            return False, "cancelled"
+            return ("err", "hdr_decode_failed")
         y, uv = planes
         src_size = (y.shape[1], y.shape[0])
         src_crop = scale_crop_xyxy_to_source(crop_xyxy, frame_size, src_size)
         # color-match runs inside the fused render program (its statistics
         # reference is rendered in the same dispatch)
-        bgr = render_sdr_crop_from_p010(y, uv, src_crop, self.params)
+        fetch = submit_sdr_crop_render(y, uv, src_crop, self.params)
+        return ("ok", (y, uv, src_crop, fetch))
+
+    def finish(self, pending, out_path: str, cancel=None) -> Tuple[bool, str]:
+        """Phase 2: fetch the rendered still, guard, save, archive."""
+        def _cancelled() -> bool:
+            return cancel is not None and cancel.is_set()
+
+        status, payload = pending
+        if status == "err":
+            return False, payload
+        y, uv, src_crop, fetch = payload
+        bgr = fetch()
         if _cancelled():
             return False, "cancelled"
         if self.block_guard_mode != "off":
@@ -302,3 +319,9 @@ class HdrStillExporter:
                                     os.path.join(self.diag_dir, base),
                                     base_params=self.params)
         return ok, err
+
+    def export(self, frame_idx: int, crop_xyxy, frame_size: Tuple[int, int],
+               out_path: str, cancel=None) -> Tuple[bool, str]:
+        """One-shot export: begin + finish back-to-back."""
+        pending = self.begin(frame_idx, crop_xyxy, frame_size, cancel=cancel)
+        return self.finish(pending, out_path, cancel=cancel)

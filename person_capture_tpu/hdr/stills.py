@@ -241,11 +241,17 @@ def _get_render_fn(params: HdrExportParams):
     return fn
 
 
-def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
-                              crop_xyxy, params: HdrExportParams,
-                              reference_bgr: Optional[np.ndarray] = None
-                              ) -> np.ndarray:
-    """Crop P010 planes at source resolution and render the SDR BGR still.
+def submit_sdr_crop_render(y_plane: np.ndarray, uv_plane: np.ndarray,
+                           crop_xyxy, params: HdrExportParams,
+                           reference_bgr: Optional[np.ndarray] = None):
+    """Dispatch the device render for a P010 crop; return a zero-arg
+    ``fetch() -> np.ndarray`` that blocks on the result.
+
+    jax dispatch is asynchronous: the device computes between ``submit``
+    and ``fetch``, so a caller can overlap the previous still's host-side
+    PNG encode with this render (depth-1 export pipelining — the saver
+    thread and bench.py both do; round trips cost ~30-300 ms on tunneled
+    links and the encode is host-CPU-bound).
 
     The crop is legalized for 4:2:0 first; cropping happens *before* the
     kernel (as the reference's PNG path crops in HDR space) so tone-map
@@ -256,8 +262,6 @@ def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
     the color match (e.g. a reduced-resolution render); when None and
     color_match is on, the program renders its own reference internally.
     """
-    from ..kernels.colormatch import color_match_bgr
-
     h, w = y_plane.shape[:2]
     x1, y1, x2, y2 = even_hdr_crop_xyxy(crop_xyxy, (w, h))
     y_crop = np.ascontiguousarray(np.asarray(y_plane)[y1:y2, x1:x2])
@@ -280,23 +284,47 @@ def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
             trim = (ch, cw)
 
     if reference_bgr is not None and params.color_match:
-        # external reference: render without internal match, then match
+        # external reference: render without internal match (dispatched
+        # now), then match + despeckle inside fetch (those stages need the
+        # external array on device anyway)
         base = HdrExportParams(**{**params.__dict__, "color_match": False,
                                   "speckle_cleanup": False})
-        bgr = np.asarray(_get_render_fn(base)(y_crop, uv_crop))
-        bgr = np.asarray(color_match_bgr(
-            bgr, reference_bgr, strength=params.color_match_strength,
-            luma_strength=params.color_match_luma,
-            chroma_strength=params.color_match_chroma,
-            shadow_luma_protect=params.shadow_luma_protect,
-            shadow_chroma_protect=params.shadow_chroma_protect,
-            lowfreq=params.lowfreq))
-        if params.speckle_cleanup:
-            from ..kernels.cleanup import despeckle_bgr
-            bgr = np.asarray(despeckle_bgr(bgr)[0])
-        return bgr[: trim[0], : trim[1]] if trim is not None else bgr
-    out = np.asarray(_get_render_fn(params)(y_crop, uv_crop))
-    return out[: trim[0], : trim[1]] if trim is not None else out
+        pending = _get_render_fn(base)(y_crop, uv_crop)
+
+        def fetch_ext() -> np.ndarray:
+            from ..kernels.colormatch import color_match_bgr
+
+            bgr = np.asarray(color_match_bgr(
+                pending, reference_bgr,
+                strength=params.color_match_strength,
+                luma_strength=params.color_match_luma,
+                chroma_strength=params.color_match_chroma,
+                shadow_luma_protect=params.shadow_luma_protect,
+                shadow_chroma_protect=params.shadow_chroma_protect,
+                lowfreq=params.lowfreq))
+            if params.speckle_cleanup:
+                from ..kernels.cleanup import despeckle_bgr
+                bgr = np.asarray(despeckle_bgr(bgr)[0])
+            return bgr[: trim[0], : trim[1]] if trim is not None else bgr
+
+        return fetch_ext
+
+    pending = _get_render_fn(params)(y_crop, uv_crop)
+
+    def fetch() -> np.ndarray:
+        out = np.asarray(pending)
+        return out[: trim[0], : trim[1]] if trim is not None else out
+
+    return fetch
+
+
+def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
+                              crop_xyxy, params: HdrExportParams,
+                              reference_bgr: Optional[np.ndarray] = None
+                              ) -> np.ndarray:
+    """Blocking crop-render (see :func:`submit_sdr_crop_render`)."""
+    return submit_sdr_crop_render(y_plane, uv_plane, crop_xyxy, params,
+                                  reference_bgr)()
 
 
 def save_sdr_still(bgr: np.ndarray, out_path: str,

@@ -807,22 +807,28 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             return False
 
         path = os.path.join(crops_dir, f"f{frame_idx:08d}{suffix}.jpg")
-        render = None
+        render_begin = None
+        render_finish = None
         cancel_ev = None
         if hdr_exporter is not None and cfg.hdr_screencap_fullres:
             # full-resolution HDR→SDR still re-rendered from the source
-            # planes on the saver thread (reference: gui_app.py:7233-7312);
-            # the cancel event lets the saver abandon a render that blows
-            # the hdr_export_timeout_sec budget (gui_app.py:7320-7332)
+            # planes on the saver thread (reference: gui_app.py:7233-7312)
+            # as a TWO-PHASE item: the saver dispatches the next device
+            # render before PNG-encoding the previous one (depth-1 export
+            # pipelining). The cancel event lets the saver abandon a render
+            # that blows the hdr_export_timeout_sec budget (gui_app.py:
+            # 7320-7332).
             import threading as _threading
 
             path = hdr_exporter.out_path_for(path)
             crop_frame_coords = (x1 + off_x, y1 + off_y,
                                  x2 + off_x, y2 + off_y)
             cancel_ev = _threading.Event()
-            render = (lambda p, fi=frame_idx, cc=crop_frame_coords,
-                      ev=cancel_ev:
-                      hdr_exporter.export(fi, cc, (W, H), p, cancel=ev))
+            render_begin = (lambda fi=frame_idx, cc=crop_frame_coords,
+                            ev=cancel_ev:
+                            hdr_exporter.begin(fi, cc, (W, H), cancel=ev))
+            render_finish = (lambda pending, p, ev=cancel_ev:
+                             hdr_exporter.finish(pending, p, cancel=ev))
         row = [frame_idx, f"{t:.3f}",
                f"{best.score:.4f}",
                f"{best.fd:.4f}" if best.fd is not None else "",
@@ -830,7 +836,9 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y,
                os.path.basename(path), f"{sharp:.4f}", ratio or ""]
         saver.submit(SaveItem(img=img, path=path, csv_row=row,
-                              render=render, cancel_event=cancel_ev))
+                              render_begin=render_begin,
+                              render_finish=render_finish,
+                              cancel_event=cancel_ev))
         if cfg.async_save_wait:
             # synchronous ack (reference wait_for_save, gui_app.py:7278):
             # block until the saver drained this item

@@ -83,6 +83,13 @@ class SaveItem:
     # as render(path) -> (ok, err); `img` may be None then. Mirrors the
     # reference's typed hdr_sdr queue items (gui_app.py:7276-7344).
     render: Optional[object] = None
+    # Two-phase render (preferred when set): render_begin() -> pending
+    # dispatches the device program; render_finish(pending, path) ->
+    # (ok, err) fetches + encodes. The saver begins item i+1 before
+    # finishing item i so the device renders while the host PNG-encodes
+    # (depth-1 export pipelining; hdr/exporter.py begin/finish).
+    render_begin: Optional[object] = None
+    render_finish: Optional[object] = None
     # Cooperative cancellation: set by the saver when `render` exceeds the
     # render timeout (reference cancel events, gui_app.py:7284-7344)
     cancel_event: Optional[threading.Event] = None
@@ -152,15 +159,98 @@ class AsyncSaver:
             self._q.join()
 
     def _worker(self) -> None:
+        # `inflight`: a two-phase item whose device render was dispatched
+        # but not yet fetched/encoded. Beginning the NEXT item first keeps
+        # the device busy during this item's host-side PNG encode.
+        inflight = None   # (item, pending, t0)
         while True:
-            item = self._q.get()
+            if inflight is not None:
+                try:
+                    item = self._q.get(timeout=0.05)
+                except queue.Empty:
+                    self._finish_two_phase(*inflight)
+                    inflight = None
+                    continue
+            else:
+                item = self._q.get()
             if item is None:
+                if inflight is not None:
+                    self._finish_two_phase(*inflight)
+                    inflight = None
                 self._q.task_done()
                 break
+            two_phase = item.render_begin is not None
+            started = self._begin_two_phase(item) if two_phase else None
+            if inflight is not None:
+                self._finish_two_phase(*inflight)
+                inflight = None
+            if two_phase:
+                # begin failure already recorded + task_done'd the item
+                if started is not None:
+                    inflight = (item, *started)
+            else:
+                try:
+                    self._handle(item)
+                finally:
+                    self._q.task_done()
+
+    def _begin_two_phase(self, item: SaveItem):
+        """Dispatch phase 1 under the render-timeout budget. Returns
+        (pending, t0) or None (error already recorded, task done)."""
+        import time
+
+        t0 = time.monotonic()
+        ok, res = self._call_bounded(item, item.render_begin,
+                                     self.render_timeout)
+        if not ok:
+            self.errors.append((item.path, str(res)))
+            self._q.task_done()
+            return None
+        return res, t0
+
+    def _finish_two_phase(self, item: SaveItem, pending, t0) -> None:
+        """Phase 2 under the remaining render-timeout budget."""
+        import time
+
+        remaining = 0.0
+        if self.render_timeout > 0:
+            remaining = max(1.0,
+                            self.render_timeout - (time.monotonic() - t0))
+        try:
+            called, res = self._call_bounded(
+                item, lambda: item.render_finish(pending, item.path),
+                remaining)
+            ok, err = res if called else (False, str(res))
+        except Exception as e:  # noqa: BLE001 — saver must never die
+            ok, err = False, f"{type(e).__name__}: {e}"
+        finally:
+            self._q.task_done()
+        self._record(item, ok, err)
+
+    def _call_bounded(self, item: SaveItem, fn, timeout: float):
+        """Run fn() → result, bounded by `timeout` seconds when > 0 (the
+        cancel event is set on expiry and the daemon thread abandoned)."""
+        if timeout <= 0:
             try:
-                self._handle(item)
-            finally:
-                self._q.task_done()
+                return True, fn()
+            except Exception as e:  # noqa: BLE001
+                return False, f"{type(e).__name__}: {e}"
+        result: List = []
+
+        def _call():
+            try:
+                result.append((True, fn()))
+            except Exception as e:  # noqa: BLE001
+                result.append((False, f"{type(e).__name__}: {e}"))
+
+        th = threading.Thread(target=_call, name="pc.render", daemon=True)
+        th.start()
+        th.join(timeout=timeout)
+        if th.is_alive():
+            if item.cancel_event is not None:
+                item.cancel_event.set()
+            return False, f"render_timeout>{timeout:.0f}s"
+        return result[0] if result else (False, "render_no_result")
 
     def _archive_worker(self) -> None:
         while True:
@@ -205,15 +295,7 @@ class AsyncSaver:
             return False, f"render_timeout>{self.render_timeout:.0f}s"
         return result[0] if result else (False, "render_no_result")
 
-    def _handle(self, item: SaveItem) -> None:
-        if item.render is not None:
-            try:
-                ok, err = self._run_render(item)
-            except Exception as e:  # noqa: BLE001 — saver must never die
-                ok, err = False, f"{type(e).__name__}: {e}"
-        else:
-            ok, err = atomic_image_write(item.img, item.path,
-                                         self.jpg_quality, self.fsync)
+    def _record(self, item: SaveItem, ok: bool, err: str) -> None:
         if ok:
             self.saved.append(item.path)
             if item.csv_row is not None:
@@ -221,6 +303,23 @@ class AsyncSaver:
                     self._csv.writerow(item.csv_row)
         else:
             self.errors.append((item.path, err))
+
+    def _handle(self, item: SaveItem) -> None:
+        if item.render_begin is not None:
+            # synchronous mode (async_save=False): run both phases inline
+            try:
+                ok, err = item.render_finish(item.render_begin(), item.path)
+            except Exception as e:  # noqa: BLE001 — saver must never die
+                ok, err = False, f"{type(e).__name__}: {e}"
+        elif item.render is not None:
+            try:
+                ok, err = self._run_render(item)
+            except Exception as e:  # noqa: BLE001 — saver must never die
+                ok, err = False, f"{type(e).__name__}: {e}"
+        else:
+            ok, err = atomic_image_write(item.img, item.path,
+                                         self.jpg_quality, self.fsync)
+        self._record(item, ok, err)
 
     def close(self) -> None:
         if self._q is not None:

@@ -1,0 +1,134 @@
+"""AsyncSaver two-phase (depth-1 pipelined) render items.
+
+The saver dispatches item i+1's device render (render_begin) before
+fetching/encoding item i (render_finish) — reference analogue: the
+ack-gated save queue overlapping exports with inference
+(gui_app.py:7276-7344), upgraded with device/host overlap.
+"""
+
+import threading
+import time
+
+import numpy as np
+
+from person_capture_tpu.pipeline.saver import AsyncSaver, SaveItem
+
+
+def _two_phase_item(path, log, idx, begin_sleep=0.0, finish_sleep=0.05,
+                    csv_row=None):
+    def begin():
+        log.append(("begin", idx, time.monotonic()))
+        if begin_sleep:
+            time.sleep(begin_sleep)
+        return idx
+
+    def finish(pending, p):
+        assert pending == idx
+        if finish_sleep:
+            time.sleep(finish_sleep)
+        log.append(("finish", idx, time.monotonic()))
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+        return True, ""
+
+    return SaveItem(img=None, path=path, csv_row=csv_row,
+                    render_begin=begin, render_finish=finish)
+
+
+def test_two_phase_items_overlap_and_preserve_order(tmp_path):
+    log = []
+    with AsyncSaver(str(tmp_path)) as saver:
+        for i in range(4):
+            saver.submit(_two_phase_item(
+                str(tmp_path / f"f{i}.png"), log, i,
+                csv_row=[i, "", "", "", "", 0, 0, 1, 1, f"f{i}.png", "", ""]))
+        saver.wait_empty()
+        assert len(saver.saved) == 4
+        assert not saver.errors
+    events = [(kind, idx) for kind, idx, _ in log]
+    # every item began and finished exactly once, finishes in submit order
+    finishes = [i for k, i in events if k == "finish"]
+    assert finishes == [0, 1, 2, 3]
+    # pipelining: item i+1 begins BEFORE item i finishes at least once
+    overlapped = any(
+        events.index(("begin", i + 1)) < events.index(("finish", i))
+        for i in range(3))
+    assert overlapped, events
+    # CSV rows written in order
+    rows = (tmp_path / "index.csv").read_text().strip().splitlines()[1:]
+    assert [r.split(",")[0] for r in rows] == ["0", "1", "2", "3"]
+
+
+def test_two_phase_timeout_does_not_stall_queue(tmp_path):
+    ev = threading.Event()
+
+    def begin():
+        return "pending"
+
+    def hang_finish(pending, p):
+        # cooperative hang: spins until the saver sets the cancel event
+        # (so the abandoned daemon thread exits promptly after timeout)
+        for _ in range(300):
+            if ev.is_set():
+                return False, "cancelled"
+            time.sleep(0.1)
+        return True, ""
+
+    with AsyncSaver(str(tmp_path), render_timeout_sec=0.3) as saver:
+        saver.submit(SaveItem(img=None, path=str(tmp_path / "hang.png"),
+                              render_begin=begin, render_finish=hang_finish,
+                              cancel_event=ev))
+        img = np.zeros((8, 8, 3), np.uint8)
+        saver.submit(SaveItem(img=img, path=str(tmp_path / "ok.jpg")))
+        t0 = time.monotonic()
+        saver.wait_empty()
+        assert time.monotonic() - t0 < 10
+    assert ev.is_set()
+    assert any("render_timeout" in e for _, e in saver.errors)
+    assert str(tmp_path / "ok.jpg") in saver.saved
+
+
+def test_two_phase_begin_error_recorded(tmp_path):
+    def bad_begin():
+        raise RuntimeError("decode boom")
+
+    with AsyncSaver(str(tmp_path)) as saver:
+        saver.submit(SaveItem(img=None, path=str(tmp_path / "bad.png"),
+                              render_begin=bad_begin,
+                              render_finish=lambda pending, p: (True, "")))
+        saver.wait_empty()
+    assert saver.errors and "boom" in saver.errors[0][1]
+
+
+def test_two_phase_synchronous_mode(tmp_path):
+    log = []
+    saver = AsyncSaver(str(tmp_path), async_save=False)
+    saver.submit(_two_phase_item(str(tmp_path / "s.png"), log, 0,
+                                 finish_sleep=0.0))
+    assert saver.saved == [str(tmp_path / "s.png")]
+    saver.close()
+
+
+def test_exporter_begin_finish_roundtrip(tmp_path):
+    """HdrStillExporter.begin/finish equals one-shot export output."""
+    from person_capture_tpu.hdr.exporter import ArrayP010Source, HdrStillExporter
+    from person_capture_tpu.hdr.stills import HdrExportParams
+
+    rng = np.random.default_rng(0)
+    h, w = 64, 96
+    y = (rng.integers(150, 900, (h, w)).astype(np.uint16) << 6)
+    uv = np.full((h // 2, w // 2, 2), 512 << 6, np.uint16)
+    src = ArrayP010Source({3: (y, uv)}, w, h)
+    exp = HdrStillExporter(src, HdrExportParams(), out_format="png")
+
+    pending = exp.begin(3, (8, 8, 56, 56), (w, h))
+    ok, err = exp.finish(pending, str(tmp_path / "two.png"))
+    assert ok, err
+    ok2, err2 = exp.export(3, (8, 8, 56, 56), (w, h),
+                           str(tmp_path / "one.png"))
+    assert ok2, err2
+    import cv2
+
+    a = cv2.imread(str(tmp_path / "two.png"))
+    b = cv2.imread(str(tmp_path / "one.png"))
+    np.testing.assert_array_equal(a, b)
