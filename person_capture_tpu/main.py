@@ -98,7 +98,24 @@ def main(argv=None) -> int:
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     from .models.zoo import resolve_weights
 
-    scrfd_w = resolve_weights(args.scrfd_weights, args.face_model)
+    # face detector config: SCRFD names resolve from models/scrfd.py;
+    # "yolov8n-face"-style names select the alternate YOLOv8-face backend
+    # (reference face_embedder.py:36-51). Reference names like
+    # "scrfd_10g_bnkps" map onto the matching arch config.
+    from .models import yolov8 as YV
+
+    fm = os.path.basename(args.face_model)
+    for ext in (".pt", ".pth", ".onnx", ".npz"):
+        if fm.lower().endswith(ext):       # NOT splitext: "scrfd_2.5g"
+            fm = fm[:-len(ext)]            # has a dot inside the name
+            break
+    fm = fm.replace("-", "_").replace("_bnkps", "")
+    if fm in YV.CONFIGS and YV.CONFIGS[fm].kpt_shape[0]:
+        face_cfg = YV.CONFIGS[fm]
+    else:
+        face_cfg = SD.CONFIGS.get(fm, SD.SCRFD_2_5G)
+
+    scrfd_w = resolve_weights(args.scrfd_weights, face_cfg.name)
     # arcface: "auto" prefers the bundled synthetic-identity embedder;
     # explicit model names + user checkpoints (torch layouts) still load
     # via models/loaders.py
@@ -128,13 +145,13 @@ def main(argv=None) -> int:
 
         backend = ShardedScrfdArcFaceBackend(
             mesh_spec=args.mesh,
-            scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
+            scrfd_cfg=face_cfg,
             arcface_cfg=arc_cfg,
             det_size=args.det_size, score_thresh=cfg.face_det_conf,
             dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
     else:
         backend = ScrfdArcFaceBackend(
-            scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
+            scrfd_cfg=face_cfg,
             arcface_cfg=arc_cfg,
             det_size=args.det_size, score_thresh=cfg.face_det_conf,
             max_faces=cfg.tpu_max_faces,
@@ -148,7 +165,11 @@ def main(argv=None) -> int:
     # face backend — reference face_embedder.py:2251-2443 semantics
     from .pipeline.recovery import RecoveringFaceBackend, RecoveryPolicy
 
-    backend = RecoveringFaceBackend(backend, RecoveryPolicy.from_config(cfg))
+    policy = RecoveryPolicy.from_config(cfg)
+    # ±45/±135° probes only with the YOLO-face backend (reference
+    # face_embedder.py:1935-2036 scopes them to the YOLO path)
+    policy.affine_probes = bool(getattr(face_cfg, "kpt_shape", (0, 0))[0])
+    backend = RecoveringFaceBackend(backend, policy)
 
     # high-imgsz full-frame re-probe backend (reference full-frame face
     # short-circuit, gui_app.py:6030-6219; imgsz 1408): compiled lazily on
@@ -159,7 +180,7 @@ def main(argv=None) -> int:
         from .pipeline.backends import LazyBackend
 
         fullframe_backend = LazyBackend(lambda: ScrfdArcFaceBackend(
-            scrfd_cfg=SD.CONFIGS.get(args.face_model, SD.SCRFD_2_5G),
+            scrfd_cfg=face_cfg,
             arcface_cfg=arc_cfg,
             det_size=int(cfg.face_fullframe_imgsz),
             score_thresh=cfg.face_det_conf,

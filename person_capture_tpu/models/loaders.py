@@ -302,20 +302,33 @@ def yolov8_name_map(cfg) -> Dict[Tuple[str, ...], str]:
         else:
             c2f(scope, t, c2f_depths[scope])
 
-    # Detect head: per level l, box branch cv2.l.{0,1,2}, cls branch cv3
+    # Detect head: per level l, box branch cv2.l.{0,1,2}, cls branch cv3,
+    # and (pose/face models) landmark branch cv4. With a kpt head the flax
+    # auto-numbering gains one Conv and two ConvSiLU per level.
     det = "model.22"
+    has_kpt = bool(getattr(cfg, "kpt_shape", (0, 0))[0])
+    convs_per_level = 3 if has_kpt else 2
+    silus_per_level = 6 if has_kpt else 4
     for lvl in range(3):
-        base = 7 + 4 * lvl
+        base = 7 + silus_per_level * lvl
+        cbase = convs_per_level * lvl
         conv_silu(f"ConvSiLU_{base}", f"{det}.cv2.{lvl}.0")
         conv_silu(f"ConvSiLU_{base + 1}", f"{det}.cv2.{lvl}.1")
-        m[("params", f"Conv_{2 * lvl}", "kernel")] = f"{det}.cv2.{lvl}.2.weight"
-        m[("params", f"Conv_{2 * lvl}", "bias")] = f"{det}.cv2.{lvl}.2.bias"
+        m[("params", f"Conv_{cbase}", "kernel")] = f"{det}.cv2.{lvl}.2.weight"
+        m[("params", f"Conv_{cbase}", "bias")] = f"{det}.cv2.{lvl}.2.bias"
         conv_silu(f"ConvSiLU_{base + 2}", f"{det}.cv3.{lvl}.0")
         conv_silu(f"ConvSiLU_{base + 3}", f"{det}.cv3.{lvl}.1")
-        m[("params", f"Conv_{2 * lvl + 1}", "kernel")] = \
+        m[("params", f"Conv_{cbase + 1}", "kernel")] = \
             f"{det}.cv3.{lvl}.2.weight"
-        m[("params", f"Conv_{2 * lvl + 1}", "bias")] = \
+        m[("params", f"Conv_{cbase + 1}", "bias")] = \
             f"{det}.cv3.{lvl}.2.bias"
+        if has_kpt:
+            conv_silu(f"ConvSiLU_{base + 4}", f"{det}.cv4.{lvl}.0")
+            conv_silu(f"ConvSiLU_{base + 5}", f"{det}.cv4.{lvl}.1")
+            m[("params", f"Conv_{cbase + 2}", "kernel")] = \
+                f"{det}.cv4.{lvl}.2.weight"
+            m[("params", f"Conv_{cbase + 2}", "bias")] = \
+                f"{det}.cv4.{lvl}.2.bias"
     return m
 
 

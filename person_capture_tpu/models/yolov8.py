@@ -31,14 +31,24 @@ class YoloConfig:
     max_candidates: int = 256
     max_det: int = 40
     nms_iou: float = 0.45
+    # (n_points, n_dims) pose-style keypoint head; (0, 0) = detection only.
+    # YOLOv8-face = nc=1 + kpt_shape=(5, 3) — the reference's alternate
+    # face detector (face_embedder.py:36-51 yolov8n-face mirrors)
+    kpt_shape: Tuple[int, int] = (0, 0)
 
 
 TINY = YoloConfig(name="yolo_tiny", width=(8, 8, 16, 24, 32),
                   depth=(1, 1, 1, 1), max_candidates=64, max_det=8)
 YOLOV8N = YoloConfig(name="yolov8n")
 YOLOV8S = YoloConfig(name="yolov8s", width=(32, 64, 128, 256, 512))
+TINY_FACE = YoloConfig(name="yolo_face_tiny", width=(8, 8, 16, 24, 32),
+                       depth=(1, 1, 1, 1), num_classes=1, kpt_shape=(5, 3),
+                       max_candidates=64, max_det=8)
+YOLOV8N_FACE = YoloConfig(name="yolov8n_face", num_classes=1,
+                          kpt_shape=(5, 3))
 
-CONFIGS = {c.name: c for c in (TINY, YOLOV8N, YOLOV8S)}
+CONFIGS = {c.name: c for c in (TINY, YOLOV8N, YOLOV8S, TINY_FACE,
+                               YOLOV8N_FACE)}
 
 
 class ConvSiLU(nn.Module):
@@ -150,6 +160,8 @@ class YoloV8(nn.Module):
         #   min(nc, 100))
         c2 = max(16, w2 // 4, 4 * c.reg_max)
         c3 = max(w2, min(c.num_classes, 100))
+        nk = c.kpt_shape[0] * c.kpt_shape[1]
+        c4 = max(w2 // 4, nk)       # ultralytics Pose head width formula
         outs = []
         for feat in (u3, d4_, d5_):
             box = ConvSiLU(c2, 3, dtype=self.dtype)(feat, train)
@@ -159,7 +171,13 @@ class YoloV8(nn.Module):
             cls = ConvSiLU(c3, 3, dtype=self.dtype)(cls, train)
             cls = nn.Conv(c.num_classes, (1, 1), dtype=self.dtype,
                           bias_init=nn.initializers.constant(-4.6))(cls)
-            outs.append((box, cls))
+            if nk:
+                kps = ConvSiLU(c4, 3, dtype=self.dtype)(feat, train)
+                kps = ConvSiLU(c4, 3, dtype=self.dtype)(kps, train)
+                kps = nn.Conv(nk, (1, 1), dtype=self.dtype)(kps)
+                outs.append((box, cls, kps))
+            else:
+                outs.append((box, cls))
         return outs
 
 
@@ -190,6 +208,52 @@ def decode_level(box_map, cls_map, stride: int, reg_max: int):
     scores = jax.nn.sigmoid(cls_map.astype(jnp.float32)).reshape(
         b, h * w, -1)
     return boxes, scores
+
+
+def decode_kpts_level(kps_map, stride: int, n_pts: int, n_dims: int):
+    """Ultralytics pose decode: per cell, ``x = (tx*2 + grid_x)*stride``
+    (anchors are cell+0.5 so anchors-0.5 is the 0-based cell index);
+    visibility stays a raw logit. Returns ``[B, HW, n_pts, 2]`` plus
+    sigmoid visibility ``[B, HW, n_pts]``."""
+    b, h, w, _ = kps_map.shape
+    t = kps_map.astype(jnp.float32).reshape(b, h * w, n_pts, n_dims)
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cx = gx.reshape(-1)[None, :, None]
+    cy = gy.reshape(-1)[None, :, None]
+    px = (t[..., 0] * 2.0 + cx) * stride
+    py = (t[..., 1] * 2.0 + cy) * stride
+    pts = jnp.stack([px, py], axis=-1)
+    vis = jax.nn.sigmoid(t[..., 2]) if n_dims >= 3 else jnp.ones_like(px)
+    return pts, vis
+
+
+def detect_faces_yolo(model: YoloV8, variables, frames_bgr, det_scales,
+                      score_thresh: float = 0.35,
+                      max_faces: int | None = None):
+    """YOLOv8-face detection over a letterboxed batch — the reference's
+    alternate face backend (face_embedder.py:36-51); same output contract
+    as models/scrfd.detect_faces so the fused face pipeline is
+    backend-agnostic: boxes ``[B, F, 4]``, kps ``[B, F, 5, 2]``, scores,
+    mask (original-frame coordinates)."""
+    from .scrfd import select_detections
+
+    cfg = model.cfg
+    assert cfg.kpt_shape[0] == 5, "face model needs a 5-point kpt head"
+    max_faces = int(max_faces or cfg.max_det)
+    x = normalize_yolo(frames_bgr).astype(model.dtype)
+    levels = model.apply(variables, x)
+
+    level_scores, level_boxes, level_kps = [], [], []
+    for (box_map, cls_map, kps_map), stride in zip(levels, cfg.strides):
+        boxes, scores = decode_level(box_map, cls_map, stride, cfg.reg_max)
+        pts, _ = decode_kpts_level(kps_map, stride, *cfg.kpt_shape)
+        level_scores.append(scores[..., 0])
+        level_boxes.append(boxes)
+        level_kps.append(pts)
+    return select_detections(level_scores, level_boxes, level_kps,
+                             det_scales, score_thresh, max_faces,
+                             cfg.nms_iou, cfg.max_candidates)
 
 
 def detect_persons(model: YoloV8, variables, frames_bgr, det_scales,

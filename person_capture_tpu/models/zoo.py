@@ -25,6 +25,8 @@ BUNDLED = {
     "scrfd_tiny": "scrfd_tiny_synth.npz",
     "yolov8n": "yolov8n_synth.npz",
     "yolo_tiny": "yolo_tiny_synth.npz",
+    "yolov8n_face": "yolov8n_face_synth.npz",
+    "yolo_face_tiny": "yolo_face_tiny_synth.npz",
     "arcface_synth": "arcface_synth.npz",
 }
 

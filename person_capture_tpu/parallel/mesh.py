@@ -100,7 +100,22 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
     dtype = dtype or jnp.bfloat16
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-    scrfd_model, sv = SD.init_scrfd(k1, scrfd_cfg, size=det_size, dtype=dtype)
+    from ..models import yolov8 as YV
+
+    if isinstance(scrfd_cfg, YV.YoloConfig):
+        # alternate YOLOv8-face detector (same output contract as SCRFD —
+        # reference face_embedder.py:36-51); the step body is shared
+        face_model, sv = YV.init_yolo(k1, scrfd_cfg, size=det_size,
+                                      dtype=dtype)
+        def detect_fn(vars_, padded, scales, st):
+            return YV.detect_faces_yolo(face_model, vars_, padded, scales,
+                                        st, max_faces)
+    else:
+        face_model, sv = SD.init_scrfd(k1, scrfd_cfg, size=det_size,
+                                       dtype=dtype)
+        def detect_fn(vars_, padded, scales, st):
+            return SD.detect_faces(face_model, vars_, padded, scales,
+                                   st, max_faces)
     arc_model, av = AF.init_arcface(k2, arcface_cfg, dtype=dtype)
     if scrfd_vars is not None:
         sv = scrfd_vars
@@ -115,8 +130,7 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
     def step(scrfd_vars_, arc_vars_, frames_u8, bank, bank_mask, score_thresh):
         frames = frames_u8.astype(jnp.float32)
         padded, scales = jax.vmap(lambda f: letterbox_topleft(f, det_size))(frames)
-        det = SD.detect_faces(scrfd_model, scrfd_vars_, padded, scales,
-                              score_thresh, max_faces)
+        det = detect_fn(scrfd_vars_, padded, scales, score_thresh)
         chips = jax.vmap(
             lambda fr, kp, m: AL.align_chips_matmul_jnp(fr, kp, m))(
             frames, det["kps"], det["mask"])

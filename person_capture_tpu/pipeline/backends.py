@@ -140,11 +140,25 @@ class ScrfdArcFaceBackend:
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         self.scrfd_model = self.scrfd_vars = None
         self.arcface_model = self.arcface_vars = None
+        from ..models.yolov8 import YoloConfig
+
         if is_onnx_path(scrfd_weights):
             # checkpoint-exact path: execute the insightface graph itself
             # (reference loads these same files, face_embedder.py:55-65)
             detect = OnnxScrfdDetector(scrfd_weights, det_size=det_size,
                                        max_faces=self.max_faces)
+        elif isinstance(scrfd_cfg, YoloConfig):
+            # YOLOv8-face alternate detector (reference
+            # face_embedder.py:36-51): same output contract as SCRFD, the
+            # rest of the fused pipeline is backend-agnostic
+            from ..models import yolov8 as YV
+
+            self.scrfd_model, self.scrfd_vars = YV.init_yolo(
+                k1, scrfd_cfg, size=det_size, dtype=dtype)
+            if scrfd_weights is not None:
+                self.scrfd_vars = scrfd_weights
+            detect = partial(YV.detect_faces_yolo, self.scrfd_model,
+                             self.scrfd_vars, max_faces=self.max_faces)
         else:
             self.scrfd_model, self.scrfd_vars = SD.init_scrfd(
                 k1, scrfd_cfg, size=det_size, dtype=dtype)

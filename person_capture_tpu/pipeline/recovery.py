@@ -32,6 +32,8 @@ import numpy as np
 TTA_SCALES = (0.75, 0.60, 1.25)  # reference face_embedder.py:2253-2283
 EDGE_PAD_FRAC = 0.125            # reference edge replicate-pad probe
 ROTATION_KS = (1, 3, 2)          # np.rot90 k: 90° CCW, 90° CW, 180°
+AFFINE_DEGS = (45, -45, 135, -135)  # YOLO-face backend extra probes
+                                    # (reference face_embedder.py:1935-2036)
 
 
 def _variant_rot(frame: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -130,6 +132,25 @@ def make_zoom_rot_variant(frame: np.ndarray, box_xyxy, k: int,
     return _fit_to_canvas(img, h, w, m)
 
 
+def make_affine_variant(frame: np.ndarray, deg: float):
+    """Rotate by an arbitrary angle about the center, scaled so the whole
+    frame stays on the canvas (replicate border) — the reference's
+    YOLO-face-backend ±45/±135° probes (face_embedder.py:1935-2036)."""
+    import cv2
+
+    h, w = frame.shape[:2]
+    rad = np.deg2rad(deg)
+    c, s = abs(np.cos(rad)), abs(np.sin(rad))
+    scale = min(w / (w * c + h * s), h / (h * c + w * s))
+    mat = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), float(deg), scale)
+    img = cv2.warpAffine(frame, mat, (w, h),
+                         flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REPLICATE)
+    # remap = inverse affine (variant coords → original coords)
+    inv = cv2.invertAffineTransform(mat)
+    return img, np.asarray(inv, np.float64)
+
+
 def make_edgepad_variant(frame: np.ndarray, frac: float = EDGE_PAD_FRAC):
     """Replicate-pad all borders then resize back to the canvas — recovers
     faces clipped at frame edges (reference face_embedder.py:2288-2315)."""
@@ -189,13 +210,17 @@ class RecoveryPolicy:
     def __init__(self, rot_adaptive: bool = True, rot_every_n: int = 12,
                  rot_after_hit_frames: int = 8,
                  prescan_rot_probe_period: int = 3,
-                 use_scale_tta: bool = True, use_edge_pad: bool = True):
+                 use_scale_tta: bool = True, use_edge_pad: bool = True,
+                 affine_probes: bool = False):
         self.rot_adaptive = bool(rot_adaptive)
         self.rot_every_n = max(1, int(rot_every_n))
         self.rot_after_hit_frames = max(0, int(rot_after_hit_frames))
         self.rr_period = max(1, int(prescan_rot_probe_period))
         self.use_scale_tta = bool(use_scale_tta)
         self.use_edge_pad = bool(use_edge_pad)
+        # ±45/±135° extra probes — enabled for the YOLOv8-face backend like
+        # the reference (SCRFD handles these via its rotated crops instead)
+        self.affine_probes = bool(affine_probes)
         self.prescan_fast = False
         self.heavy = False       # zoomed re-detect after rotated hits
         self.streak = 0          # consecutive no-face frames
@@ -256,9 +281,13 @@ class RecoveryPolicy:
         elif self.rot_adaptive:
             if self.streak >= self.rot_every_n:
                 out.extend(("rot", k) for k in ROTATION_KS)
+                if self.affine_probes:
+                    out.extend(("affine", d) for d in AFFINE_DEGS)
                 self.streak = 0
         elif self.empty_count % self.rot_every_n == 0:
             out.extend(("rot", k) for k in ROTATION_KS)
+            if self.affine_probes:
+                out.extend(("affine", d) for d in AFFINE_DEGS)
         return out
 
 
@@ -267,6 +296,8 @@ def _make_variant(frame: np.ndarray, kind: str, param):
         return make_rotation_variant(frame, int(param))
     if kind == "scale":
         return make_scale_variant(frame, float(param))
+    if kind == "affine":
+        return make_affine_variant(frame, float(param))
     return make_edgepad_variant(frame, float(param))
 
 

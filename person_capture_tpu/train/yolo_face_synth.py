@@ -1,118 +1,39 @@
-"""Train the YOLOv8 person detector on synthetic person scenes.
+"""Train the YOLOv8-face detector (5-point landmarks) on synthetic scenes.
 
-Same recipe as train/scrfd_synth.py, adapted to the YOLOv8 head
-(models/yolov8.py): anchor-free one-point-per-cell assignment with center
-sampling and FCOS level ranges, distribution-focal-loss (DFL) on the
-per-side bin distributions the DFL decode expects, focal loss on the
-80-class sigmoid scores (person = class 0; the class count stays at 80 so
-real ultralytics checkpoints keep mapping 1:1).
+The reference's alternate face backend is a YOLOv8-face ONNX
+(person_capture/face_embedder.py:36-51); this trainer produces bundled
+weights for the clean flax equivalent (models/yolov8.py kpt head) using
+the same synthetic face scenes as train/scrfd_synth.py: DFL box loss +
+focal single-class score + L1 landmark regression in the pose-decode
+parameterization + visibility BCE.
 
 CLI:
-    python -m person_capture_tpu.train.yolo_synth \
-        --cfg yolov8n --size 256 --batch 32 --steps 1500 \
-        --out person_capture_tpu/weights/yolov8n_synth.npz
+    python -m person_capture_tpu.train.yolo_face_synth \
+        --cfg yolov8n_face --size 256 --batch 32 --steps 1500 \
+        --out person_capture_tpu/weights/yolov8n_face_synth.npz
 """
 
 from __future__ import annotations
 
 import argparse
 import time
-from typing import Dict, List, Sequence
+from typing import Dict
 
 import numpy as np
 
-from .scenes import sample_person_batch
-
-LEVEL_HI = (64.0, 128.0, 1e9)
-
-
-def build_targets(boxes: np.ndarray, gt_mask: np.ndarray, size: int,
-                  strides: Sequence[int] = (8, 16, 32),
-                  reg_max: int = 16, center_radius: float = 1.5,
-                  kps: np.ndarray = None
-                  ) -> List[Dict[str, np.ndarray]]:
-    """Per-level dense targets. Cell centers at (i+0.5)*stride (matching
-    models/yolov8.decode_level). Returns per level: ``labels [B, L]``,
-    ``box_t [B, L, 4]`` ltrb in stride units (clipped to the DFL bin
-    range), ``pos [B, L]``; with ``kps [B, G, 5, 2]`` given, also
-    ``kps_t [B, L, 5, 2]`` in the pose-decode parameterization
-    ``t = ((p - center)/stride + 0.5) / 2`` (models/yolov8.
-    decode_kpts_level inverts this)."""
-    b, g = gt_mask.shape
-    gx1, gy1, gx2, gy2 = (boxes[..., i] for i in range(4))
-    gcx, gcy = (gx1 + gx2) / 2, (gy1 + gy2) / 2
-    areas = np.where(gt_mask, (gx2 - gx1) * (gy2 - gy1), np.inf)
-    maxdim = np.maximum(gx2 - gx1, gy2 - gy1)
-    out = []
-    for li, s in enumerate(strides):
-        lo = 0.0 if li == 0 else LEVEL_HI[li - 1]
-        hi = LEVEL_HI[li]
-        n = size // s
-        ys, xs = np.meshgrid((np.arange(n) + 0.5) * s,
-                             (np.arange(n) + 0.5) * s, indexing="ij")
-        cx = xs.reshape(-1).astype(np.float32)
-        cy = ys.reshape(-1).astype(np.float32)
-        l = cx[None, :, None] - gx1[:, None, :]
-        t = cy[None, :, None] - gy1[:, None, :]
-        r = gx2[:, None, :] - cx[None, :, None]
-        btm = gy2[:, None, :] - cy[None, :, None]
-        ltrb = np.stack([l, t, r, btm], -1)
-        inside = ltrb.min(-1) > 0.01
-        maxd = ltrb.max(-1)
-        in_range = (maxd > lo) & (maxd <= hi)
-        in_center = ((np.abs(cx[None, :, None] - gcx[:, None, :])
-                      <= center_radius * s)
-                     & (np.abs(cy[None, :, None] - gcy[:, None, :])
-                        <= center_radius * s))
-        cand = inside & in_range & in_center & gt_mask[:, None, :]
-        cost = np.where(cand, areas[:, None, :], np.inf)
-        g_best = cost.argmin(-1)
-        pos = cand.any(-1)
-
-        gt_level = (maxdim > lo) & (maxdim <= hi) & gt_mask
-        has_pos = np.zeros((b, g), bool)
-        bi = np.arange(b)[:, None]
-        np.logical_or.at(has_pos, (np.repeat(bi, pos.shape[1], 1)[pos],
-                                   g_best[pos]), True)
-        need = gt_level & ~has_pos
-        if need.any():
-            d2 = ((cx[None, :, None] - gcx[:, None, :]) ** 2
-                  + (cy[None, :, None] - gcy[:, None, :]) ** 2)
-            nearest = d2.argmin(1)
-            for bb, gg in zip(*np.nonzero(need)):
-                loc = nearest[bb, gg]
-                pos[bb, loc] = True
-                g_best[bb, loc] = gg
-
-        box_t = np.take_along_axis(
-            ltrb, g_best[:, :, None, None].repeat(4, -1), 2)[:, :, 0] / s
-        box_t = np.clip(box_t, 0.0, reg_max - 1 - 1e-3)
-        level = {
-            "labels": pos.astype(np.float32),
-            "box_t": box_t.astype(np.float32),
-            "pos": pos,
-        }
-        if kps is not None:
-            bi_full = np.arange(b)[:, None]
-            kp_sel = kps[bi_full, g_best]                 # [B, L, 5, 2]
-            center = np.stack([cx, cy], -1)[None, :, None, :]
-            level["kps_t"] = (((kp_sel - center) / s + 0.5) / 2.0
-                              ).astype(np.float32)
-        out.append(level)
-    return out
+from .scenes import sample_batch
+from .yolo_synth import build_targets
 
 
-def make_loss_fn(model, strides=(8, 16, 32)):
+def make_loss_fn(model):
     import jax
     import jax.numpy as jnp
     import optax
 
     reg_max = model.cfg.reg_max
+    n_pts, n_dims = model.cfg.kpt_shape
 
     def dfl_loss(box_logits, target):
-        """Distribution focal loss: CE toward the two bins bracketing the
-        continuous ltrb target (per side)."""
-        # box_logits [N, 4, reg_max]; target [N, 4] in [0, reg_max-1)
         tl = jnp.floor(target)
         tr = tl + 1.0
         wl = tr - target
@@ -133,25 +54,29 @@ def make_loss_fn(model, strides=(8, 16, 32)):
             x.astype(model.dtype), train=True, mutable=["batch_stats"])
         total_pos = sum(t["pos"].sum() for t in targets)
         denom = jnp.maximum(total_pos.astype(jnp.float32), 1.0)
-        cls_loss = box_loss = 0.0
-        for (box_map, cls_map), t in zip(levels, targets):
+        cls_loss = box_loss = kps_loss = 0.0
+        for (box_map, cls_map, kps_map), t in zip(levels, targets):
             bsz, h, w, _ = cls_map.shape
-            logits = cls_map.astype(jnp.float32).reshape(bsz, h * w, -1)
-            person = logits[..., 0]
-            focal = optax.sigmoid_focal_loss(person, t["labels"],
-                                             alpha=0.25, gamma=2.0)
-            # non-person classes trained to 0 (weak weight keeps them dead)
-            bg = optax.sigmoid_binary_cross_entropy(
-                logits[..., 1:], jnp.zeros_like(logits[..., 1:])).mean(-1)
-            cls_loss += focal.sum() + 0.02 * bg.sum()
+            logits = cls_map.astype(jnp.float32).reshape(bsz, h * w)
+            cls_loss += optax.sigmoid_focal_loss(
+                logits, t["labels"], alpha=0.25, gamma=2.0).sum()
             boxl = box_map.astype(jnp.float32).reshape(
-                bsz, h * w, 4, model.cfg.reg_max)
+                bsz, h * w, 4, reg_max)
             posf = t["pos"].astype(jnp.float32)
             box_loss += (dfl_loss(boxl, t["box_t"]) * posf).sum()
-        loss = (cls_loss + 1.5 * box_loss) / denom
+            kpl = kps_map.astype(jnp.float32).reshape(
+                bsz, h * w, n_pts, n_dims)
+            l1 = jnp.abs(kpl[..., :2] - t["kps_t"]).mean((-1, -2))
+            kps_loss += (l1 * posf).sum()
+            if n_dims >= 3:
+                # synthetic landmarks are always visible → target 1
+                vis_bce = optax.sigmoid_binary_cross_entropy(
+                    kpl[..., 2], jnp.ones_like(kpl[..., 2])).mean(-1)
+                kps_loss += 0.2 * (vis_bce * posf).sum()
+        loss = (cls_loss + 1.5 * box_loss + 4.0 * kps_loss) / denom
         return loss, {"batch_stats": mut["batch_stats"],
                       "cls": cls_loss / denom, "box": box_loss / denom,
-                      "npos": total_pos}
+                      "kps": kps_loss / denom, "npos": total_pos}
 
     return loss_fn
 
@@ -160,27 +85,30 @@ def evaluate(model, variables, rng, size: int, batches: int = 4,
              batch: int = 16, conf: float = 0.35) -> Dict[str, float]:
     import jax.numpy as jnp
 
-    from ..models.yolov8 import detect_persons
+    from ..models.yolov8 import detect_faces_yolo
 
     tp = fp = fn = 0
+    kp_err = []
     for _ in range(batches):
-        data = sample_person_batch(rng, batch, size)
-        det = detect_persons(model, variables,
-                             jnp.asarray(data["images"].astype(np.float32)),
-                             jnp.ones(batch, np.float32), conf)
+        data = sample_batch(rng, batch, size)
+        det = detect_faces_yolo(
+            model, variables, jnp.asarray(data["images"].astype(np.float32)),
+            jnp.ones(batch, np.float32), conf)
         boxes = np.asarray(det["boxes"])
+        kps = np.asarray(det["kps"])
         mask = np.asarray(det["mask"])
         for i in range(batch):
             gts = data["boxes"][i][data["gt_mask"][i]]
+            gkps = data["kps"][i][data["gt_mask"][i]]
             used = np.zeros(len(gts), bool)
             for j in np.flatnonzero(mask[i]):
                 best, best_iou = -1, 0.0
                 for gi, gt in enumerate(gts):
                     if used[gi]:
                         continue
-                    ix = max(0, min(boxes[i, j, 2], gt[2])
+                    ix = max(0.0, min(boxes[i, j, 2], gt[2])
                              - max(boxes[i, j, 0], gt[0]))
-                    iy = max(0, min(boxes[i, j, 3], gt[3])
+                    iy = max(0.0, min(boxes[i, j, 3], gt[3])
                              - max(boxes[i, j, 1], gt[1]))
                     inter = ix * iy
                     ua = ((boxes[i, j, 2] - boxes[i, j, 0])
@@ -192,14 +120,19 @@ def evaluate(model, variables, rng, size: int, batches: int = 4,
                 if best >= 0 and best_iou >= 0.5:
                     used[best] = True
                     tp += 1
+                    fw = max(gts[best][2] - gts[best][0], 1.0)
+                    err = np.linalg.norm(kps[i, j] - gkps[best],
+                                         axis=-1).mean() / fw
+                    kp_err.append(float(err))
                 else:
                     fp += 1
             fn += int((~used).sum())
     return {"recall": tp / max(tp + fn, 1),
-            "precision": tp / max(tp + fp, 1)}
+            "precision": tp / max(tp + fp, 1),
+            "kps_err": float(np.mean(kp_err)) if kp_err else 9.0}
 
 
-def train(cfg_name: str = "yolov8n", size: int = 256, batch: int = 32,
+def train(cfg_name: str = "yolov8n_face", size: int = 256, batch: int = 32,
           steps: int = 1500, lr: float = 2e-3, seed: int = 0,
           out: str = "", log_every: int = 50, eval_every: int = 250,
           dtype_name: str = "float32"):
@@ -211,6 +144,7 @@ def train(cfg_name: str = "yolov8n", size: int = 256, batch: int = 32,
     from ..tools.weights import save_npz_variables
 
     cfg = Y.CONFIGS[cfg_name]
+    assert cfg.kpt_shape[0], f"{cfg_name} has no keypoint head"
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model, variables = Y.init_yolo(jax.random.PRNGKey(seed), cfg,
                                    size=size, dtype=dtype)
@@ -221,7 +155,7 @@ def train(cfg_name: str = "yolov8n", size: int = 256, batch: int = 32,
     state = {"params": variables["params"],
              "batch_stats": variables["batch_stats"],
              "opt_state": tx.init(variables["params"])}
-    loss_fn = make_loss_fn(model, cfg.strides)
+    loss_fn = make_loss_fn(model)
 
     @jax.jit
     def step_fn(state, images_u8, targets):
@@ -233,28 +167,29 @@ def train(cfg_name: str = "yolov8n", size: int = 256, batch: int = 32,
         return ({"params": params, "batch_stats": aux["batch_stats"],
                  "opt_state": opt_state},
                 {"loss": loss, "cls": aux["cls"], "box": aux["box"],
-                 "npos": aux["npos"]})
+                 "kps": aux["kps"], "npos": aux["npos"]})
 
     rng = np.random.default_rng(seed)
     eval_rng = np.random.default_rng(seed + 10_000)
     t0 = time.time()
     for i in range(steps):
-        data = sample_person_batch(rng, batch, size)
+        data = sample_batch(rng, batch, size)
         targets = build_targets(data["boxes"], data["gt_mask"], size,
-                                cfg.strides, cfg.reg_max)
+                                cfg.strides, cfg.reg_max, kps=data["kps"])
         state, metrics = step_fn(state, data["images"], targets)
         if (i + 1) % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             print(f"step {i + 1}/{steps} loss={m['loss']:.4f} "
                   f"cls={m['cls']:.4f} box={m['box']:.4f} "
-                  f"npos={m['npos']:.0f} ({time.time() - t0:.0f}s)",
-                  flush=True)
+                  f"kps={m['kps']:.4f} npos={m['npos']:.0f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
         if eval_every and (i + 1) % eval_every == 0:
             variables = {"params": state["params"],
                          "batch_stats": state["batch_stats"]}
             ev = evaluate(model, variables, eval_rng, size)
             print(f"  eval: recall={ev['recall']:.3f} "
-                  f"precision={ev['precision']:.3f}", flush=True)
+                  f"precision={ev['precision']:.3f} "
+                  f"kps_err={ev['kps_err']:.4f}", flush=True)
 
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
@@ -271,8 +206,8 @@ def train(cfg_name: str = "yolov8n", size: int = 256, batch: int = 32,
 
 
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(prog="yolo_synth")
-    ap.add_argument("--cfg", default="yolov8n")
+    ap = argparse.ArgumentParser(prog="yolo_face_synth")
+    ap.add_argument("--cfg", default="yolov8n_face")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=1500)

@@ -185,3 +185,34 @@ def test_recovering_backend_submit_protocol():
     fetch = bk.submit_batch(world[None], np.ones(1, bool))
     out = fetch()
     assert out["mask"][0, 0]
+
+@pytest.mark.parametrize("deg", [45, -45, 135, -135])
+def test_affine_remap_roundtrip(deg):
+    from person_capture_tpu.pipeline.recovery import make_affine_variant
+
+    h, w = 72, 96
+    f = np.zeros((h, w, 3), np.uint8)
+    f[30:42, 60:72] = (255, 255, 255)
+    img, m = make_affine_variant(f, deg)
+    assert img.shape == f.shape
+    ys, xs, _ = np.nonzero(img > 120)
+    assert ys.size, "marker vanished under affine variant"
+    vx, vy = float(xs.mean()), float(ys.mean())
+    bx, by = apply_remap_points(m, np.array([vx, vy], np.float64))
+    assert abs(bx - 66.0) < 3.0 and abs(by - 36.0) < 3.0, (bx, by)
+
+
+def test_policy_affine_probes_gated_to_yolo_backend():
+    from person_capture_tpu.pipeline.recovery import AFFINE_DEGS
+
+    p = RecoveryPolicy(rot_adaptive=True, rot_every_n=1,
+                       use_scale_tta=False, use_edge_pad=False,
+                       affine_probes=True)
+    v = p.variants_for_empty()
+    assert [x for x in v if x[0] == "affine"] == \
+        [("affine", d) for d in AFFINE_DEGS]
+    # default (SCRFD) policy: no affine probes, reference scopes them to
+    # the YOLO-face backend (face_embedder.py:1935-2036)
+    p2 = RecoveryPolicy(rot_adaptive=True, rot_every_n=1,
+                        use_scale_tta=False, use_edge_pad=False)
+    assert not [x for x in p2.variants_for_empty() if x[0] == "affine"]

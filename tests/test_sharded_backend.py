@@ -154,3 +154,21 @@ def test_sharded_train_step_matches_single_device():
         losses.append(float(metrics["loss"]))
     np.testing.assert_allclose(losses[0], float(ref_loss), rtol=2e-3)
     assert losses[-1] < losses[0]
+
+
+def test_sharded_backend_yolo_face_on_cpu_mesh():
+    """The alternate YOLOv8-face detector runs inside the sharded step
+    (same output contract as SCRFD — reference face_embedder.py:36-51)."""
+    from person_capture_tpu.models import yolov8 as Y
+
+    backend = ShardedScrfdArcFaceBackend(
+        mesh_spec="data:4,model:2", scrfd_cfg=Y.TINY_FACE,
+        arcface_cfg=AF.TINY, det_size=64, score_thresh=0.0, max_faces=4,
+        dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (8, 48, 64, 3), dtype=np.uint8)
+    out = backend.extract_batch(frames, np.ones(8, bool))
+    assert out["boxes"].shape == (8, 4, 4)
+    assert out["kps"].shape == (8, 4, 5, 2)
+    assert out["feats"].shape == (8, 4, AF.TINY.embed_dim)
+    assert out["mask"].any()  # threshold 0 fills slots
