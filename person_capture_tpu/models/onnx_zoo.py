@@ -62,6 +62,11 @@ class OnnxScrfdDetector:
         self.params = jax.device_put(params)
 
     def __call__(self, padded_bgr, det_scales, score_thresh):
+        return self.apply(self.params, padded_bgr, det_scales, score_thresh)
+
+    def apply(self, params, padded_bgr, det_scales, score_thresh):
+        """Explicit-params variant (lets a sharded jit pass the params as a
+        mesh-placed operand instead of closing over ``self.params``)."""
         import jax.numpy as jnp
 
         from ..ops.preprocess import normalize_scrfd
@@ -72,7 +77,7 @@ class OnnxScrfdDetector:
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = jnp.transpose(x, (0, 3, 1, 2))          # ONNX graphs are NCHW
-        outs = self.module(self.params, x)
+        outs = self.module(params, x)
         n_levels = len(self.strides)
         scores_raw = outs[0:n_levels]
         bbox_raw = outs[n_levels:2 * n_levels]
@@ -142,6 +147,10 @@ class OnnxArcFaceEncoder:
         self.params = jax.device_put(params)
 
     def __call__(self, chips_bgr):
+        return self.apply(self.params, chips_bgr)
+
+    def apply(self, params, chips_bgr):
+        """Explicit-params variant (see :meth:`OnnxScrfdDetector.apply`)."""
         import jax.numpy as jnp
 
         from ..ops.preprocess import normalize_arcface
@@ -152,7 +161,7 @@ class OnnxArcFaceEncoder:
         if self.flip_tta:
             x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
         x = jnp.transpose(x, (0, 3, 1, 2))
-        emb = self.module(self.params, x)
+        emb = self.module(params, x)
         if isinstance(emb, tuple):
             emb = emb[0]
         emb = emb.astype(jnp.float32)

@@ -101,26 +101,50 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     from ..models import yolov8 as YV
+    from ..models.onnx_zoo import (OnnxArcFaceEncoder, OnnxScrfdDetector,
+                                   is_onnx_path)
 
-    if isinstance(scrfd_cfg, YV.YoloConfig):
+    if is_onnx_path(scrfd_vars):
+        # checkpoint-exact execution of the reference's own SCRFD .onnx —
+        # the graph runs unchanged inside the sharded program, its params
+        # replicated over the mesh (ONNX tensor names carry no TP layout)
+        onnx_det = OnnxScrfdDetector(scrfd_vars, det_size=det_size,
+                                     max_faces=max_faces)
+        sv = onnx_det.params
+        def detect_fn(vars_, padded, scales, st):
+            return onnx_det.apply(vars_, padded, scales, st)
+    elif isinstance(scrfd_cfg, YV.YoloConfig):
         # alternate YOLOv8-face detector (same output contract as SCRFD —
         # reference face_embedder.py:36-51); the step body is shared
         face_model, sv = YV.init_yolo(k1, scrfd_cfg, size=det_size,
                                       dtype=dtype)
+        if scrfd_vars is not None:
+            sv = scrfd_vars
         def detect_fn(vars_, padded, scales, st):
             return YV.detect_faces_yolo(face_model, vars_, padded, scales,
                                         st, max_faces)
     else:
         face_model, sv = SD.init_scrfd(k1, scrfd_cfg, size=det_size,
                                        dtype=dtype)
+        if scrfd_vars is not None:
+            sv = scrfd_vars
         def detect_fn(vars_, padded, scales, st):
             return SD.detect_faces(face_model, vars_, padded, scales,
                                    st, max_faces)
-    arc_model, av = AF.init_arcface(k2, arcface_cfg, dtype=dtype)
-    if scrfd_vars is not None:
-        sv = scrfd_vars
-    if arcface_vars is not None:
-        av = arcface_vars
+
+    if is_onnx_path(arcface_vars):
+        onnx_enc = OnnxArcFaceEncoder(arcface_vars, flip_tta=False)
+        av = onnx_enc.params
+        embed_dim = onnx_enc.embed_dim
+        def encode_fn(vars_, flat):
+            return onnx_enc.apply(vars_, flat)
+    else:
+        arc_model, av = AF.init_arcface(k2, arcface_cfg, dtype=dtype)
+        if arcface_vars is not None:
+            av = arcface_vars
+        embed_dim = arcface_cfg.embed_dim
+        def encode_fn(vars_, flat):
+            return AF.encode_chips(arc_model, vars_, flat, flip_tta=False)
     sv = shard_params_for_tp(sv, mesh)
     av = shard_params_for_tp(av, mesh)
 
@@ -136,8 +160,7 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
             frames, det["kps"], det["mask"])
         b, f = chips.shape[0], chips.shape[1]
         flat = chips.reshape(b * f, *chips.shape[2:])
-        feats = AF.encode_chips(arc_model, arc_vars_, flat,
-                                flip_tta=False).reshape(b, f, -1)
+        feats = encode_fn(arc_vars_, flat).reshape(b, f, -1)
         quality = Q.chip_quality(flat).reshape(b, f)
         per_face_fd, best_fd = fd_min_batch_jnp(feats, det["mask"], bank,
                                                 bank_mask)
@@ -161,6 +184,7 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
     run.scrfd_vars = sv
     run.arcface_vars = av
     run.mesh = mesh
+    run.embed_dim = embed_dim
     return run
 
 

@@ -399,29 +399,23 @@ class ShardedScrfdArcFaceBackend:
         from ..models import scrfd as SD
         from ..parallel.mesh import build_sharded_prescan_step, make_mesh
 
-        from ..models.onnx_zoo import is_onnx_path
-
-        if is_onnx_path(scrfd_weights) or is_onnx_path(arcface_weights):
-            raise ValueError(
-                "ONNX checkpoints are not supported by the sharded backend "
-                "yet — convert to .npz (tools/convert_weights.py) or use "
-                "the single-device ScrfdArcFaceBackend")
         self.mesh = mesh if mesh is not None else make_mesh(mesh_spec)
         scrfd_cfg = scrfd_cfg or SD.SCRFD_2_5G
         arcface_cfg = arcface_cfg or AF.W600K_R50
         self.det_size = int(det_size)
         self.score_thresh = float(score_thresh)
         self.max_faces = int(max_faces)
-        self.embed_dim = arcface_cfg.embed_dim
         self._run = build_sharded_prescan_step(
             self.mesh, scrfd_cfg=scrfd_cfg, arcface_cfg=arcface_cfg,
             det_size=det_size, max_faces=max_faces,
             dtype=dtype or jnp.bfloat16, seed=seed,
             scrfd_vars=scrfd_weights, arcface_vars=arcface_weights)
+        # embed dim comes from the step (differs from arcface_cfg when an
+        # .onnx checkpoint supplies the encoder)
+        self.embed_dim = self._run.embed_dim
         # bank placeholder: distances recomputed on host against the live
         # bank, the device result is a cheap byproduct
-        d = arcface_cfg.embed_dim
-        self._bank = np.zeros((1, d), np.float32)
+        self._bank = np.zeros((1, self.embed_dim), np.float32)
         self._bank_mask = np.zeros((1,), bool)
 
     def _to_host(self, out, valid):

@@ -216,9 +216,34 @@ def test_backend_accepts_onnx_weight_specs(tmp_path):
     assert np.isfinite(out["feats"]).all()
 
 
-def test_sharded_backend_rejects_onnx(tmp_path):
+def test_sharded_backend_runs_onnx_checkpoints(tmp_path):
+    """The checkpoint-exact ONNX path also runs inside the dp×tp-sharded
+    step: the reference's own graphs execute unchanged over the mesh with
+    replicated params, frames sharded on the data axis."""
     from person_capture_tpu.pipeline.backends import ShardedScrfdArcFaceBackend
 
-    with pytest.raises(ValueError, match="ONNX"):
-        ShardedScrfdArcFaceBackend(mesh_spec="data:2",
-                                   scrfd_weights="whatever.onnx")
+    rng = np.random.default_rng(5)
+    spath = str(tmp_path / "scrfd_mini.onnx")
+    _write_scrfd_onnx(spath, _scrfd_weights(rng))
+    apath = str(tmp_path / "arc_mini.onnx")
+    _write_arcface_onnx(apath, rng)
+
+    backend = ShardedScrfdArcFaceBackend(
+        mesh_spec="data:4,model:2", det_size=DET, score_thresh=0.5,
+        max_faces=4, scrfd_weights=spath, arcface_weights=apath)
+    assert backend.embed_dim == 16
+    frames = rng.integers(0, 255, (8, 24, DET, 3), dtype=np.uint8)
+    out = backend.extract_batch(frames, np.ones(8, bool))
+    assert out["boxes"].shape == (8, 4, 4)
+    assert out["feats"].shape == (8, 4, 16)
+    assert np.isfinite(out["feats"]).all()
+
+    # parity vs the single-device ONNX backend on the same inputs
+    from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
+
+    single = ScrfdArcFaceBackend(
+        det_size=DET, score_thresh=0.5, max_faces=4, scrfd_weights=spath,
+        arcface_weights=apath, transfer_format="bgr")
+    ref = single.extract_batch(frames, np.ones(8, bool))
+    np.testing.assert_allclose(out["boxes"], ref["boxes"], atol=2e-2)
+    np.testing.assert_array_equal(out["mask"], ref["mask"])
