@@ -128,8 +128,23 @@ def _bench_hdr_exports() -> float:
 
     rng = np.random.default_rng(1)
     h, w = 2160, 3840
-    y = (rng.integers(150, 900, (h, w)).astype(np.uint16) << 6)
-    uv = np.full((h // 2, w // 2, 2), 512 << 6, np.uint16)
+    # video-like content, not per-pixel noise: PNG encode time (the host
+    # bottleneck) depends heavily on entropy, and real HDR frames are
+    # smooth. Low-res luma upsampled to 4K + film-grain-scale noise.
+    import cv2
+
+    base = rng.integers(150, 900, (h // 32, w // 32)).astype(np.float32)
+    luma = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+    luma = luma + rng.normal(0.0, 3.0, (h, w)).astype(np.float32)
+    y = (np.clip(luma, 64, 940).astype(np.uint16) << 6)
+    cb = cv2.resize(rng.integers(440, 580, (h // 64, w // 64))
+                    .astype(np.float32), (w // 2, h // 2),
+                    interpolation=cv2.INTER_CUBIC)
+    cr = cv2.resize(rng.integers(440, 580, (h // 64, w // 64))
+                    .astype(np.float32), (w // 2, h // 2),
+                    interpolation=cv2.INTER_CUBIC)
+    uv = (np.clip(np.stack([cb, cr], axis=-1), 64, 960)
+          .astype(np.uint16) << 6)
     crop = (960, 360, 2880, 1800)  # 1920x1440
     params = HdrExportParams(color_match=True, speckle_cleanup=True)
 

@@ -310,6 +310,14 @@ def submit_sdr_crop_render(y_plane: np.ndarray, uv_plane: np.ndarray,
         return fetch_ext
 
     pending = _get_render_fn(params)(y_crop, uv_crop)
+    # start the device→host copy the moment the render completes instead of
+    # when fetch() is called: on tunneled links the ~8 MB download otherwise
+    # sits serialized on the critical path between renders (the saver's
+    # depth-1 pipeline calls fetch() only after encoding the previous still)
+    try:
+        pending.copy_to_host_async()
+    except AttributeError:
+        pass
 
     def fetch() -> np.ndarray:
         out = np.asarray(pending)
