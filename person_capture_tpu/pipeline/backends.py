@@ -354,6 +354,13 @@ class ScrfdArcFaceBackend:
         wire = self._prepare_transfer(np.asarray(frames))
         packed_dev = self._fused(jnp.asarray(wire),
                                  jnp.float32(self.score_thresh))
+        # start the device→host copy as soon as the program finishes rather
+        # than when the fetch closure runs (the depth-1 pipeline fetches
+        # only after host work on the previous batch; see hdr/stills.py)
+        try:
+            packed_dev.copy_to_host_async()
+        except AttributeError:
+            pass
         valid = np.asarray(valid).copy()
         return lambda: self._unpack(np.asarray(packed_dev), valid)
 
@@ -433,6 +440,11 @@ class ShardedScrfdArcFaceBackend:
     def submit_batch(self, frames, valid, frame_idxs=None):
         out = self._run(np.asarray(frames), self._bank, self._bank_mask,
                         score_thresh=self.score_thresh)
+        for v in out.values():
+            try:
+                v.copy_to_host_async()
+            except AttributeError:
+                pass
         valid = np.asarray(valid).copy()
         return lambda: self._to_host(out, valid)
 
