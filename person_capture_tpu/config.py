@@ -306,6 +306,14 @@ class SessionConfig:
     tpu_mesh: str = ""
     # Max detected faces kept per frame in fixed-shape device programs.
     tpu_max_faces: int = 8
+    # Main-pass analysis upload width cap (0 = off). When set, the frame
+    # batch is downscaled on host before the face/person programs —
+    # detection/embedding run on the smaller frames, coordinates map back
+    # to full reader resolution, and crops still save from the full-res
+    # frames. On link-bound topologies the full-res upload dominates the
+    # main pass (BASELINE.md); the reference letterboxes to imgsz anyway,
+    # so detection content is equivalent for widths ≥ the detector size.
+    tpu_mainpass_analysis_max_w: int = 0
 
     # -- serialization (preset compatible with the reference's to/from_json) --
     def to_json(self, include_paths: bool = False) -> str:

@@ -58,35 +58,87 @@ def build_parser() -> argparse.ArgumentParser:
                     help="device mesh spec, e.g. 'data:4,model:2'; ''=1 chip")
     ap.add_argument("--compute-dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--preset", default="",
+                    help="SessionConfig JSON preset (reference preset files "
+                         "load unchanged); explicit flags override it")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="override any SessionConfig field by name "
+                         "(repeatable; applied last)")
     return ap
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-
+def build_config(args, ap):
+    """CLI args (+ optional --preset JSON, + --set overrides) → SessionConfig.
+    Precedence: preset < explicitly-passed flags < --set."""
     from .config import SessionConfig
-    from .pipeline.backends import ScrfdArcFaceBackend
-    from .pipeline.engine import Engine
 
-    cfg = SessionConfig()
+    if args.preset:
+        with open(args.preset) as fh:
+            cfg = SessionConfig.from_json(fh.read())
+    else:
+        cfg = SessionConfig()
+
+    def flag(dest: str, field: str) -> None:
+        """Apply a CLI flag onto cfg; with a preset loaded, only flags the
+        user actually passed (value != parser default) override it."""
+        v = getattr(args, dest)
+        if not args.preset or v != ap.get_default(dest):
+            setattr(cfg, field, v)
+
     cfg.video = args.video
     cfg.ref = args.ref
     cfg.out_dir = args.out
-    cfg.ratio = args.ratio
-    cfg.frame_stride = args.frame_stride
-    cfg.min_det_conf = args.min_det_conf
-    cfg.face_thresh = args.face_thresh
-    cfg.reid_thresh = args.reid_thresh
-    cfg.combine = args.combine
-    cfg.match_mode = args.match_mode
-    cfg.device = args.device
-    cfg.save_annot = args.save_annot
-    cfg.yolo_model = args.yolo
-    cfg.min_sharpness = args.min_sharpness
-    cfg.min_gap_sec = args.min_gap_sec
-    cfg.face_det_conf = args.face_det_conf
-    cfg.prescan_enable = args.prescan
-    cfg.tpu_batch_frames = args.batch
+    flag("ratio", "ratio")
+    flag("frame_stride", "frame_stride")
+    flag("min_det_conf", "min_det_conf")
+    flag("face_thresh", "face_thresh")
+    flag("reid_thresh", "reid_thresh")
+    flag("combine", "combine")
+    flag("match_mode", "match_mode")
+    flag("device", "device")
+    flag("save_annot", "save_annot")
+    flag("yolo", "yolo_model")
+    flag("min_sharpness", "min_sharpness")
+    flag("min_gap_sec", "min_gap_sec")
+    flag("face_det_conf", "face_det_conf")
+    flag("prescan", "prescan_enable")
+    flag("batch", "tpu_batch_frames")
+
+    # --set KEY=VALUE: typed override of any SessionConfig field (applied
+    # last; replaces the reference's env-var side channel for one-offs)
+    import json as _json
+
+    for ov in args.overrides:
+        k, sep, v = ov.partition("=")
+        if not sep or not hasattr(cfg, k):
+            ap.error(f"--set {ov!r}: unknown config field {k!r}")
+        cur = getattr(cfg, k)
+        try:
+            if isinstance(cur, bool):
+                val = v.strip().lower() in ("1", "true", "yes", "on")
+            elif isinstance(cur, int):
+                val = int(v)
+            elif isinstance(cur, float):
+                val = float(v)
+            elif isinstance(cur, (tuple, list)):
+                val = type(cur)(_json.loads(v))
+            else:
+                val = v
+        except (ValueError, _json.JSONDecodeError) as e:
+            ap.error(f"--set {ov!r}: {e}")
+        setattr(cfg, k, val)
+    return cfg
+
+
+def main(argv=None) -> int:
+    ap = build_parser()
+    args = ap.parse_args(argv)
+
+    from .pipeline.backends import ScrfdArcFaceBackend
+    from .pipeline.engine import Engine
+
+    cfg = build_config(args, ap)
 
     from .models import arcface as AF
     from .models import scrfd as SD

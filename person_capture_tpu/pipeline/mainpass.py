@@ -240,7 +240,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     # before batch i's results are fetched, hiding the device round trip
     # (the person/ReID paths stay synchronous inside the resolve step —
     # they only run for the subset of spans with ambiguity)
-    inflight: List[Tuple[object, np.ndarray, np.ndarray, np.ndarray, int]] = []
+    inflight: List[Tuple] = []
     submit = getattr(backend, "submit_batch", None)
 
     rescue_queue: List[Tuple[int, np.ndarray]] = []
@@ -316,10 +316,17 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         ry2 = min(h, int(fb[3] + pad * fh))
         if rx2 - rx1 < 16 or ry2 - ry1 < 16:
             return
-        sx = (rx2 - rx1) / w
-        sy = (ry2 - ry1) / h
+        tw, th = w, h
+        if analysis_max_w and w > analysis_max_w:
+            # reuse the analysis-shape program (no extra compile, small
+            # upload) when tpu_mainpass_analysis_max_w is active
+            tw = analysis_max_w - (analysis_max_w % 2)
+            th = max(2, int(round(h * tw / w)))
+            th -= th % 2
+        sx = (rx2 - rx1) / tw
+        sy = (ry2 - ry1) / th
         crops = np.stack([
-            cv2.resize(frame[ry1:ry2, rx1:rx2], (w, h),
+            cv2.resize(frame[ry1:ry2, rx1:rx2], (tw, th),
                        interpolation=cv2.INTER_LINEAR)
             for _, frame in items])
         n = len(items)
@@ -354,9 +361,20 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     last_save_t = t
 
     def _resolve(entry):
-        fetch, person_fetch, frames, idxs, valid, n = entry
+        fetch, person_fetch, frames, idxs, valid, n, a_scale = entry
         out = fetch()
         person_out = person_fetch() if person_fetch is not None else None
+        if a_scale != 1.0:
+            # analysis ran on host-downscaled frames: map detector coords
+            # back to full reader resolution (crops/locks/compose all work
+            # in full-res frame space)
+            out = dict(out)
+            out["boxes"] = np.asarray(out["boxes"]) * a_scale
+            out["kps"] = np.asarray(out["kps"]) * a_scale
+            if person_out is not None:
+                person_out = dict(person_out)
+                person_out["boxes"] = (np.asarray(person_out["boxes"])
+                                       * a_scale)
         reid_map: Dict[Tuple[int, int], np.ndarray] = {}
         if use_reid and person_out is not None:
             crops, keys = [], []
@@ -381,6 +399,26 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             _roi_rescue()
         _fullframe_rescue()
 
+    analysis_max_w = int(getattr(cfg, "tpu_mainpass_analysis_max_w", 0) or 0)
+
+    def _analysis_frames(frames: np.ndarray):
+        """Optionally downscale the batch on host before upload
+        (tpu_mainpass_analysis_max_w): detection/embedding run on the
+        smaller frames while crops save from full resolution; returns the
+        submitted batch + the factor mapping its coords back to full res."""
+        h, w = frames.shape[1], frames.shape[2]
+        if not analysis_max_w or w <= analysis_max_w:
+            return frames, 1.0
+        import cv2
+
+        aw = analysis_max_w - (analysis_max_w % 2)
+        ah = max(2, int(round(h * aw / w)))
+        ah -= ah % 2                       # even dims for the i420 wire
+        small = np.stack([cv2.resize(f, (aw, ah),
+                                     interpolation=cv2.INTER_AREA)
+                          for f in frames])
+        return small, w / float(aw)
+
     def flush(drain: bool = True):
         if pend:
             n = len(pend)
@@ -392,32 +430,34 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     [frames, np.repeat(frames[-1:], batch - n, axis=0)], 0)
                 idxs = np.concatenate([idxs, np.repeat(idxs[-1:], batch - n)])
                 valid = np.concatenate([valid, np.zeros(batch - n, bool)])
+            a_frames, a_scale = _analysis_frames(frames)
             person_fetch = None
             if (use_person and hasattr(backend, "upload_shared")
                     and hasattr(person_backend, "submit_device")):
                 # shared-upload: ONE host→device transfer (i420 wire) feeds
                 # both the face and person programs
-                dev_bgr = backend.upload_shared(frames)
+                dev_bgr = backend.upload_shared(a_frames)
                 fetch = backend.submit_device(dev_bgr, valid, idxs)
                 person_fetch = person_backend.submit_device(dev_bgr, valid,
                                                             idxs)
             else:
                 if submit is not None:
-                    fetch = submit(frames, valid, idxs)
+                    fetch = submit(a_frames, valid, idxs)
                 else:
-                    out_now = backend.extract_batch(frames, valid, idxs)
+                    out_now = backend.extract_batch(a_frames, valid, idxs)
                     fetch = lambda out_now=out_now: out_now
                 if use_person:
                     # dispatch the person program immediately after the
                     # face program: both execute before either download
                     psubmit = getattr(person_backend, "submit_batch", None)
                     if psubmit is not None:
-                        person_fetch = psubmit(frames, valid, idxs)
+                        person_fetch = psubmit(a_frames, valid, idxs)
                     else:
-                        p_now = person_backend.detect_batch(frames, valid,
+                        p_now = person_backend.detect_batch(a_frames, valid,
                                                             idxs)
                         person_fetch = lambda p_now=p_now: p_now
-            inflight.append((fetch, person_fetch, frames, idxs, valid, n))
+            inflight.append((fetch, person_fetch, frames, idxs, valid, n,
+                             a_scale))
             pend.clear()
         while inflight and (drain or len(inflight) > 1):
             _resolve(inflight.pop(0))

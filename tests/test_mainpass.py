@@ -144,3 +144,38 @@ def test_engine_end_to_end(tmp_path, synth):
     res2 = eng2.run(bank=bank2)
     assert res2.ok and res2.prescan is None  # cached
     assert res2.spans == res.spans
+
+
+def test_main_pass_analysis_downscale_matches_fullres(tmp_path, synth):
+    """tpu_mainpass_analysis_max_w: the batch uploads host-downscaled, the
+    detector works in downscaled coords, and the driver maps boxes back to
+    full reader resolution — hit frames and crop boxes must match the
+    full-res run (oracle emits coords in the submitted frame's space via
+    its `scale`)."""
+    # baseline: full-res analysis
+    backend = OracleBackend(synth)
+    bank = RefBank(cap=8)
+    bank.seed([backend.identity_feat(0)])
+    cfg = _cfg(str(tmp_path / "a"))
+    reader = Cv2Reader(synth.path)
+    with AsyncSaver(cfg.out_dir) as saver:
+        base = run_main_pass(reader, backend, cfg, bank, [(30, 120)], saver,
+                             batch_size=8)
+    reader.release()
+
+    # downscaled analysis: 320 → 160 wide (a_scale = 2); the oracle sees
+    # 160-wide frames, so its coords halve — exactly a real detector's view
+    backend2 = OracleBackend(synth, scale=0.5)
+    bank2 = RefBank(cap=8)
+    bank2.seed([backend2.identity_feat(0)])
+    cfg2 = _cfg(str(tmp_path / "b"), tpu_mainpass_analysis_max_w=160)
+    reader = Cv2Reader(synth.path)
+    with AsyncSaver(cfg2.out_dir) as saver:
+        down = run_main_pass(reader, backend2, cfg2, bank2, [(30, 120)],
+                             saver, batch_size=8)
+    reader.release()
+
+    assert [h.frame for h in down.hits] == [h.frame for h in base.hits]
+    assert down.hits, "downscaled analysis produced no hits"
+    for hb, hd in zip(base.hits, down.hits):
+        assert np.allclose(hb.crop, hd.crop, atol=2.0), (hb.crop, hd.crop)
