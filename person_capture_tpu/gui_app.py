@@ -88,6 +88,14 @@ class EngineBridge(QtCore.QObject):
         if self._engine:
             self._engine.seek(int(frame_idx))
 
+    def step(self):
+        if self._engine:
+            self._engine.step()
+
+    def set_speed(self, speed: float):
+        if self._engine:
+            self._engine.set_speed(float(speed))
+
 
 def _bgr_to_qimage(bgr: np.ndarray) -> QtGui.QImage:
     h, w = bgr.shape[:2]
@@ -186,8 +194,22 @@ class MainWindow(QtWidgets.QMainWindow):
         self.pause_btn.toggled.connect(self.on_pause)
         self.stop_btn = QtWidgets.QPushButton("Stop")
         self.stop_btn.clicked.connect(self.on_stop)
-        for b in (self.start_btn, self.pause_btn, self.stop_btn):
+        # step-while-paused + playback speed (reference Processor
+        # step/set_speed commands, gui_app.py:3543-3593)
+        self.step_btn = QtWidgets.QPushButton("Step")
+        self.step_btn.clicked.connect(
+            lambda: self.bridge and self.bridge.step())
+        self.speed_box = QtWidgets.QDoubleSpinBox()
+        self.speed_box.setRange(0.0, 16.0)
+        self.speed_box.setSingleStep(0.25)
+        self.speed_box.setValue(0.0)
+        self.speed_box.setToolTip("playback speed ×realtime (0 = full speed)")
+        self.speed_box.valueChanged.connect(
+            lambda v: self.bridge and self.bridge.set_speed(v))
+        for b in (self.start_btn, self.pause_btn, self.stop_btn,
+                  self.step_btn):
             btns.addWidget(b)
+        btns.addWidget(self.speed_box)
         form.addRow(btns)
 
         self.progress_bar = QtWidgets.QProgressBar()

@@ -60,6 +60,10 @@ class Engine:
         self._cmd_q: "queue.Queue[Tuple[str, object]]" = queue.Queue()
         self._stop = threading.Event()
         self._pause = threading.Event()
+        self._steps = 0
+        self._speed = 0.0
+        self._fps = 0.0
+        self._last_frame_t = 0.0
 
     # ---- commands -------------------------------------------------------
     def stop(self) -> None:
@@ -70,6 +74,16 @@ class Engine:
             self._pause.set()
         else:
             self._pause.clear()
+
+    def step(self) -> None:
+        """While paused, advance exactly one frame then re-pause
+        (reference Processor 'step' command, gui_app.py:3543-3593)."""
+        self._steps += 1
+
+    def set_speed(self, speed: float) -> None:
+        """Throttle processing to ``speed``× realtime; 0 disables the
+        throttle (reference 'set_speed'). Takes effect immediately."""
+        self._speed = max(0.0, float(speed))
 
     def update_cfg(self, **kv) -> None:
         self._cmd_q.put(("cfg", kv))
@@ -102,7 +116,17 @@ class Engine:
     def _should_stop(self) -> bool:
         self._drain_cmds()
         while self._pause.is_set() and not self._stop.is_set():
+            if self._steps > 0:         # single-step while paused
+                self._steps -= 1
+                break
             time.sleep(0.05)
+        if self._speed > 0.0 and self._fps > 0.0 and not self._stop.is_set():
+            # playback-speed throttle: cap processing at speed × video fps
+            interval = 1.0 / (self._speed * self._fps)
+            wait = self._last_frame_t + interval - time.monotonic()
+            if wait > 0:
+                time.sleep(min(wait, 1.0))
+            self._last_frame_t = time.monotonic()
         return self._stop.is_set()
 
     def seed_bank(self, ref_paths: List[str]) -> RefBank:
@@ -170,6 +194,7 @@ class Engine:
 
             main_reader = _open_analysis()
             meta = main_reader.meta()
+            self._fps = float(meta.fps or 0.0)
             pres: Optional[PrescanResult] = None
             if cfg.prescan_enable:
                 self._status_cb("pre-scan")

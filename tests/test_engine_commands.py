@@ -86,3 +86,43 @@ def test_engine_live_cfg_update(tmp_path):
     eng._drain_cmds()
     assert cfg.face_thresh == 0.123
     assert not hasattr(cfg, "bogus")
+
+def test_engine_step_while_paused(tmp_path):
+    """'step' advances exactly one frame per call while paused (reference
+    Processor step command, gui_app.py:3543-3593)."""
+    sv, backend, cfg, bank = _setup(tmp_path, total=600)
+    eng = Engine(cfg, backend)
+    eng.pause(True)
+    result = {}
+
+    def run():
+        result["r"] = eng.run(bank=bank)
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.6)          # reaches the pause wait before any frame
+    for _ in range(6):
+        eng.step()
+        time.sleep(0.05)
+    time.sleep(0.5)
+    eng.stop()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    decoded = result["r"].mainpass.frames_decoded
+    # paused the whole run: only the stepped frames were processed
+    assert 1 <= decoded <= 8, decoded
+
+
+def test_engine_set_speed_throttles(tmp_path):
+    """set_speed caps processing at speed × video fps (reference
+    'set_speed' command)."""
+    sv, backend, cfg, bank = _setup(tmp_path, total=120)
+    eng = Engine(cfg, backend)
+    eng.set_speed(1.0)       # 30 fps video → ≤30 frames/s processed
+    t0 = time.perf_counter()
+    res = eng.run(bank=bank)
+    dt = time.perf_counter() - t0
+    assert res.ok
+    # 120 frames at stride 2 = 60 processed at ≤30 f/s ⇒ ≥2 s
+    # (unthrottled the oracle finishes in well under a second)
+    assert dt >= 1.8, dt
