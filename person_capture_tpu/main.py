@@ -19,8 +19,9 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="person_capture_tpu.main")
     ap.add_argument("--video", required=True, help="path to video file")
-    ap.add_argument("--ref", required=True,
-                    help="reference image(s) of the target person; ';'-separated")
+    ap.add_argument("--ref", required=True, action="append",
+                    help="reference image(s) of the target person; "
+                         "repeatable and/or ';'-separated")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--ratio", default="2:3", help="crop aspect ratio W:H")
     ap.add_argument("--frame-stride", type=int, default=2)
@@ -87,7 +88,7 @@ def build_config(args, ap):
             setattr(cfg, field, v)
 
     cfg.video = args.video
-    cfg.ref = args.ref
+    cfg.ref = ";".join(args.ref) if isinstance(args.ref, list) else args.ref
     cfg.out_dir = args.out
     flag("ratio", "ratio")
     flag("frame_stride", "frame_stride")

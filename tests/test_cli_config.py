@@ -59,3 +59,11 @@ def test_preset_loads_and_flags_override(tmp_path):
     cfg = _cfg(["--preset", str(p), "--face-thresh", "0.5",
                 "--set", "face_thresh=0.7"])
     assert cfg.face_thresh == 0.7
+
+
+def test_ref_repeatable_joins():
+    ap = build_parser()
+    args = ap.parse_args(["--video", "v.mp4", "--ref", "a.png",
+                          "--ref", "b.png", "--out", "o"])
+    cfg = build_config(args, ap)
+    assert cfg.ref == "a.png;b.png"
