@@ -52,8 +52,13 @@ def smart_crop_box(frame: np.ndarray, crop_xyxy: Sequence[int],
     n = max(1, int(steps))
     offsets = sorted({int(round(max_shift * k / n)) for k in range(-n, n + 1)})
 
-    best_x1, best_score = x1, -1.0
+    # baseline = the finished crop itself, with a mild preference so ties
+    # (and zero-saliency frames) never move the crop
+    best_x1 = x1
+    best_score = box_sum(max(0, x1), min(W, x2)) * 1.02
     for off in offsets:
+        if off == 0:
+            continue
         nx1 = x1 + off
         nx2 = nx1 + crop_w
         if nx1 < 0 or nx2 > W:
@@ -62,9 +67,6 @@ def smart_crop_box(frame: np.ndarray, crop_xyxy: Sequence[int],
             if face_xyxy[0] < nx1 + 1 or face_xyxy[2] > nx2 - 1:
                 continue
         s = box_sum(nx1, nx2)
-        # mild preference for the original placement on ties
-        if off == 0:
-            s *= 1.02
         if s > best_score:
             best_score, best_x1 = s, nx1
     return best_x1, y1, best_x1 + crop_w, y2
