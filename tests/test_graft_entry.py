@@ -1,0 +1,84 @@
+"""Driver-gate regression tests for __graft_entry__.dryrun_multichip.
+
+Round-2 VERDICT weak #1: the dryrun ran in-process in a caller whose jax
+*default* backend was the axon TPU (despite >= 8 host devices being
+enumerable) and the first eager op inherited the chip's broken state
+(libtpu mismatch). The gate must route on the default *platform*, never on
+device count alone, and the subprocess path must actually work from a live
+jax process.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_non_cpu_default_backend_routes_to_subprocess(monkeypatch):
+    """default_backend() != 'cpu' ⇒ hermetic subprocess, never in-proc."""
+    ge = _load_entry()
+    import jax
+
+    calls = {"sub": 0, "inproc": 0}
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    monkeypatch.setattr(ge, "_run_subprocess",
+                        lambda n: calls.__setitem__("sub", calls["sub"] + 1))
+    monkeypatch.setattr(
+        ge, "_dryrun_multichip_inproc",
+        lambda n: calls.__setitem__("inproc", calls["inproc"] + 1))
+    ge.dryrun_multichip(8)
+    assert calls == {"sub": 1, "inproc": 0}
+
+
+def test_pin_probe_failure_routes_to_subprocess(monkeypatch):
+    """Any exception while probing the platform ⇒ subprocess (fail safe)."""
+    ge = _load_entry()
+    import jax
+
+    def boom():
+        raise RuntimeError("backend probe exploded")
+
+    calls = {"sub": 0}
+    monkeypatch.setattr(jax, "default_backend", boom)
+    monkeypatch.setattr(ge, "_run_subprocess",
+                        lambda n: calls.__setitem__("sub", calls["sub"] + 1))
+    ge.dryrun_multichip(8)
+    assert calls["sub"] == 1
+
+
+def test_subprocess_path_executes_from_live_process(monkeypatch, capsys):
+    """Force the subprocess branch from this (jax-initialized) process and
+    let the REAL subprocess run: it must re-exec on a forced-CPU platform,
+    execute the sharded prescan + train step, and print the ok line with the
+    sharded-vs-single-device delta."""
+    ge = _load_entry()
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    ge.dryrun_multichip(4)  # 4 keeps the subprocess compile small
+    out = capsys.readouterr().out
+    assert "dryrun_multichip ok:" in out
+    assert "sharded_vs_1dev_max_delta=" in out
+
+
+def test_cpu_pinned_process_runs_inproc(monkeypatch):
+    """The pytest process IS provably cpu-pinned (conftest) ⇒ in-proc."""
+    ge = _load_entry()
+
+    calls = {"inproc": 0}
+    monkeypatch.setattr(
+        ge, "_dryrun_multichip_inproc",
+        lambda n: calls.__setitem__("inproc", calls["inproc"] + 1))
+    monkeypatch.setattr(ge, "_run_subprocess",
+                        lambda n: (_ for _ in ()).throw(
+                            AssertionError("must not subprocess")))
+    ge.dryrun_multichip(8)
+    assert calls["inproc"] == 1
