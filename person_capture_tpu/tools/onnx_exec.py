@@ -115,7 +115,12 @@ def _dropout(node, vals):
 
 @_op("Cast")
 def _cast(node, vals):
-    dtype = _DTYPES[int(node.attrs["to"])]
+    code = int(node.attrs["to"])
+    dtype = _DTYPES.get(code)
+    if dtype is None:
+        raise NotImplementedError(
+            f"Cast node '{node.name}' targets unsupported ONNX dtype "
+            f"code {code}")
     x = vals[0]
     if _is_host(x):
         return np.asarray(x).astype(dtype)
@@ -274,8 +279,11 @@ def _split(node, vals):
     elif len(vals) > 1 and vals[1] is not None:
         sizes = _ints(_require_host(node, vals[1], "split"))
     else:
+        # no explicit sizes: ONNX (opset 18) splits as evenly as possible,
+        # earlier chunks one element larger when the dim doesn't divide
         n = len(node.outputs)
-        sizes = [x.shape[axis] // n] * n
+        base, rem = divmod(int(x.shape[axis]), n)
+        sizes = [base + (1 if i < rem else 0) for i in range(n)]
     outs = []
     off = 0
     for sz in sizes:

@@ -428,3 +428,26 @@ def test_unsupported_op_reports_clearly(tmp_path):
     write_onnx(path, nodes=nodes, inputs={"x": (2, 2)}, outputs=["y"])
     with pytest.raises(NotImplementedError, match="NonZero"):
         load_onnx_module(path)
+
+
+def test_split_no_sizes_distributes_remainder(tmp_path):
+    """Opset-18 default Split: chunks as even as possible, earlier chunks
+    one larger for non-divisible dims (was floor-division, silently
+    dropping the remainder)."""
+    x = np.arange(2 * 11, dtype=np.float32).reshape(2, 11)
+    nodes = [OnnxNode("Split", ["x"], ["a", "b", "c"], attrs={"axis": 1})]
+    a, b, c = _run_graph(tmp_path, nodes, {}, {"x": x.shape},
+                         ["a", "b", "c"], [x])
+    assert a.shape == (2, 4) and b.shape == (2, 4) and c.shape == (2, 3)
+    np.testing.assert_allclose(np.concatenate([a, b, c], axis=1), x)
+
+
+def test_cast_unsupported_dtype_reports_clearly(tmp_path):
+    """Cast to a dtype code outside _DTYPES must raise NotImplementedError
+    naming the node, not a bare KeyError."""
+    nodes = [OnnxNode("Cast", ["x"], ["y"], attrs={"to": 16})]  # bfloat16
+    path = str(tmp_path / "cast16.onnx")
+    write_onnx(path, nodes=nodes, inputs={"x": (2, 2)}, outputs=["y"])
+    mod = load_onnx_module(path)
+    with pytest.raises(NotImplementedError, match="dtype code 16"):
+        mod(mod.params, np.zeros((2, 2), np.float32))
