@@ -135,9 +135,14 @@ class HdrExportParams:
         # with color-match repair; ffmpeg = plain libplacebo/zscale render)
         if (cfg.hdr_sdr_conversion or "").lower() == "ffmpeg":
             p.color_match = False
-        # quality preset ladder (reference maps these to libplacebo
-        # peak-detect/contrast-recovery/LUT/dither presets, gui_app.py:12598;
-        # here they gate the expensive stages of the device chain)
+        # quality preset ladder. DIVERGENCE from the reference (documented):
+        # the reference maps these names to libplacebo parameter sets
+        # (peak-detect/contrast-recovery/LUT/dither, gui_app.py:12598+);
+        # this chain has no libplacebo, so the presets instead scale the
+        # device chain's expensive stages — "balanced" keeps the WIC-look
+        # color match but fits it against a half-resolution statistics
+        # reference (quality barely differs, render cost drops), "fast"
+        # drops the repair/dither stages entirely.
         quality = (cfg.hdr_sdr_quality or "madvr_like").lower()
         if quality == "fast":
             p.color_match = False
@@ -145,7 +150,7 @@ class HdrExportParams:
             p.peak_detect = False
             p.dither = False
         elif quality == "balanced":
-            p.color_match = False
+            p.ref_max_side = max(256, int(p.ref_max_side) // 2 or 480)
         # madvr_like / resolve_like keep the full chain
         return p
 

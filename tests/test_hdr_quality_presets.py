@@ -12,7 +12,13 @@ def test_quality_preset_ladder():
 
     cfg.hdr_sdr_quality = "balanced"
     p = HdrExportParams.from_cfg(cfg)
-    assert not p.color_match and p.speckle_cleanup
+    # balanced keeps the color match but fits it at a half-res statistics
+    # reference (narrowed divergence from the reference's libplacebo
+    # presets — see hdr/stills.py)
+    assert p.color_match and p.speckle_cleanup
+    assert p.ref_max_side == 480
+    assert p.ref_max_side < HdrExportParams.from_cfg(
+        SessionConfig()).ref_max_side
 
     cfg.hdr_sdr_quality = "fast"
     p = HdrExportParams.from_cfg(cfg)
