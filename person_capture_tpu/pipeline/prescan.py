@@ -357,18 +357,31 @@ def _sample_fds(reader, backend, cfg: SessionConfig, bank: RefBank, idxs):
         got.append(i)
     if not frames:
         return []
-    arr = np.stack(frames)
-    out = backend.extract_batch(arr, np.ones(len(frames), bool),
-                                np.asarray(got))
+    # pad every chunk to the production batch shape so boundary refinement
+    # reuses the already-compiled pre-scan program — a fresh XLA compile per
+    # distinct edge-window size costs minutes over tunneled links
+    batch = max(1, int(cfg.tpu_batch_frames))
     bank_mat = bank.matrix()
     fds = []
-    for slot in range(len(frames)):
-        best = FD_NONE
-        for j in np.flatnonzero(out["mask"][slot]):
-            v = out["feats"][slot][j]
-            v = v / max(np.linalg.norm(v), 1e-6)
-            best = min(best, 1.0 - float(np.max(bank_mat @ v)))
-        fds.append(best)
+    for c0 in range(0, len(frames), batch):
+        chunk = frames[c0:c0 + batch]
+        cidx = got[c0:c0 + batch]
+        n = len(chunk)
+        arr = np.stack(chunk)
+        valid = np.ones(batch, bool)
+        if n < batch:
+            arr = np.concatenate(
+                [arr, np.repeat(arr[-1:], batch - n, axis=0)], 0)
+            valid[n:] = False
+        pidx = np.asarray(list(cidx) + [cidx[-1]] * (batch - n))
+        out = backend.extract_batch(arr, valid, pidx)
+        for slot in range(n):
+            best = FD_NONE
+            for j in np.flatnonzero(out["mask"][slot]):
+                v = out["feats"][slot][j]
+                v = v / max(np.linalg.norm(v), 1e-6)
+                best = min(best, 1.0 - float(np.max(bank_mat @ v)))
+            fds.append(best)
     # map back to requested idxs (missing decodes -> FD_NONE)
     by_idx = dict(zip(got, fds))
     return [by_idx.get(i, FD_NONE) for i in idxs]

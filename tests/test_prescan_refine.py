@@ -86,3 +86,28 @@ def test_refine_disabled(synth):
     reader.release()
     # coarse edges only (padded), same spans as without refinement
     assert len(res.spans) == 1
+
+
+def test_refine_uses_fixed_production_batch_shape(synth):
+    """Boundary refinement must submit batches padded to tpu_batch_frames:
+    every distinct edge-window size would otherwise be a fresh XLA compile
+    (minutes each over tunneled links)."""
+
+    class ShapeRecordingBackend(OracleBackend):
+        def __init__(self, sv):
+            super().__init__(sv)
+            self.batch_sizes = []
+
+        def extract_batch(self, frames, valid, frame_idxs=None):
+            self.batch_sizes.append(int(len(frames)))
+            return super().extract_batch(frames, valid, frame_idxs)
+
+    backend = ShapeRecordingBackend(synth)
+    bank = RefBank(cap=8)
+    bank.seed([backend.identity_feat(0)])
+    cfg = _cfg()
+    out = refine_span_edges([(36, 183)], lambda: Cv2Reader(synth.path),
+                            backend, cfg, bank, 30.0, 240)
+    assert backend.batch_sizes, "refinement must have run"
+    assert set(backend.batch_sizes) == {cfg.tpu_batch_frames}
+    assert abs(out[0][0] - 60) <= 8 and abs(out[0][1] - 150) <= 8
