@@ -74,7 +74,13 @@ class SessionConfig:
     hdr_wic_yuv444_color_match_preroll_sec: float = 0.50
     hdr_wic_yuv444_guide_cleanup: bool = False
     hdr_avif_wic_display_compat: bool = True
-    hdr_sdr_quality: str = "madvr_like"  # madvr_like | resolve_like | balanced | fast
+    # madvr_like | resolve_like | balanced | fast. Reference maps these to
+    # libplacebo parameter presets (gui_app.py:12598+); this chain has no
+    # libplacebo, so instead: madvr_like/resolve_like = full device chain,
+    # balanced = color match fitted at half-res statistics reference,
+    # fast = color match/speckle/peak-detect/dither off (documented
+    # divergence; see hdr/stills.py HdrExportParams.from_cfg).
+    hdr_sdr_quality: str = "madvr_like"
     hdr_sdr_tonemap: str = "auto"  # auto | bt.2390 | spline | st2094-40 | mobius | hable
     hdr_sdr_gamut_mapping: str = "clip"  # clip | perceptual | relative | saturation
     hdr_sdr_contrast_recovery: float = 0.30
@@ -311,9 +317,12 @@ class SessionConfig:
     # detection/embedding run on the smaller frames, coordinates map back
     # to full reader resolution, and crops still save from the full-res
     # frames. On link-bound topologies the full-res upload dominates the
-    # main pass (BASELINE.md); the reference letterboxes to imgsz anyway,
-    # so detection content is equivalent for widths ≥ the detector size.
-    tpu_mainpass_analysis_max_w: int = 0
+    # main pass (BASELINE.md); the reference letterboxes to imgsz anyway
+    # (it never analyzes above imgsz 640/1408 — gui_app.py det sizes), so
+    # detection content is equivalent for widths ≥ the detector size.
+    # Default 832 keeps >1×-realtime main pass on tunneled links while
+    # staying 2× above the default 416 det size; set 0 to upload full res.
+    tpu_mainpass_analysis_max_w: int = 832
 
     # -- serialization (preset compatible with the reference's to/from_json) --
     def to_json(self, include_paths: bool = False) -> str:

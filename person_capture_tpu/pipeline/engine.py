@@ -44,9 +44,15 @@ class Engine:
                  status: Optional[Callable[[str], None]] = None,
                  progress: Optional[Callable[[float], None]] = None,
                  on_hit: Optional[Callable[[object], None]] = None,
-                 on_preview: Optional[Callable] = None):
+                 on_preview: Optional[Callable] = None,
+                 hdr_source_factory: Optional[Callable] = None):
         self.cfg = cfg
         self.backend = backend
+        # (video, width, height, fps) -> P010 plane source; default is the
+        # ffmpeg pipe. Injectable so HDR runs are testable without ffmpeg
+        # (ArrayP010Source) — called once for the exporter and once for the
+        # preview pump (each consumer owns its own stream).
+        self.hdr_source_factory = hdr_source_factory
         self.person_backend = person_backend
         self.reid_backend = reid_backend
         self.fullframe_backend = fullframe_backend
@@ -121,11 +127,19 @@ class Engine:
                 break
             time.sleep(0.05)
         if self._speed > 0.0 and self._fps > 0.0 and not self._stop.is_set():
-            # playback-speed throttle: cap processing at speed × video fps
-            interval = 1.0 / (self._speed * self._fps)
-            wait = self._last_frame_t + interval - time.monotonic()
-            if wait > 0:
-                time.sleep(min(wait, 1.0))
+            # playback-speed throttle: this callback fires once per
+            # PROCESSED frame, and each processed frame advances the video
+            # by the phase's frame stride — so the per-callback interval is
+            # stride / (speed × fps). Sleep in slices so stop/pause stay
+            # responsive at very low speeds.
+            stride = max(1, int(getattr(self, "_throttle_stride", 1)))
+            interval = stride / (self._speed * self._fps)
+            deadline = self._last_frame_t + interval
+            while not self._stop.is_set():
+                wait = deadline - time.monotonic()
+                if wait <= 0:
+                    break
+                time.sleep(min(wait, 0.2))
             self._last_frame_t = time.monotonic()
         return self._stop.is_set()
 
@@ -205,9 +219,14 @@ class Engine:
                 def _run():
                     from ..video.reader import StridedPrefetchReader
 
+                    self._throttle_stride = cfg.prescan_stride
                     base = _open_analysis(max_w=cfg.prescan_decode_max_w,
                                           prefer_ffmpeg=True)
-                    r = StridedPrefetchReader(base, cfg.prescan_stride)
+                    r = StridedPrefetchReader(
+                        base, cfg.prescan_stride,
+                        reopen=lambda: _open_analysis(
+                            max_w=cfg.prescan_decode_max_w,
+                            prefer_ffmpeg=True))
                     try:
                         p = run_prescan(r, self.backend, cfg, bank, meta=None,
                                         reopen_reader=_reopen,
@@ -239,6 +258,7 @@ class Engine:
             keyframes = read_keyframes(cfg.video, meta.fps,
                                        meta.total_frames)
             hdr_exporter = None
+            preview_p010 = None
             hdr_info = detect_hdr(cfg.video)
             if hdr_info.is_hdr and cfg.hdr_screencap_fullres:
                 try:
@@ -246,10 +266,14 @@ class Engine:
                                                 HdrStillExporter)
                     from ..hdr.stills import HdrExportParams
 
-                    src = FfmpegP010Source(
-                        cfg.video, meta.width, meta.height, meta.fps,
-                        preroll_sec=cfg.hdr_wic_yuv444_color_match_preroll_sec,
-                        timeout_sec=cfg.hdr_export_timeout_sec)
+                    if self.hdr_source_factory is not None:
+                        src = self.hdr_source_factory(
+                            cfg.video, meta.width, meta.height, meta.fps)
+                    else:
+                        src = FfmpegP010Source(
+                            cfg.video, meta.width, meta.height, meta.fps,
+                            preroll_sec=cfg.hdr_wic_yuv444_color_match_preroll_sec,
+                            timeout_sec=cfg.hdr_export_timeout_sec)
                     archive_dir = (os.path.join(cfg.out_dir, "hdr_crops")
                                    if cfg.hdr_archive_crops else None)
                     diag_dir = None
@@ -271,13 +295,31 @@ class Engine:
                     self._status_cb(
                         f"HDR source ({', '.join(hdr_info.reasons)}); "
                         f"full-res SDR stills enabled")
+                    if self._on_preview is not None:
+                        # dedicated P010 stream for the preview pump — the
+                        # exporter's pipe belongs to the saver thread
+                        # (reference preview reader, video_io.py:841-921)
+                        try:
+                            if self.hdr_source_factory is not None:
+                                preview_p010 = self.hdr_source_factory(
+                                    cfg.video, meta.width, meta.height,
+                                    meta.fps)
+                            else:
+                                preview_p010 = FfmpegP010Source(
+                                    cfg.video, meta.width, meta.height,
+                                    meta.fps,
+                                    preroll_sec=0.2,
+                                    timeout_sec=cfg.hdr_export_timeout_sec)
+                        except RuntimeError:
+                            preview_p010 = None
                 except RuntimeError as e:
                     self._status_cb(f"HDR stills unavailable: {e}")
             self._status_cb(f"main pass (keyframes: {len(keyframes)})")
             from ..video.reader import StridedPrefetchReader
 
             main_reader = StridedPrefetchReader(main_reader,
-                                                cfg.frame_stride)
+                                                cfg.frame_stride,
+                                                reopen=_open_analysis)
             with AsyncSaver(cfg.out_dir, jpg_quality=cfg.jpg_quality,
                             fsync=cfg.save_fsync,
                             async_save=cfg.async_save,
@@ -288,6 +330,7 @@ class Engine:
                     hdr_exporter.archive_sink = saver.submit_archive
                 ref_reid = self._seed_reid_ref(ref_paths) \
                     if self.reid_backend is not None else None
+                self._throttle_stride = cfg.frame_stride
                 mp = run_main_pass(main_reader, self.backend, cfg, bank,
                                    spans, saver, meta=meta,
                                    keyframes=keyframes,
@@ -299,7 +342,10 @@ class Engine:
                                    progress=self._progress_cb,
                                    on_preview=self._on_preview,
                                    should_stop=self._should_stop,
-                                   seek_request=self._poll_seek)
+                                   seek_request=self._poll_seek,
+                                   preview_hdr_source=preview_p010)
+            if preview_p010 is not None:
+                preview_p010.release()
             main_reader.release()
             for h in mp.hits:
                 self._on_hit(h)

@@ -149,8 +149,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                   progress: Optional[Callable[[float], None]] = None,
                   on_preview: Optional[Callable[[np.ndarray, int], None]] = None,
                   should_stop: Optional[Callable[[], bool]] = None,
-                  seek_request: Optional[Callable[[], Optional[int]]] = None
-                  ) -> MainPassResult:
+                  seek_request: Optional[Callable[[], Optional[int]]] = None,
+                  preview_hdr_source=None) -> MainPassResult:
     t0 = time.perf_counter()
     meta = meta or reader.meta()
     fps = meta.fps or 30.0
@@ -223,6 +223,32 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 and now - preview_state["last_t"] < 1.0 / cfg.preview_fps_cap:
             return
         preview_state["last_t"] = now
+        if preview_hdr_source is not None:
+            # HDR preview pump (reference P010 preview stream,
+            # gui_app.py:13290-13481 + video_io.py:841-921): previews
+            # render from source P010 planes through the device tone-map
+            # kernel — a DEDICATED source, never the exporter's pipe (the
+            # saver thread owns that one). Falls back to the analysis
+            # frame when planes are unavailable.
+            try:
+                planes = preview_hdr_source.get_planes(frame_idx)
+            except Exception:
+                planes = None
+            if planes is not None:
+                from ..hdr_preview import tonemap_preview_frame
+
+                p = hdr_exporter.params if hdr_exporter is not None else None
+                try:
+                    img = tonemap_preview_frame(
+                        planes[0], planes[1],
+                        max_dim=int(cfg.preview_max_dim or 0) or 1280,
+                        sdr_nits=p.sdr_nits if p else 100.0,
+                        tonemap=p.tonemap if p else "bt.2390",
+                        full_range=p.full_range if p else False)
+                    on_preview(img, frame_idx)
+                    return
+                except Exception:
+                    pass
         img = frame
         md = int(cfg.preview_max_dim or 0)
         h, w = img.shape[:2]
@@ -364,17 +390,21 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         fetch, person_fetch, frames, idxs, valid, n, a_scale = entry
         out = fetch()
         person_out = person_fetch() if person_fetch is not None else None
-        if a_scale != 1.0:
+        if a_scale != (1.0, 1.0):
             # analysis ran on host-downscaled frames: map detector coords
             # back to full reader resolution (crops/locks/compose all work
-            # in full-res frame space)
+            # in full-res frame space). x and y factors differ when the
+            # even-dim rounding lands differently per axis.
+            sx, sy = a_scale
+            box_s = np.asarray([sx, sy, sx, sy], np.float32)
+            kp_s = np.asarray([sx, sy], np.float32)
             out = dict(out)
-            out["boxes"] = np.asarray(out["boxes"]) * a_scale
-            out["kps"] = np.asarray(out["kps"]) * a_scale
+            out["boxes"] = np.asarray(out["boxes"]) * box_s
+            out["kps"] = np.asarray(out["kps"]) * kp_s
             if person_out is not None:
                 person_out = dict(person_out)
                 person_out["boxes"] = (np.asarray(person_out["boxes"])
-                                       * a_scale)
+                                       * box_s)
         reid_map: Dict[Tuple[int, int], np.ndarray] = {}
         if use_reid and person_out is not None:
             crops, keys = [], []
@@ -405,10 +435,12 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         """Optionally downscale the batch on host before upload
         (tpu_mainpass_analysis_max_w): detection/embedding run on the
         smaller frames while crops save from full resolution; returns the
-        submitted batch + the factor mapping its coords back to full res."""
+        submitted batch + per-axis (sx, sy) factors mapping its coords back
+        to full res (they differ slightly when even-dim rounding lands
+        differently per axis)."""
         h, w = frames.shape[1], frames.shape[2]
         if not analysis_max_w or w <= analysis_max_w:
-            return frames, 1.0
+            return frames, (1.0, 1.0)
         import cv2
 
         aw = analysis_max_w - (analysis_max_w % 2)
@@ -417,7 +449,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         small = np.stack([cv2.resize(f, (aw, ah),
                                      interpolation=cv2.INTER_AREA)
                           for f in frames])
-        return small, w / float(aw)
+        return small, (w / float(aw), h / float(ah))
 
     def flush(drain: bool = True):
         if pend:

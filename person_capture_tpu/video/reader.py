@@ -242,7 +242,24 @@ class FfmpegPipeReader:
     filter, timestamp seek via ``-ss``. For HDR sources pass ``tonemap_vf``
     (build_tonemap_vf) so analysis frames are tone-mapped in the decoder;
     stills still re-render from source P010 planes on device.
+
+    Robustness parity with the reference:
+
+    - ``seek(frame_idx)`` respawns the decoder at a timestamp with a small
+      frame preroll (reference seek-by-respawn, video_io.py:1394-1397) —
+      random access works in both directions.
+    - a stderr drain thread keeps the last lines for diagnostics
+      (``stderr_tail()``; reference stderr-tail capture, video_io.py:1398).
+    - ``read()`` distinguishes soft EOF (decoder exited 0) from a
+      mid-stream decoder death (``eof_reason``/``failed``; reference
+      soft/known-EOF ladder, video_io.py:1580-1598).
+    - ``skip()`` drains in multi-frame blocks (reference block skipping,
+      video_io.py:3030-3138).
     """
+
+    #: frames decoded before the target after a timestamp seek, so the
+    #: decoder settles and pts rounding can't land us one frame late
+    SEEK_PREROLL = 2
 
     def __init__(self, path: str, max_w: int = 0, fps: float = 0.0,
                  width: int = 0, height: int = 0, start_sec: float = 0.0,
@@ -258,6 +275,7 @@ class FfmpegPipeReader:
             height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             fps = fps or float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
             cap.release()
+        self.path = path
         self.src_w, self.src_h = width, height
         if max_w and width > max_w:
             self.w = int(max_w)
@@ -266,44 +284,123 @@ class FfmpegPipeReader:
             self.w, self.h = width, height
         self.fps = fps or 30.0
         self.frame_bytes = self.w * self.h * 3
-        cmd = [exe, "-v", "error", "-nostdin"]
-        if hwaccel:
-            # decode acceleration (reference PC_HWACCEL / cfg.ff_hwaccel)
-            cmd += ["-hwaccel", hwaccel]
-        if start_sec > 0:
-            cmd += ["-ss", f"{start_sec:.6f}"]
-        cmd += ["-i", path]
+        self._exe = exe
+        self._hwaccel = hwaccel
         vf = tonemap_vf
         if (self.w, self.h) != (width, height) and "scale=" not in vf:
             vf = (vf + "," if vf else "") \
                 + f"scale={self.w}:{self.h}:flags=area"
-        if vf:
-            cmd += ["-vf", vf]
+        self._vf = vf
+        self.proc = None
+        self._stderr_lines = None
+        self._stderr_thread = None
+        self.eof_reason: Optional[str] = None
+        self.failed = False
+        self._spawn(start_sec)
+        self.pos = int(round(start_sec * self.fps))
+
+    def _spawn(self, start_sec: float) -> None:
+        self._kill_proc()
+        cmd = [self._exe, "-v", "error", "-nostdin"]
+        if self._hwaccel:
+            # decode acceleration (reference PC_HWACCEL / cfg.ff_hwaccel)
+            cmd += ["-hwaccel", self._hwaccel]
+        if start_sec > 0:
+            cmd += ["-ss", f"{start_sec:.6f}"]
+        cmd += ["-i", self.path]
+        if self._vf:
+            cmd += ["-vf", self._vf]
         cmd += ["-f", "rawvideo", "-pix_fmt", "bgr24", "-"]
         self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                     stderr=subprocess.DEVNULL,
+                                     stderr=subprocess.PIPE,
                                      bufsize=self.frame_bytes * 4)
-        self.pos = int(round(start_sec * self.fps))
-        self._buf = bytearray()
+        self.eof_reason = None
+        self.failed = False
+        import collections
+        import threading
+
+        self._stderr_lines = collections.deque(maxlen=40)
+
+        def _drain(stream, sink):
+            try:
+                for line in iter(stream.readline, b""):
+                    sink.append(line.decode(errors="replace").rstrip())
+            except Exception:
+                pass
+
+        self._stderr_thread = threading.Thread(
+            target=_drain, args=(self.proc.stderr, self._stderr_lines),
+            name="pc.ffpipe.stderr", daemon=True)
+        self._stderr_thread.start()
+
+    def stderr_tail(self, max_chars: int = 2000) -> str:
+        """Last decoder stderr lines, for fallback diagnostics."""
+        if not self._stderr_lines:
+            return ""
+        return "\n".join(self._stderr_lines)[-max_chars:]
+
+    def _on_short_read(self) -> None:
+        """Classify end-of-stream: clean decoder exit is a soft EOF; a
+        nonzero exit (or a signal) is a failure carrying the stderr tail."""
+        rc = self.proc.poll()
+        if rc is None:
+            try:
+                rc = self.proc.wait(timeout=2)
+            except subprocess.TimeoutExpired:
+                self.eof_reason = "stalled: decoder produced a short read " \
+                                  "but did not exit"
+                self.failed = True
+                return
+        if rc == 0:
+            self.eof_reason = "eof"
+        else:
+            tail = self.stderr_tail(500)
+            self.eof_reason = f"ffmpeg exited rc={rc}" + \
+                (f": {tail}" if tail else "")
+            self.failed = True
 
     def read(self) -> Optional[np.ndarray]:
         data = self.proc.stdout.read(self.frame_bytes)
         if data is None or len(data) < self.frame_bytes:
+            self._on_short_read()
             return None
         self.pos += 1
         return np.frombuffer(data, np.uint8).reshape(self.h, self.w, 3)
 
     def skip(self, count: int) -> int:
+        # drain in blocks: one read() syscall per ≤8 frames instead of one
+        # per frame
+        remaining = max(0, int(count))
         done = 0
-        for _ in range(max(0, count)):
-            data = self.proc.stdout.read(self.frame_bytes)
-            if data is None or len(data) < self.frame_bytes:
+        while remaining:
+            block = min(remaining, 8)
+            data = self.proc.stdout.read(self.frame_bytes * block)
+            got = 0 if data is None else len(data) // self.frame_bytes
+            done += got
+            remaining -= got
+            if got < block:
+                self._on_short_read()
                 break
-            done += 1
         self.pos += done
         return done
 
-    def release(self) -> None:
+    def seek(self, frame_idx: int) -> None:
+        """Random access by respawning the decoder at a timestamp just
+        before the target, then decoding the preroll frames away."""
+        target = max(0, int(frame_idx))
+        preroll = min(self.SEEK_PREROLL, target)
+        # half a frame early: ffmpeg's accurate seek emits the first frame
+        # with pts >= -ss, so rounding can never land us one frame past
+        start_sec = max(0.0, (target - preroll - 0.5) / self.fps)
+        self._spawn(start_sec)
+        self.pos = target - preroll if start_sec > 0 else 0
+        short = self.skip(target - self.pos)
+        if short < target - self.pos:
+            self.pos = target  # seek past EOF: next read() reports EOF
+
+    def _kill_proc(self) -> None:
+        if self.proc is None:
+            return
         try:
             self.proc.stdout.close()
         except Exception:
@@ -316,6 +413,12 @@ class FfmpegPipeReader:
                 self.proc.kill()
             except Exception:
                 pass
+        if self._stderr_thread is not None:
+            self._stderr_thread.join(timeout=1)
+            self._stderr_thread = None
+
+    def release(self) -> None:
+        self._kill_proc()
 
 
 def open_reader(path: str, max_w: int = 0, prefer_ffmpeg: bool = False):
@@ -446,13 +549,19 @@ class StridedPrefetchReader:
     pause the worker, resync the underlying reader, and resume.
 
     API-compatible with Cv2Reader (read/skip/seek/meta/pos/release).
+
+    ``reopen``: zero-arg callable returning a FRESH reader at frame 0 —
+    the backward-resync fallback for seekless underlying readers (the
+    wrapper reopens and skips forward to the target instead of silently
+    no-opping, which previously left every later read() on wrong frames).
     """
 
-    def __init__(self, reader, stride: int, depth: int = 8):
+    def __init__(self, reader, stride: int, depth: int = 8, reopen=None):
         import queue as _queue
         import threading
 
         self.reader = reader
+        self._reopen = reopen
         self.stride = max(1, int(stride))
         self.depth = max(2, int(depth))
         self.pos = reader.pos
@@ -509,13 +618,29 @@ class StridedPrefetchReader:
         """Underlying reader lands exactly on ``target``."""
         self._pause_and_flush()
         with self._lock:
-            if hasattr(self.reader, "seek"):
-                self.reader.seek(target)
-            else:
-                delta = target - self.reader.pos
-                if delta > 0:
-                    self.reader.skip(delta)
+            self._do_resync(target)
         self._resume.set()
+
+    def _do_resync(self, target: int):
+        """Land the underlying reader exactly on ``target``; caller holds
+        the lock. Seekless readers resync forward by skipping and backward
+        by reopening (never silently)."""
+        r = self.reader
+        if hasattr(r, "seek"):
+            r.seek(target)
+            return
+        if target >= r.pos:
+            if target > r.pos:
+                r.skip(target - r.pos)
+            return
+        if self._reopen is None:
+            raise RuntimeError(
+                f"backward resync to {target} on a seekless reader "
+                f"(at {r.pos}) with no reopen callback")
+        r.release()
+        self.reader = r = self._reopen()
+        if target > r.pos:
+            r.skip(target - r.pos)
 
     # ---- reader API -------------------------------------------------------
     def read(self):
@@ -529,8 +654,7 @@ class StridedPrefetchReader:
                 # worker starved/paused: resync and read directly
                 self._pause_and_flush()
                 with self._lock:
-                    if hasattr(self.reader, "seek"):
-                        self.reader.seek(self.pos)
+                    self._do_resync(self.pos)
                     frame = self.reader.read()
                 self._resume.set()
                 if frame is not None:
