@@ -1,87 +1,99 @@
-"""Benchmark: pre-scan pipeline throughput on the available chip.
+"""Benchmark: pre-scan + main-pass throughput on the available chip.
 
-Measures the production backend path — ONE fused device program per batch:
-letterbox → SCRFD detect (backbone/decode/NMS) → matmul-based 5-pt warp →
-ArcFace embed + quality — plus the host-side bank distance, over
-1080p-sourced pre-scan batches (decode width 384, analysis 416, the
-reference solidpreset values). Reports the effective realtime multiple for
-1080p pre-scan at stride 24 / 24 fps against BASELINE.json's 30×-realtime
-driver target (the reference publishes no numbers of its own — BASELINE.md).
+Three measurements, all fed from a real synthetic 1080p mp4 generated and
+DECODED by this script (no pre-staged tensors for the end-to-end numbers):
 
-All 8 face slots per frame are computed unconditionally (fixed shapes), so
-the number suffers no detection-count flattery.
+1. ``prescan_1080p_device_path_x`` (headline): the fused pre-scan device
+   program — letterbox → SCRFD detect → matmul 5-pt warp → ArcFace embed +
+   quality — over decoded-video 384×216 batches with the depth-1
+   submit/fetch pipeline the pre-scan driver uses. Decode happens once
+   outside the timed loop: this is the framework's device-path ceiling, the
+   number that scales with chips. All 8 face slots per frame are computed
+   unconditionally (fixed shapes), so it suffers no detection-count
+   flattery.
+2. ``prescan_e2e_x`` (detail): the same sampling with the mp4 decode INSIDE
+   the timed loop (grab-skip at stride 24, retrieve+downscale to 384 px,
+   batch, submit). On this image's 1-core host with no hwaccel/ffmpeg the
+   cv2 1080p decode tops out ~150 src f/s, so this number is decode-bound
+   (environmental), which is why it is reported alongside rather than as
+   the headline — see BASELINE.md.
+3. ``mainpass_realtime_x`` (detail): full main-pass analysis path at
+   reference ``frame_stride=2`` — decode every frame, retrieve every 2nd at
+   full 1080p, host-downscale to the default ``tpu_mainpass_analysis_max_w``
+   (832), run the fused face program at det 640 (the CLI default), depth-1
+   pipelined. Decode is inside the timed loop; ≥1.0 means the main pass
+   keeps up with the video in real time over the tunneled link
+   (BASELINE.json: "pre-scan + main pass").
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
+import tempfile
 import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
 
-def main() -> None:
-    import jax
 
-    from person_capture_tpu.core.bank import RefBank
-    from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
+def _phase(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
+FPS = 24.0
+TOTAL_FRAMES = 240
+PRESCAN_STRIDE = 24
+PRESCAN_DECODE_W, PRESCAN_DECODE_H = 384, 216  # prescan_decode_max_w @1080p
+MAIN_STRIDE = 2
+MAIN_ANALYSIS_W, MAIN_ANALYSIS_H = 832, 468    # tpu_mainpass_analysis_max_w
+
+
+def _make_video(path: str) -> None:
+    """Synthetic 1080p clip with moving faces (same generator the CLI smoke
+    uses), encoded through cv2 — the only decoder in this image."""
+    from person_capture_tpu.video.synthetic import generate_video
+
+    generate_video(path, width=1920, height=1080, fps=int(FPS),
+                   total_frames=TOTAL_FRAMES,
+                   segments=[(0, TOTAL_FRAMES - 1, 0)], moving=True, seed=3)
+
+
+def _decode_all_resized(path: str, w: int, h: int) -> np.ndarray:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.resize(f, (w, h), interpolation=cv2.INTER_AREA))
+    cap.release()
+    return np.stack(frames)
+
+
+def _bench_prescan_device_path(backend, frames_384: np.ndarray,
+                               bank_mat: np.ndarray):
+    """Depth-1 pipelined device path over pre-decoded video batches."""
     batch = 128
-    decode_w, decode_h = 384, 216      # prescan_decode_max_w on 1080p video
-    det_size = 416                     # prescan_max_width analysis size
-    stride = 24
-    fps = 24.0
-    target_realtime_x = 30.0           # BASELINE.json north star
-
-    from person_capture_tpu.models.zoo import resolve_weights
-
-    backend = ScrfdArcFaceBackend(det_size=det_size, score_thresh=0.5,
-                                  max_faces=8, host_align=False,
-                                  scrfd_weights=resolve_weights(
-                                      "auto", "scrfd_2.5g"))
-    rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, (batch, decode_h, decode_w, 3),
-                          dtype=np.uint8)
-    # draw real synthetic faces so the trained detector populates face
-    # slots (throughput is detection-count independent — fixed shapes —
-    # but faces_per_batch now reflects a working detector)
-    try:
-        import cv2  # noqa: F401
-
-        from person_capture_tpu.video.synthetic import (FacePlacement,
-                                                        draw_face)
-
-        for i in range(batch):
-            n = int(rng.integers(1, 3))
-            for j in range(n):
-                fw = float(rng.uniform(30, 90))
-                cx = float(rng.uniform(fw, decode_w - fw))
-                cy = float(rng.uniform(fw, decode_h - fw))
-                draw_face(frames[i], FacePlacement(
-                    i, j, (cx - fw / 2, cy - fw / 2,
-                           cx + fw / 2, cy + fw / 2)))
-    except ImportError:
-        pass
+    idx = np.arange(batch) % len(frames_384)
+    frames = frames_384[idx]
     valid = np.ones(batch, bool)
-    bank = RefBank(cap=64)
-    bank.seed(rng.normal(size=(16, 512)).astype(np.float32))
-    bank_mat = bank.matrix()
 
-    # warmup/compile
-    out = backend.extract_batch(frames, valid)
-    n_faces = int(out["mask"].sum())
+    out = backend.extract_batch(frames, valid)  # warmup/compile
+    n_faces = int(np.asarray(out["mask"]).sum())
 
-    def consume(out):
-        # host bank distance, as the pre-scan driver computes it
-        feats = out["feats"][out["mask"]]
+    def consume(o):
+        feats = np.asarray(o["feats"])[np.asarray(o["mask"])]
         if feats.size:
             _ = 1.0 - (feats @ bank_mat.T).max(axis=1)
 
-    # depth-1 software pipeline (matches the pre-scan driver): submit batch
-    # i+1 before fetching batch i so compute overlaps the host round trip
     n_steps = 10
     t0 = time.perf_counter()
     pending = backend.submit_batch(frames, valid)
@@ -91,25 +103,184 @@ def main() -> None:
         pending = nxt
     consume(pending())
     dt = time.perf_counter() - t0
-
     sampled_fps = n_steps * batch / dt
-    realtime_x = sampled_fps * stride / fps
+    return sampled_fps * PRESCAN_STRIDE / FPS, n_faces
 
-    # secondary metric: full-res HDR→SDR still exports/sec (4K source,
-    # ~1440×1920 crop, color-match + despeckle through the device kernel —
-    # the reference's WIC path took seconds per export, gui_app README)
+
+def _bench_prescan_e2e(backend, video: str, bank_mat: np.ndarray,
+                       n_passes: int = 2):
+    """Pre-scan with the mp4 decode inside the timed loop: grab-skip at
+    stride 24, retrieve+downscale sampled frames, pad to the production
+    batch shape, submit. Decode-bound on this 1-core host."""
+    import cv2
+
+    batch = 128
+    t0 = time.perf_counter()
+    src_covered = 0
+    pending = None
+    for _ in range(n_passes):
+        cap = cv2.VideoCapture(video)
+        samples = []
+        i = 0
+        while True:
+            if not cap.grab():
+                break
+            if i % PRESCAN_STRIDE == 0:
+                ok, f = cap.retrieve()
+                if ok:
+                    samples.append(cv2.resize(
+                        f, (PRESCAN_DECODE_W, PRESCAN_DECODE_H),
+                        interpolation=cv2.INTER_AREA))
+            i += 1
+        cap.release()
+        src_covered += i
+        n = len(samples)
+        frames = np.stack(samples)
+        if n < batch:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], batch - n, axis=0)], 0)
+        valid = np.zeros(batch, bool)
+        valid[:n] = True
+        if pending is not None:
+            out = pending()
+            feats = np.asarray(out["feats"])[np.asarray(out["mask"])]
+            if feats.size:
+                _ = 1.0 - (feats @ bank_mat.T).max(axis=1)
+        pending = backend.submit_batch(frames, valid)
+    if pending is not None:
+        pending()
+    dt = time.perf_counter() - t0
+    decode_fps = src_covered / dt
+    return decode_fps / FPS, decode_fps
+
+
+def _bench_mainpass_e2e(video: str, bank_mat: np.ndarray):
+    """Main-pass analysis path, decode inside the timed loop: grab every
+    source frame, retrieve every ``MAIN_STRIDE``-th at full 1080p,
+    host-downscale to the default analysis cap (per-axis coord factors as
+    pipeline/mainpass.py applies), fused face program at the CLI-default
+    det 640, depth-1 pipelined. Warmup pass compiles the program first."""
+    import cv2
+
+    from person_capture_tpu.models.zoo import resolve_weights
+    from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
+
+    batch = 16
+    backend = ScrfdArcFaceBackend(det_size=640, score_thresh=0.5,
+                                  max_faces=8, host_align=False,
+                                  scrfd_weights=resolve_weights(
+                                      "auto", "scrfd_2.5g"))
+
+    def downscale(f):
+        return cv2.resize(f, (MAIN_ANALYSIS_W, MAIN_ANALYSIS_H),
+                          interpolation=cv2.INTER_AREA)
+
+    # warmup: one batch through the program (compile)
+    cap = cv2.VideoCapture(video)
+    warm = []
+    while len(warm) < batch:
+        if not cap.grab():
+            break
+        ok, f = cap.retrieve()
+        if ok:
+            warm.append(downscale(f))
+    cap.release()
+    wf = np.stack(warm[:batch])
+    if len(wf) < batch:
+        wf = np.concatenate([wf, np.repeat(wf[-1:], batch - len(wf), 0)], 0)
+    backend.extract_batch(wf, np.ones(batch, bool))
+
+    def consume(o):
+        feats = np.asarray(o["feats"])[np.asarray(o["mask"])]
+        if feats.size:
+            _ = 1.0 - (feats @ bank_mat.T).max(axis=1)
+
+    t0 = time.perf_counter()
+    cap = cv2.VideoCapture(video)
+    buf, src_covered, n_batches = [], 0, 0
+    pending = None
+    i = 0
+    while True:
+        if not cap.grab():
+            break
+        if i % MAIN_STRIDE == 0:
+            ok, f = cap.retrieve()       # full-res 1080p (crops save from it)
+            if ok:
+                buf.append(downscale(f))
+        i += 1
+        if len(buf) == batch:
+            frames = np.stack(buf)
+            buf.clear()
+            if pending is not None:
+                consume(pending())
+            pending = backend.submit_batch(frames, np.ones(batch, bool))
+            n_batches += 1
+            src_covered = i
+    if pending is not None:
+        consume(pending())
+    cap.release()
+    dt = time.perf_counter() - t0
+    if not n_batches:
+        return 0.0, 0.0
+    src_fps = src_covered / dt
+    return src_fps / FPS, src_fps
+
+
+def main() -> None:
+    import jax
+
+    from person_capture_tpu.core.bank import RefBank
+    from person_capture_tpu.models.zoo import resolve_weights
+    from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
+
+    target_realtime_x = 30.0           # BASELINE.json north star
+
+    rng = np.random.default_rng(0)
+    bank = RefBank(cap=64)
+    bank.seed(rng.normal(size=(16, 512)).astype(np.float32))
+    bank_mat = bank.matrix()
+
+    with tempfile.TemporaryDirectory() as td:
+        video = os.path.join(td, "bench1080.mp4")
+        _phase("encoding synthetic 1080p mp4")
+        _make_video(video)
+        _phase("decoding prescan frames")
+        frames_384 = _decode_all_resized(video, PRESCAN_DECODE_W,
+                                         PRESCAN_DECODE_H)
+
+        _phase("building prescan backend (compile on first batch)")
+        backend = ScrfdArcFaceBackend(det_size=416, score_thresh=0.5,
+                                      max_faces=8, host_align=False,
+                                      scrfd_weights=resolve_weights(
+                                          "auto", "scrfd_2.5g"))
+        device_x, n_faces = _bench_prescan_device_path(backend, frames_384,
+                                                       bank_mat)
+        _phase(f"prescan device path done ({device_x:.0f}x)")
+        e2e_x, decode_fps = _bench_prescan_e2e(backend, video, bank_mat)
+        _phase(f"prescan e2e done ({e2e_x:.1f}x)")
+        main_x, main_src_fps = _bench_mainpass_e2e(video, bank_mat)
+        _phase(f"mainpass done ({main_x:.2f}x)")
     hdr_rate = _bench_hdr_exports()
+    _phase(f"hdr exports done ({hdr_rate}/s)")
 
     print(json.dumps({
-        "metric": "prescan_1080p_realtime_x",
-        "value": round(realtime_x, 2),
+        "metric": "prescan_1080p_device_path_x",
+        "value": round(device_x, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(realtime_x / target_realtime_x, 3),
+        "vs_baseline": round(device_x / target_realtime_x, 3),
         "detail": {
-            "sampled_frames_per_s": round(sampled_fps, 2),
-            "batch": batch, "det_size": det_size,
+            "prescan_e2e_x": round(e2e_x, 2),
+            "prescan_e2e_note": ("decode inside timed loop; 1-core host "
+                                 "cv2 1080p decode is the bound "
+                                 f"({decode_fps:.0f} src f/s, no hwaccel "
+                                 "in this image)"),
+            "mainpass_realtime_x": round(main_x, 2),
+            "mainpass_src_fps": round(main_src_fps, 1),
+            "mainpass_config": ("stride 2, analysis_max_w 832 (default), "
+                                "det 640, batch 16, decode in loop"),
             "faces_per_batch": n_faces,
-            "stride": stride, "assumed_fps": fps,
+            "prescan_batch": 128, "prescan_det_size": 416,
+            "prescan_stride": PRESCAN_STRIDE, "assumed_fps": FPS,
             "hdr_png_exports_per_s": hdr_rate,
             "device": str(jax.devices()[0]),
         },
