@@ -143,6 +143,29 @@ class Engine:
             self._last_frame_t = time.monotonic()
         return self._stop.is_set()
 
+    def _report_reader_health(self, reader, phase: str) -> None:
+        """Surface decoder recoveries/deaths in the status stream (the
+        reference logs the pipe's stderr tail in its fallback diagnostics,
+        gui_app.py:4884-4895)."""
+        try:
+            recoveries = int(getattr(reader, "recoveries", 0) or 0)
+            failed = bool(getattr(reader, "failed", False))
+            reason = getattr(reader, "last_failure", None) \
+                or getattr(reader, "eof_reason", None)
+        except Exception:
+            return
+        if recoveries:
+            self._status_cb(f"{phase}: decoder recovered {recoveries}x "
+                            f"mid-stream (last failure: {reason})")
+        elif failed and reason and reason != "eof":
+            tail = ""
+            try:
+                tail = reader.stderr_tail(500)
+            except Exception:
+                pass
+            self._status_cb(f"{phase}: decoder died: {reason}"
+                            + (f" | {tail}" if tail else ""))
+
     def seed_bank(self, ref_paths: List[str]) -> RefBank:
         """Embed the reference photos (plus horizontal flips, as the
         reference does at gui_app.py:4519-4556) into a fresh bank."""
@@ -217,16 +240,20 @@ class Engine:
                     return _open_analysis(max_w=cfg.prescan_decode_max_w)
 
                 def _run():
-                    from ..video.reader import StridedPrefetchReader
+                    from ..video.reader import (ResilientReader,
+                                                StridedPrefetchReader)
 
                     self._throttle_stride = cfg.prescan_stride
-                    base = _open_analysis(max_w=cfg.prescan_decode_max_w,
-                                          prefer_ffmpeg=True)
-                    r = StridedPrefetchReader(
-                        base, cfg.prescan_stride,
-                        reopen=lambda: _open_analysis(
+
+                    def _open_base():
+                        return _open_analysis(
                             max_w=cfg.prescan_decode_max_w,
-                            prefer_ffmpeg=True))
+                            prefer_ffmpeg=True)
+
+                    base = ResilientReader(_open_base(), _open_base,
+                                           total_frames=meta.total_frames)
+                    r = StridedPrefetchReader(base, cfg.prescan_stride,
+                                              reopen=_open_base)
                     try:
                         p = run_prescan(r, self.backend, cfg, bank, meta=None,
                                         reopen_reader=_reopen,
@@ -236,6 +263,7 @@ class Engine:
                                         on_preview=self._on_preview,
                                         source_is_hdr=src_is_hdr)
                     finally:
+                        self._report_reader_health(r, "pre-scan")
                         r.release()
                     self._last_prescan = p
                     return p.spans, p.bank
@@ -315,8 +343,10 @@ class Engine:
                 except RuntimeError as e:
                     self._status_cb(f"HDR stills unavailable: {e}")
             self._status_cb(f"main pass (keyframes: {len(keyframes)})")
-            from ..video.reader import StridedPrefetchReader
+            from ..video.reader import ResilientReader, StridedPrefetchReader
 
+            main_reader = ResilientReader(main_reader, _open_analysis,
+                                          total_frames=meta.total_frames)
             main_reader = StridedPrefetchReader(main_reader,
                                                 cfg.frame_stride,
                                                 reopen=_open_analysis)
@@ -346,6 +376,7 @@ class Engine:
                                    preview_hdr_source=preview_p010)
             if preview_p010 is not None:
                 preview_p010.release()
+            self._report_reader_health(main_reader, "main pass")
             main_reader.release()
             for h in mp.hits:
                 self._on_hit(h)

@@ -421,6 +421,104 @@ class FfmpegPipeReader:
         self._kill_proc()
 
 
+class ResilientReader:
+    """Mid-stream decode-failure recovery.
+
+    The reference survives decoder deaths with reopen/fallback ladders
+    (video_io.py:1774-2126 `try_fallback_chain`, OpenCV reopen; engine-side
+    re-probe gui_app.py:4807-4928). TPU-era equivalent: when ``read()``
+    fails BEFORE the known end of stream, reopen a fresh reader via the
+    factory, seek just past the failing frame (advancing one extra frame
+    per consecutive retry so a poisoned region can't loop forever), and
+    resume. Clean EOF is never retried. ``recoveries`` counts successful
+    reopens; ``last_failure`` keeps the underlying reader's reason/tail for
+    status surfacing.
+    """
+
+    def __init__(self, reader, reopen, total_frames: int = 0,
+                 max_retries: int = 3):
+        self.reader = reader
+        self._reopen = reopen
+        self.total = int(total_frames or 0)
+        self.max_retries = max(1, int(max_retries))
+        self.pos = reader.pos
+        self.recoveries = 0
+        self.last_failure: Optional[str] = None
+
+    def meta(self):
+        return self.reader.meta()
+
+    def _at_eof(self) -> bool:
+        if getattr(self.reader, "failed", False):
+            return False
+        if self.total > 0:
+            return self.reader.pos >= self.total
+        # unknown length and no explicit failure: trust the reader's EOF
+        return True
+
+    def _reopen_at(self, target: int):
+        try:
+            self.reader.release()
+        except Exception:
+            pass
+        r = self._reopen()
+        if hasattr(r, "seek"):
+            r.seek(target)
+        else:
+            r.skip(max(0, target - r.pos))
+        self.reader = r
+
+    def read(self) -> Optional[np.ndarray]:
+        frame = self.reader.read()
+        if frame is not None:
+            self.pos = self.reader.pos
+            return frame
+        if self._at_eof():
+            return None
+        self.last_failure = getattr(self.reader, "eof_reason", None) \
+            or "decode failed mid-stream"
+        for attempt in range(self.max_retries):
+            target = self.reader.pos + 1 + attempt
+            if self.total > 0 and target >= self.total:
+                return None
+            self._reopen_at(target)
+            frame = self.reader.read()
+            if frame is not None:
+                self.recoveries += 1
+                self.pos = self.reader.pos
+                return frame
+        return None
+
+    def skip(self, count: int) -> int:
+        done = self.reader.skip(count)
+        if done < count and not self._at_eof():
+            target = self.reader.pos + (count - done)
+            if self.total <= 0 or target < self.total:
+                self.last_failure = getattr(self.reader, "eof_reason",
+                                            None) or "decode failed in skip"
+                self._reopen_at(target)
+                self.recoveries += 1
+                done = count
+        self.pos = self.reader.pos
+        return done
+
+    def seek(self, frame_idx: int) -> None:
+        target = max(0, int(frame_idx))
+        if hasattr(self.reader, "seek"):
+            self.reader.seek(target)
+        else:
+            self._reopen_at(target)
+        self.pos = self.reader.pos
+
+    def release(self) -> None:
+        self.reader.release()
+
+    def __getattr__(self, name):
+        if name == "reader":
+            raise AttributeError(name)
+        return getattr(self.reader, name)
+
+
 def open_reader(path: str, max_w: int = 0, prefer_ffmpeg: bool = False):
     """Open the best available reader. ffmpeg pipes are preferred for
     decode-level downscale (area filter beats cv2 retrieve+resize) when the
@@ -691,6 +789,13 @@ class StridedPrefetchReader:
         self._resume.set()
         self._thread.join(timeout=5)
         self.reader.release()
+
+    def __getattr__(self, name):
+        # surface the underlying reader's failure/diagnostic attributes
+        # (failed, eof_reason, recoveries, stderr_tail, …)
+        if name == "reader":
+            raise AttributeError(name)
+        return getattr(self.reader, name)
 
 
 def smart_seek(reader, target: int, keyframes=None, seek_fast: bool = True,

@@ -256,3 +256,149 @@ def test_mainpass_backward_seek_on_seekless_reader(tmp_path):
                    reopen=lambda: SeeklessReader(path))
     assert ref_hits, "fixture must produce hits"
     assert got_hits == ref_hits
+
+
+# ---- mid-stream decode-failure recovery ---------------------------------
+
+
+class FlakyReader:
+    """Seekable fake that dies at a given frame until reopened past it."""
+
+    def __init__(self, total, die_at, state):
+        self.total = total
+        self.die_at = die_at
+        self.state = state          # shared dict: {"opens": n}
+        self.pos = 0
+        self.failed = False
+        self.eof_reason = None
+
+    def read(self):
+        if self.pos == self.die_at and self.state["armed"]:
+            self.failed = True
+            self.eof_reason = "ffmpeg exited rc=3: corrupt packet"
+            return None
+        if self.pos >= self.total:
+            self.eof_reason = "eof"
+            return None
+        f = np.full((4, 4, 3), self.pos % 256, np.uint8)
+        self.pos += 1
+        return f
+
+    def skip(self, n):
+        done = min(n, max(0, self.total - self.pos))
+        self.pos += done
+        return done
+
+    def seek(self, i):
+        self.pos = int(i)
+
+    def release(self):
+        pass
+
+
+def test_resilient_reader_recovers_past_bad_frame():
+    from person_capture_tpu.video.reader import ResilientReader
+
+    state = {"opens": 0, "armed": True}
+
+    def reopen():
+        state["opens"] += 1
+        state["armed"] = False       # fresh decoder gets past the bad spot
+        return FlakyReader(20, 7, state)
+
+    r = ResilientReader(FlakyReader(20, 7, state), reopen, total_frames=20)
+    vals = []
+    while True:
+        f = r.read()
+        if f is None:
+            break
+        vals.append(int(f[0, 0, 0]))
+    # frame 7 poisoned: recovery resumes at 8; everything else intact
+    assert vals == list(range(7)) + list(range(8, 20))
+    assert r.recoveries == 1
+    assert "corrupt packet" in r.last_failure
+    assert state["opens"] == 1
+
+
+def test_resilient_reader_does_not_retry_clean_eof():
+    from person_capture_tpu.video.reader import ResilientReader
+
+    state = {"opens": 0, "armed": False}
+
+    def reopen():
+        state["opens"] += 1
+        return FlakyReader(5, -1, state)
+
+    r = ResilientReader(FlakyReader(5, -1, state), reopen, total_frames=5)
+    n = 0
+    while r.read() is not None:
+        n += 1
+    assert n == 5
+    assert r.recoveries == 0 and state["opens"] == 0
+
+
+def test_resilient_reader_gives_up_on_persistent_failure():
+    from person_capture_tpu.video.reader import ResilientReader
+
+    state = {"opens": 0, "armed": True}
+
+    class DeadReader:
+        pos = 0
+        failed = True
+        eof_reason = "ffmpeg exited rc=3"
+
+        def read(self):
+            return None
+
+        def skip(self, n):
+            return 0
+
+        def seek(self, i):
+            self.pos = int(i)
+
+        def release(self):
+            pass
+
+    def reopen():
+        state["opens"] += 1
+        return DeadReader()                 # every reopen dies immediately
+
+    bad = FlakyReader(20, 3, state)
+    r = ResilientReader(bad, reopen, total_frames=20, max_retries=2)
+    vals = []
+    while True:
+        f = r.read()
+        if f is None:
+            break
+        vals.append(int(f[0, 0, 0]))
+    assert vals == [0, 1, 2]
+    assert state["opens"] == 2          # bounded retries, no infinite loop
+
+
+def test_prefetch_over_resilient_reader(synth):
+    """The production stack: prefetch(resilient(base)) survives a
+    mid-stream death transparently to the striding driver."""
+    from person_capture_tpu.video.reader import ResilientReader
+
+    state = {"opens": 0, "armed": True}
+
+    def reopen():
+        state["opens"] += 1
+        state["armed"] = False
+        return FlakyReader(60, 30, state)
+
+    base = ResilientReader(FlakyReader(60, 30, state), reopen,
+                           total_frames=60)
+    pf = StridedPrefetchReader(base, stride=6)
+    got = []
+    while True:
+        f = pf.read()
+        if f is None:
+            break
+        got.append(int(f[0, 0, 0]))
+        pf.skip(5)
+    pf.release()
+    # stride-6 samples 0,6,12,...,54; the death at 30 is healed (30 is a
+    # sampled frame: recovery resumes at 31, later samples realign on 37+)
+    assert got[:5] == [0, 6, 12, 18, 24]
+    assert len(got) >= 9 and state["opens"] == 1
