@@ -188,6 +188,60 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
     return run
 
 
+def build_sharded_fullframe_detect(mesh: Mesh, scrfd_cfg=None,
+                                   det_size: int = 1408, max_faces: int = 8,
+                                   dtype=None, seed: int = 0,
+                                   scrfd_vars=None,
+                                   spatial_axis: str = "model"):
+    """SPATIALLY-sharded heavy-canvas SCRFD detection.
+
+    The reference's heavy passes run the detector at imgsz 1408–2048 on one
+    GPU (face_embedder.py:2204-2208 heavy_cap, gui_app.py:523 full-frame
+    1408). The TPU-native scaling story for those canvases is spatial
+    partitioning: the padded canvas batch [B, S, S, 3] shards over ``data``
+    (B) AND the H dimension over ``spatial_axis``, so one huge frame's conv
+    FLOPs split across chips with XLA-SPMD-inserted halo exchanges — no
+    hand-written communication. Model params replicate (the canvas, not
+    the weights, is what doesn't fit a single chip's step budget).
+
+    Returns ``run(padded [B,S,S,3] float32, scales [B], score_thresh)`` →
+    detection dict, all outputs sharded over ``data``.
+    """
+    from ..models import scrfd as SD
+
+    scrfd_cfg = scrfd_cfg or SD.SCRFD_2_5G
+    dtype = dtype or jnp.bfloat16
+    model, sv = SD.init_scrfd(jax.random.PRNGKey(seed), scrfd_cfg,
+                              size=det_size, dtype=dtype)
+    if scrfd_vars is not None:
+        sv = scrfd_vars
+    sv = jax.device_put(sv, replicated(mesh))
+
+    has_spatial = spatial_axis in mesh.axis_names
+    frames_spec = P("data", spatial_axis) if has_spatial else P("data")
+    frames_sh = NamedSharding(mesh, frames_spec)
+    data_sh = shard_batch(mesh)
+    repl = replicated(mesh)
+
+    def step(vars_, padded, scales, score_thresh):
+        return SD.detect_faces(model, vars_, padded, scales, score_thresh,
+                               max_faces)
+
+    jit_step = jax.jit(
+        step,
+        in_shardings=(None, frames_sh, data_sh, repl),
+        out_shardings={"boxes": data_sh, "kps": data_sh,
+                       "scores": data_sh, "mask": data_sh})
+
+    def run(padded, scales, score_thresh=0.5):
+        return jit_step(sv, padded, scales, jnp.float32(score_thresh))
+
+    run.scrfd_vars = sv
+    run.mesh = mesh
+    run.spatial = has_spatial
+    return run
+
+
 def build_sharded_train_step(mesh: Mesh, scrfd_cfg=None, size: int = 128,
                              lr: float = 1e-3, seed: int = 0,
                              dtype=None):

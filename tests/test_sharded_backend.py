@@ -172,3 +172,55 @@ def test_sharded_backend_yolo_face_on_cpu_mesh():
     assert out["kps"].shape == (8, 4, 5, 2)
     assert out["feats"].shape == (8, 4, AF.TINY.embed_dim)
     assert out["mask"].any()  # threshold 0 fills slots
+
+
+def test_spatial_sharded_fullframe_detect_matches_single_device():
+    """Heavy-canvas detection with the H dimension sharded over the model
+    axis (XLA-SPMD halo exchange for convs) must match the single-device
+    program numerically — the TPU scaling path for the reference's
+    imgsz-1408/2048 heavy passes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from person_capture_tpu.models import scrfd as SD
+    from person_capture_tpu.models.zoo import resolve_weights
+    from person_capture_tpu.parallel.mesh import (
+        build_sharded_fullframe_detect, make_mesh)
+    from person_capture_tpu.video.synthetic import FacePlacement, draw_face
+
+    sw = resolve_weights("auto", "scrfd_tiny")
+    devices = jax.devices("cpu")
+    mesh = make_mesh("data:2,model:4", devices=devices[:8])
+    size = 128
+    run_sp = build_sharded_fullframe_detect(mesh, scrfd_cfg=SD.TINY,
+                                            det_size=size, max_faces=4,
+                                            seed=0, dtype=jnp.float32,
+                                            scrfd_vars=sw)
+    assert run_sp.spatial
+    mesh1 = make_mesh("data:1", devices=devices[:1])
+    run_1 = build_sharded_fullframe_detect(mesh1, scrfd_cfg=SD.TINY,
+                                           det_size=size, max_faces=4,
+                                           seed=0, dtype=jnp.float32,
+                                           scrfd_vars=sw)
+    assert not run_1.spatial
+
+    rng = np.random.default_rng(3)
+    frames = np.full((4, size, size, 3), 70, np.uint8)
+    for i in range(4):
+        s = float(rng.uniform(36, 48))
+        x = float(rng.uniform(4, size - s - 4))
+        y = float(rng.uniform(4, size - s - 4))
+        draw_face(frames[i], FacePlacement(0, 0, (x, y, x + s, y + s)))
+    padded = frames.astype(np.float32)
+    scales = np.ones((4,), np.float32)
+
+    a = run_sp(padded, scales, score_thresh=0.45)
+    b = run_1(padded, scales, score_thresh=0.45)
+    mask = np.asarray(a["mask"])
+    assert mask.any(), "trained tiny detector must find the drawn faces"
+    np.testing.assert_array_equal(mask, np.asarray(b["mask"]))
+    np.testing.assert_allclose(np.asarray(a["scores"]),
+                               np.asarray(b["scores"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a["boxes"])[mask],
+                               np.asarray(b["boxes"])[mask], atol=1e-2)
