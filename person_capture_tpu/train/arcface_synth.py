@@ -169,7 +169,8 @@ def evaluate(model, variables, rng, n_ident: int = 24,
 def train(cfg_name: str = "arcface_synth", batch: int = 48,
           steps: int = 1500, lr: float = 1e-3, seed: int = 0,
           num_ident: int = 256, out: str = "", log_every: int = 50,
-          eval_every: int = 300, dtype_name: str = "float32"):
+          eval_every: int = 300, dtype_name: str = "float32",
+          ckpt_dir: str = "", ckpt_every: int = 0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -196,10 +197,22 @@ def train(cfg_name: str = "arcface_synth", batch: int = 48,
                                    "wclass": jnp.asarray(wclass)})}
     step_fn = make_train_step(model, tx, num_ident)
 
+    from .ckpt import (latest_checkpoint, restore_checkpoint,
+                       save_checkpoint, step_rng)
+
+    start_step = 0
+    if ckpt_dir:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            ck_step, ck_path = latest
+            state = restore_checkpoint(ck_path, state)
+            start_step = ck_step
+            print(f"resumed from {ck_path} (step {start_step})", flush=True)
+
     eval_rng = np.random.default_rng(seed + 77)
     t0 = time.time()
-    for i in range(steps):
-        chips, labels = sample_chip_batch(rng, ident, batch)
+    for i in range(start_step, steps):
+        chips, labels = sample_chip_batch(step_rng(seed, i), ident, batch)
         state, metrics = step_fn(state, chips, labels)
         if (i + 1) % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
@@ -211,6 +224,8 @@ def train(cfg_name: str = "arcface_synth", batch: int = 48,
                          "batch_stats": state["batch_stats"]}
             ev = evaluate(model, variables, eval_rng)
             print(f"  eval: {ev}", flush=True)
+        if ckpt_dir and ckpt_every and (i + 1) % ckpt_every == 0:
+            save_checkpoint(ckpt_dir, i + 1, state)
 
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
@@ -238,13 +253,16 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--platform", default="")
+    ap.add_argument("--ckpt-dir", default="")
+    ap.add_argument("--ckpt-every", type=int, default=250)
     args = ap.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
     train(args.cfg, args.batch, args.steps, args.lr, args.seed,
-          args.idents, args.out, dtype_name=args.dtype)
+          args.idents, args.out, dtype_name=args.dtype,
+          ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every)
     return 0
 
 

@@ -234,7 +234,8 @@ def evaluate(model, variables, rng, size: int, batches: int = 4,
 def train(cfg_name: str = "scrfd_2.5g", size: int = 256, batch: int = 32,
           steps: int = 1500, lr: float = 2e-3, seed: int = 0,
           out: str = "", log_every: int = 50, eval_every: int = 250,
-          dtype_name: str = "float32") -> Tuple[dict, Dict[str, float]]:
+          dtype_name: str = "float32", ckpt_dir: str = "",
+          ckpt_every: int = 0) -> Tuple[dict, Dict[str, float]]:
     import jax
     import jax.numpy as jnp
     import optax
@@ -255,13 +256,27 @@ def train(cfg_name: str = "scrfd_2.5g", size: int = 256, batch: int = 32,
              "opt_state": tx.init(variables["params"])}
     step_fn = make_train_step(model, tx)
 
-    rng = np.random.default_rng(seed)
+    # checkpoint/resume: restore the full train state (params + bn stats +
+    # optimizer) and continue at the saved step; the per-step data rng
+    # keeps the sample stream identical to the uninterrupted run
+    from .ckpt import (latest_checkpoint, restore_checkpoint,
+                       save_checkpoint, step_rng)
+
+    start_step = 0
+    if ckpt_dir:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            ck_step, ck_path = latest
+            state = restore_checkpoint(ck_path, state)
+            start_step = ck_step
+            print(f"resumed from {ck_path} (step {start_step})", flush=True)
+
     eval_rng = np.random.default_rng(seed + 10_000)
     t0 = time.time()
     pending = None
     best = {"recall": 0.0, "precision": 0.0, "kps_err": 9.0}
-    for i in range(steps):
-        data = sample_batch(rng, batch, size)
+    for i in range(start_step, steps):
+        data = sample_batch(step_rng(seed, i), batch, size)
         targets = build_targets(data["boxes"], data["kps"], data["gt_mask"],
                                 size, cfg.strides, cfg.num_anchors)
         state, metrics = step_fn(state, data["images"], targets)
@@ -280,6 +295,8 @@ def train(cfg_name: str = "scrfd_2.5g", size: int = 256, batch: int = 32,
                   f"precision={ev['precision']:.3f} "
                   f"kps_err={ev['kps_err']:.4f}", flush=True)
             best = ev
+        if ckpt_dir and ckpt_every and (i + 1) % ckpt_every == 0:
+            save_checkpoint(ckpt_dir, i + 1, state)
         pending = metrics
 
     del pending
@@ -310,12 +327,17 @@ def main(argv=None) -> int:
                     choices=["float32", "bfloat16"])
     ap.add_argument("--platform", default="",
                     help="force jax platform (e.g. cpu) before backend init")
+    ap.add_argument("--ckpt-dir", default="",
+                    help="orbax checkpoint dir; resumes automatically from "
+                         "the latest step when present")
+    ap.add_argument("--ckpt-every", type=int, default=250)
     args = ap.parse_args(argv)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
     train(args.cfg, args.size, args.batch, args.steps, args.lr, args.seed,
-          args.out, dtype_name=args.dtype)
+          args.out, dtype_name=args.dtype, ckpt_dir=args.ckpt_dir,
+          ckpt_every=args.ckpt_every)
     return 0
 
 

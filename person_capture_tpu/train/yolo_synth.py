@@ -202,7 +202,8 @@ def evaluate(model, variables, rng, size: int, batches: int = 4,
 def train(cfg_name: str = "yolov8n", size: int = 256, batch: int = 32,
           steps: int = 1500, lr: float = 2e-3, seed: int = 0,
           out: str = "", log_every: int = 50, eval_every: int = 250,
-          dtype_name: str = "float32"):
+          dtype_name: str = "float32", ckpt_dir: str = "",
+          ckpt_every: int = 0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -235,11 +236,22 @@ def train(cfg_name: str = "yolov8n", size: int = 256, batch: int = 32,
                 {"loss": loss, "cls": aux["cls"], "box": aux["box"],
                  "npos": aux["npos"]})
 
-    rng = np.random.default_rng(seed)
+    from .ckpt import (latest_checkpoint, restore_checkpoint,
+                       save_checkpoint, step_rng)
+
+    start_step = 0
+    if ckpt_dir:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            ck_step, ck_path = latest
+            state = restore_checkpoint(ck_path, state)
+            start_step = ck_step
+            print(f"resumed from {ck_path} (step {start_step})", flush=True)
+
     eval_rng = np.random.default_rng(seed + 10_000)
     t0 = time.time()
-    for i in range(steps):
-        data = sample_person_batch(rng, batch, size)
+    for i in range(start_step, steps):
+        data = sample_person_batch(step_rng(seed, i), batch, size)
         targets = build_targets(data["boxes"], data["gt_mask"], size,
                                 cfg.strides, cfg.reg_max)
         state, metrics = step_fn(state, data["images"], targets)
@@ -255,6 +267,8 @@ def train(cfg_name: str = "yolov8n", size: int = 256, batch: int = 32,
             ev = evaluate(model, variables, eval_rng, size)
             print(f"  eval: recall={ev['recall']:.3f} "
                   f"precision={ev['precision']:.3f}", flush=True)
+        if ckpt_dir and ckpt_every and (i + 1) % ckpt_every == 0:
+            save_checkpoint(ckpt_dir, i + 1, state)
 
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
@@ -282,13 +296,16 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--platform", default="")
+    ap.add_argument("--ckpt-dir", default="")
+    ap.add_argument("--ckpt-every", type=int, default=250)
     args = ap.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
     train(args.cfg, args.size, args.batch, args.steps, args.lr, args.seed,
-          args.out, dtype_name=args.dtype)
+          args.out, dtype_name=args.dtype, ckpt_dir=args.ckpt_dir,
+          ckpt_every=args.ckpt_every)
     return 0
 
 
