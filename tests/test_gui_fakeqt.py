@@ -1,0 +1,144 @@
+"""Execute the Qt GUI shell headlessly under the fake-Qt double.
+
+PySide6 is absent in this image; these tests run the REAL gui_app code —
+window construction, the auto-generated settings tab, config collection,
+an actual Engine run driven from the window's Start path, LIVE-key push,
+preset save/load and QSettings persistence — against tests/fake_qt.py.
+This upgrades the GUI from "compile-checked only" to "logic fully
+executed"; only rendering/event-loop behavior remains desktop-only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import fields
+
+import numpy as np
+import pytest
+
+import fake_qt
+from person_capture_tpu.config import LIVE_KEYS, SessionConfig
+from person_capture_tpu.pipeline.backends import OracleBackend
+from person_capture_tpu.video.synthetic import (FacePlacement, draw_face,
+                                                generate_video)
+
+
+@pytest.fixture()
+def gui(monkeypatch):
+    fake_qt.install(monkeypatch)
+    monkeypatch.delitem(sys.modules, "person_capture_tpu.gui_app",
+                        raising=False)
+    import person_capture_tpu.gui_app as gui_app
+
+    yield gui_app
+    sys.modules.pop("person_capture_tpu.gui_app", None)
+
+
+@pytest.fixture()
+def synth(tmp_path):
+    import cv2
+
+    vid = str(tmp_path / "g.mp4")
+    sv = generate_video(vid, width=160, height=120, fps=30.0,
+                        total_frames=90, segments=[(0, 80, 0)])
+    ref = np.full((120, 120, 3), 60, np.uint8)
+    draw_face(ref, FacePlacement(0, 0, (20, 20, 100, 100)))
+    ref_path = str(tmp_path / "ref.png")
+    cv2.imwrite(ref_path, ref)
+    return sv, ref_path
+
+
+def test_window_constructs_and_binds_every_config_field(gui):
+    win = gui.MainWindow(backend_factory=lambda: None)
+    names = {f.name for f in fields(SessionConfig)}
+    bound = set(win._field_widgets)
+    assert bound <= names
+    assert len(bound) >= 0.8 * len(names), \
+        f"settings tab binds only {len(bound)}/{len(names)} fields"
+    # collect round-trips widget values onto the config
+    win.video_edit.setText("v.mp4")
+    win.ref_list.addItem("r.png")
+    win.out_edit.setText("outdir")
+    win.face_thresh.setValue(0.37)
+    win.frame_stride.setValue(4)
+    cfg = win._collect_cfg()
+    assert cfg.video == "v.mp4" and cfg.ref == "r.png"
+    assert cfg.out_dir == "outdir"
+    assert abs(cfg.face_thresh - 0.37) < 1e-9
+    assert cfg.frame_stride == 4
+
+
+def test_engine_run_through_window_start(gui, synth, tmp_path):
+    sv, ref_path = synth
+    win = gui.MainWindow(backend_factory=lambda: OracleBackend(sv))
+    win.video_edit.setText(sv.path)
+    win.ref_list.addItem(ref_path)
+    win.out_edit.setText(str(tmp_path / "out"))
+    win.min_gap.setValue(0.3)
+    win.frame_stride.setValue(3)
+    win.prescan_enable.setChecked(False)
+    win.curate_enable.setChecked(False)
+    for name, value in (("tpu_batch_frames", 8), ("min_box_pixels", 50),
+                        ("face_quality_min", 0), ("min_sharpness", 0)):
+        win._field_widgets[name][0].setValue(value)
+
+    win.start_btn.click()                       # the real Start path
+    assert win.bridge is not None
+    win.bridge._thread.join(timeout=180)
+    assert not win.bridge._thread.is_alive()
+    log = "\n".join(win.log_pane.lines)
+    assert "done" in log, log
+    assert "hit f" in log, log
+    assert win.progress_bar.value() > 0
+    assert win.preview_label._pixmap is not None     # previews rendered
+    assert os.path.isfile(os.path.join(str(tmp_path / "out"), "index.csv"))
+
+
+def test_live_key_push_reaches_engine(gui):
+    win = gui.MainWindow(backend_factory=lambda: None)
+    pushed = {}
+
+    class FakeBridge:
+        def update_cfg(self, **kv):
+            pushed.update(kv)
+
+    win.bridge = FakeBridge()
+    assert "face_thresh" in LIVE_KEYS
+    w, _default, _kind = win._field_widgets["face_thresh"]
+    w.setValue(0.21)                            # valueChanged → _push_live
+    assert pushed == {"face_thresh": 0.21}
+    assert win.cfg.face_thresh == 0.21
+
+
+def test_preset_save_load_roundtrip(gui, tmp_path, monkeypatch):
+    win = gui.MainWindow(backend_factory=lambda: None)
+    win.face_thresh.setValue(0.33)
+    win.frame_stride.setValue(7)
+    preset = str(tmp_path / "p.json")
+    monkeypatch.setattr(fake_qt.QFileDialog, "getSaveFileName",
+                        staticmethod(lambda *a, **k: (preset, "")))
+    win._save_preset()
+    assert os.path.isfile(preset)
+
+    win2 = gui.MainWindow(backend_factory=lambda: None)
+    monkeypatch.setattr(fake_qt.QFileDialog, "getOpenFileName",
+                        staticmethod(lambda *a, **k: (preset, "")))
+    win2._load_preset()
+    assert abs(win2.face_thresh.value() - 0.33) < 1e-9
+    assert win2.frame_stride.value() == 7
+
+
+def test_qsettings_persist_and_restore(gui):
+    win = gui.MainWindow(backend_factory=lambda: None)
+    win.video_edit.setText("persisted.mp4")
+    win.out_edit.setText("persist_out")
+    win.ref_list.addItem("a.png")
+    win.ref_list.addItem("b.png")
+    win.close()                                  # closeEvent persists
+
+    win2 = gui.MainWindow(backend_factory=lambda: None)
+    assert win2.video_edit.text() == "persisted.mp4"
+    assert win2.out_edit.text() == "persist_out"
+    assert [win2.ref_list.item(i).text()
+            for i in range(win2.ref_list.count())] == ["a.png", "b.png"]
