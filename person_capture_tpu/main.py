@@ -226,18 +226,35 @@ def main(argv=None) -> int:
 
     # high-imgsz full-frame re-probe backend (reference full-frame face
     # short-circuit, gui_app.py:6030-6219; imgsz 1408): compiled lazily on
-    # first rescue batch, shares the arcface weights family
+    # first rescue batch, shares the arcface weights family. Mesh runs get
+    # the same rescue with the rescue batch data-parallel over the mesh
+    # (the heavy canvas is also spatially shardable —
+    # parallel/mesh.build_sharded_fullframe_detect — for latency-bound
+    # single-frame probes).
     fullframe_backend = None
-    if (cfg.face_fullframe_when_missed and not args.mesh
+    if (cfg.face_fullframe_when_missed
             and int(cfg.face_fullframe_imgsz) > int(args.det_size)):
         from .pipeline.backends import LazyBackend
 
-        fullframe_backend = LazyBackend(lambda: ScrfdArcFaceBackend(
-            scrfd_cfg=face_cfg,
-            arcface_cfg=arc_cfg,
-            det_size=int(cfg.face_fullframe_imgsz),
-            score_thresh=cfg.face_det_conf,
-            dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w))
+        if args.mesh:
+            from .pipeline.backends import ShardedScrfdArcFaceBackend
+
+            fullframe_backend = LazyBackend(
+                lambda: ShardedScrfdArcFaceBackend(
+                    mesh_spec=args.mesh,
+                    scrfd_cfg=face_cfg,
+                    arcface_cfg=arc_cfg,
+                    det_size=int(cfg.face_fullframe_imgsz),
+                    score_thresh=cfg.face_det_conf,
+                    dtype=dtype, scrfd_weights=scrfd_w,
+                    arcface_weights=arc_w))
+        else:
+            fullframe_backend = LazyBackend(lambda: ScrfdArcFaceBackend(
+                scrfd_cfg=face_cfg,
+                arcface_cfg=arc_cfg,
+                det_size=int(cfg.face_fullframe_imgsz),
+                score_thresh=cfg.face_det_conf,
+                dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w))
 
     # person/ReID backends only when the requested mode needs them
     person_backend = None

@@ -432,21 +432,40 @@ class ShardedScrfdArcFaceBackend:
         host["mask"] = host["mask"] & np.asarray(valid)[:, None]
         return host
 
+    def _pad_to_mesh(self, frames, valid):
+        """The batch dim shards over ``data``: pad to a multiple of the
+        data-axis size (repeat last frame, valid=False) so odd batches —
+        e.g. a single reference photo through seed_bank — still shard."""
+        dp = int(self.mesh.shape.get("data", 1))
+        frames = np.asarray(frames)
+        valid = np.asarray(valid)
+        n = frames.shape[0]
+        rem = (-n) % dp
+        if rem:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], rem, axis=0)], 0)
+            valid = np.concatenate([valid, np.zeros(rem, bool)])
+        return frames, valid, n
+
     def extract_batch(self, frames, valid, frame_idxs=None):
-        out = self._run(np.asarray(frames), self._bank, self._bank_mask,
+        frames, valid, n = self._pad_to_mesh(frames, valid)
+        out = self._run(frames, self._bank, self._bank_mask,
                         score_thresh=self.score_thresh)
-        return self._to_host(out, valid)
+        host = self._to_host(out, valid)
+        return {k: v[:n] for k, v in host.items()}
 
     def submit_batch(self, frames, valid, frame_idxs=None):
-        out = self._run(np.asarray(frames), self._bank, self._bank_mask,
+        frames, valid, n = self._pad_to_mesh(frames, valid)
+        out = self._run(frames, self._bank, self._bank_mask,
                         score_thresh=self.score_thresh)
         for v in out.values():
             try:
                 v.copy_to_host_async()
             except AttributeError:
                 pass
-        valid = np.asarray(valid).copy()
-        return lambda: self._to_host(out, valid)
+        valid = valid.copy()
+        return lambda: {k: v[:n]
+                        for k, v in self._to_host(out, valid).items()}
 
 
 class YoloPersonBackend:
