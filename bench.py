@@ -5,7 +5,7 @@ DECODED by this script (no pre-staged tensors for the end-to-end numbers):
 
 1. ``prescan_1080p_device_path_x`` (headline): the fused pre-scan device
    program — letterbox → SCRFD detect → matmul 5-pt warp → ArcFace embed +
-   quality — over decoded-video 384×216 batches with the depth-1
+   quality — over decoded-video 384×216 batches with the depth-2
    submit/fetch pipeline the pre-scan driver uses. Decode happens once
    outside the timed loop: this is the framework's device-path ceiling, the
    number that scales with chips. All 8 face slots per frame are computed
@@ -20,7 +20,7 @@ DECODED by this script (no pre-staged tensors for the end-to-end numbers):
 3. ``mainpass_realtime_x`` (detail): full main-pass analysis path at
    reference ``frame_stride=2`` — decode every frame, retrieve every 2nd at
    full 1080p, host-downscale to the default ``tpu_mainpass_analysis_max_w``
-   (832), run the fused face program at det 640 (the CLI default), depth-1
+   (832), run the fused face program at det 640 (the CLI default), depth-2
    pipelined. Decode is inside the timed loop; ≥1.0 means the main pass
    keeps up with the video in real time over the tunneled link
    (BASELINE.json: "pre-scan + main pass").
@@ -80,7 +80,7 @@ def _decode_all_resized(path: str, w: int, h: int) -> np.ndarray:
 
 def _bench_prescan_device_path(backend, frames_384: np.ndarray,
                                bank_mat: np.ndarray):
-    """Depth-1 pipelined device path over pre-decoded video batches."""
+    """Depth-2 pipelined device path over pre-decoded video batches."""
     batch = 128
     idx = np.arange(batch) % len(frames_384)
     frames = frames_384[idx]
@@ -94,14 +94,18 @@ def _bench_prescan_device_path(backend, frames_384: np.ndarray,
         if feats.size:
             _ = 1.0 - (feats @ bank_mat.T).max(axis=1)
 
+    from collections import deque
+
     n_steps = 10
+    depth = 2                  # production tpu_pipeline_depth default
+    q = deque()
     t0 = time.perf_counter()
-    pending = backend.submit_batch(frames, valid)
-    for _ in range(n_steps - 1):
-        nxt = backend.submit_batch(frames, valid)
-        consume(pending())
-        pending = nxt
-    consume(pending())
+    for _ in range(n_steps):
+        q.append(backend.submit_batch(frames, valid))
+        if len(q) > depth:
+            consume(q.popleft()())
+    while q:
+        consume(q.popleft()())
     dt = time.perf_counter() - t0
     sampled_fps = n_steps * batch / dt
     return sampled_fps * PRESCAN_STRIDE / FPS, n_faces
@@ -159,7 +163,7 @@ def _bench_mainpass_e2e(video: str, bank_mat: np.ndarray):
     source frame, retrieve every ``MAIN_STRIDE``-th at full 1080p,
     host-downscale to the default analysis cap (per-axis coord factors as
     pipeline/mainpass.py applies), fused face program at the CLI-default
-    det 640, depth-1 pipelined. Warmup pass compiles the program first."""
+    det 640, depth-2 pipelined. Warmup pass compiles the program first."""
     import cv2
 
     from person_capture_tpu.models.zoo import resolve_weights
@@ -195,10 +199,13 @@ def _bench_mainpass_e2e(video: str, bank_mat: np.ndarray):
         if feats.size:
             _ = 1.0 - (feats @ bank_mat.T).max(axis=1)
 
+    from collections import deque
+
     t0 = time.perf_counter()
     cap = cv2.VideoCapture(video)
     buf, src_covered, n_batches = [], 0, 0
-    pending = None
+    q = deque()
+    depth = 2                  # production tpu_pipeline_depth default
     i = 0
     while True:
         if not cap.grab():
@@ -211,13 +218,13 @@ def _bench_mainpass_e2e(video: str, bank_mat: np.ndarray):
         if len(buf) == batch:
             frames = np.stack(buf)
             buf.clear()
-            if pending is not None:
-                consume(pending())
-            pending = backend.submit_batch(frames, np.ones(batch, bool))
+            q.append(backend.submit_batch(frames, np.ones(batch, bool)))
+            if len(q) > depth:
+                consume(q.popleft()())
             n_batches += 1
             src_covered = i
-    if pending is not None:
-        consume(pending())
+    while q:
+        consume(q.popleft()())
     cap.release()
     dt = time.perf_counter() - t0
     if not n_batches:

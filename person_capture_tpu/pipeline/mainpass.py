@@ -262,12 +262,15 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 pass
         on_preview(img, frame_idx)
 
-    # depth-1 software pipeline: batch i+1's face program is submitted
-    # before batch i's results are fetched, hiding the device round trip
-    # (the person/ReID paths stay synchronous inside the resolve step —
-    # they only run for the subset of spans with ambiguity)
+    # software pipeline (depth = cfg.tpu_pipeline_depth, default 2): later
+    # batches' face programs are submitted before earlier results are
+    # fetched, hiding the device round trips (the person/ReID paths stay
+    # synchronous inside the resolve step — they only run for the subset
+    # of spans with ambiguity). Resolution is submission-ordered, so hits
+    # are depth-independent.
     inflight: List[Tuple] = []
     submit = getattr(backend, "submit_batch", None)
+    pipe_depth = max(1, int(getattr(cfg, "tpu_pipeline_depth", 1) or 1))
 
     rescue_queue: List[Tuple[int, np.ndarray]] = []
     ff_queue: List[Tuple[int, np.ndarray]] = []
@@ -491,7 +494,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             inflight.append((fetch, person_fetch, frames, idxs, valid, n,
                              a_scale))
             pend.clear()
-        while inflight and (drain or len(inflight) > 1):
+        while inflight and (drain or len(inflight) > pipe_depth):
             _resolve(inflight.pop(0))
 
     def _face_fd(feat) -> float:

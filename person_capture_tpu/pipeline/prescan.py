@@ -122,11 +122,13 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
     pend_frames: List[np.ndarray] = []
     # Ordered queue of (frame_idx, batch_slot|None, gate_already_observed)
     order: List[Tuple[int, Optional[int], bool]] = []
-    # depth-1 software pipeline: the previously submitted batch's fetcher +
-    # its replay queue — resolved when the next batch is submitted, so
-    # device compute overlaps the host round trip
+    # software pipeline (depth = cfg.tpu_pipeline_depth, default 2): up to
+    # `depth` submitted batches stay in flight before the oldest resolves,
+    # so device compute overlaps the host round trip(s). Replay stays
+    # submission-ordered, so spans/bank are depth-independent.
     inflight: List[Tuple[Callable, List]] = []
     submit = getattr(backend, "submit_batch", None)
+    pipe_depth = max(1, int(getattr(cfg, "tpu_pipeline_depth", 1) or 1))
 
     def _resolve(entry):
         nonlocal last_add_sample, sample_idx
@@ -157,7 +159,7 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
         if fetch is not None or order:
             inflight.append((fetch, order))
             pend_idxs, pend_frames, order = [], [], []
-        while inflight and (drain or len(inflight) > 1):
+        while inflight and (drain or len(inflight) > pipe_depth):
             _resolve(inflight.pop(0))
 
     def _replay(out, entry_order):

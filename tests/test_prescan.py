@@ -213,3 +213,42 @@ def test_prescan_seek_command_and_cache_skip(tmp_path):
     # the scan jumped to 120: no samples in (0, 120) beyond the very first
     assert not [i for i in sampled if 10 <= i < 120]
     assert [i for i in sampled if i >= 120]
+
+
+def test_pipeline_depth_does_not_change_results(tmp_path):
+    """tpu_pipeline_depth hides round trips; spans, bank and per-sample
+    fds must be identical at any depth (submission-ordered replay)."""
+    from person_capture_tpu.config import SessionConfig
+    from person_capture_tpu.core.bank import RefBank
+    from person_capture_tpu.pipeline.backends import OracleBackend
+    from person_capture_tpu.pipeline.prescan import run_prescan
+    from person_capture_tpu.video.reader import Cv2Reader
+    from person_capture_tpu.video.synthetic import generate_video
+
+    path = str(tmp_path / "pd.mp4")
+    sv = generate_video(path, width=160, height=120, fps=30.0,
+                        total_frames=240, segments=[(30, 90, 0),
+                                                    (150, 210, 0)])
+
+    def run(depth):
+        cfg = SessionConfig()
+        cfg.prescan_stride = 6
+        cfg.prescan_pad_sec = 0.2
+        cfg.prescan_min_segment_sec = 0.5
+        cfg.prescan_exit_cooldown_sec = 0.2
+        cfg.tpu_batch_frames = 8
+        cfg.face_quality_min = 0.0
+        cfg.tpu_pipeline_depth = depth
+        backend = OracleBackend(sv)
+        bank = RefBank(cap=8)
+        bank.seed([backend.identity_feat(0)])
+        reader = Cv2Reader(path)
+        res = run_prescan(reader, backend, cfg, bank,
+                          reopen_reader=lambda: Cv2Reader(path))
+        reader.release()
+        return res
+
+    a, b = run(1), run(3)
+    assert a.spans == b.spans
+    assert a.per_sample_fd == b.per_sample_fd
+    assert a.extracted == b.extracted
