@@ -45,7 +45,7 @@ def test_cli_two_identity_discrimination_default_thresholds(tmp_path):
     # NO threshold flags: face_thresh / prescan fd gates / face_det_conf
     # stay at SessionConfig defaults — exactly what a CLI user gets
     rc = main(["--video", vid, "--ref", ref_path, "--out", out_dir,
-               "--batch", "8", "--det-size", "320", "--prescan",
+               "--batch", "8", "--det-size", "256", "--prescan",
                "--set", "prescan_cache_mode=off",
                "--set", "curate_enable=false"])
     assert rc == 0
