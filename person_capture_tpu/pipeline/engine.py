@@ -229,7 +229,16 @@ class Engine:
                     else cfg.ff_hwaccel,
                     status=self._status_cb)
 
+            # resources that must be released on BOTH success and failure
+            # paths (decoder processes, prefetch threads, P010 pipes) —
+            # drained by _release_run_resources, called from the success
+            # path below and from the except handler
+            self._run_resources: List = []
+
             main_reader = _open_analysis()
+            reader_holder = {"r": main_reader}
+            self._run_resources.append(
+                lambda: reader_holder["r"].release())
             meta = main_reader.meta()
             self._fps = float(meta.fps or 0.0)
             pres: Optional[PrescanResult] = None
@@ -350,6 +359,13 @@ class Engine:
             main_reader = StridedPrefetchReader(main_reader,
                                                 cfg.frame_stride,
                                                 reopen=_open_analysis)
+            reader_holder["r"] = main_reader
+            if preview_p010 is not None:
+                self._run_resources.append(preview_p010.release)
+            if hdr_exporter is not None:
+                src_rel = getattr(hdr_exporter.source, "release", None)
+                if src_rel is not None:
+                    self._run_resources.append(src_rel)
             with AsyncSaver(cfg.out_dir, jpg_quality=cfg.jpg_quality,
                             fsync=cfg.save_fsync,
                             async_save=cfg.async_save,
@@ -374,10 +390,8 @@ class Engine:
                                    should_stop=self._should_stop,
                                    seek_request=self._poll_seek,
                                    preview_hdr_source=preview_p010)
-            if preview_p010 is not None:
-                preview_p010.release()
             self._report_reader_health(main_reader, "main pass")
-            main_reader.release()
+            self._release_run_resources()
             for h in mp.hits:
                 self._on_hit(h)
             if cfg.curate_enable and mp.hits:
@@ -385,8 +399,20 @@ class Engine:
             return EngineResult(True, list(spans), pres, mp)
         except Exception as e:  # noqa: BLE001 — surfaced like finished(ok=False)
             import traceback
+            self._release_run_resources()
             return EngineResult(False, [], None, None,
                                 f"{e}\n{traceback.format_exc()}")
+
+    def _release_run_resources(self) -> None:
+        """Release decoder processes / prefetch threads / P010 pipes opened
+        by run(); idempotent, exception-safe (a GUI session that runs the
+        engine repeatedly must not leak a process per failed run)."""
+        for rel in reversed(getattr(self, "_run_resources", [])):
+            try:
+                rel()
+            except Exception:
+                pass
+        self._run_resources = []
 
     def _seed_reid_ref(self, ref_paths: List[str]) -> Optional[np.ndarray]:
         """ReID reference: embed the largest person in the reference photo,

@@ -207,6 +207,72 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         def _dump(rec: Dict) -> None:
             pass
 
+    def _downscaled(img: np.ndarray) -> np.ndarray:
+        md = int(cfg.preview_max_dim or 0)
+        h, w = img.shape[:2]
+        if md and max(h, w) > md:
+            try:
+                import cv2
+                img = cv2.resize(img, (int(round(w * md / max(h, w))),
+                                       int(round(h * md / max(h, w)))),
+                                 interpolation=cv2.INTER_AREA)
+            except ImportError:
+                pass
+        return img
+
+    # HDR preview pump thread (reference runs its P010 preview reader on a
+    # dedicated thread, gui_app.py:13290-13481 + video_io.py:841-921): the
+    # analysis hot loop only posts the latest requested frame; plane
+    # drain/seek + the device tone-map render happen here. A busy pump
+    # drops intermediate requests (newest wins); planes unavailable ⇒ fall
+    # back to the (pre-downscaled) analysis frame. The source is DEDICATED
+    # — never the exporter's pipe, which the saver thread owns.
+    pump_state: Dict = {"req": None, "thread": None, "stop": None}
+    if preview_hdr_source is not None and on_preview is not None:
+        import threading as _threading
+
+        pump_evt = _threading.Event()
+        pump_stop = _threading.Event()
+        pump_lock = _threading.Lock()
+
+        def _pump():
+            from ..hdr_preview import tonemap_preview_frame
+
+            while not pump_stop.is_set():
+                if not pump_evt.wait(timeout=0.2):
+                    continue
+                pump_evt.clear()
+                with pump_lock:
+                    req, pump_state["req"] = pump_state["req"], None
+                if req is None:
+                    continue
+                idx, fallback = req
+                try:
+                    planes = preview_hdr_source.get_planes(idx)
+                except Exception:
+                    planes = None
+                img = None
+                if planes is not None:
+                    p = hdr_exporter.params if hdr_exporter is not None \
+                        else None
+                    try:
+                        img = tonemap_preview_frame(
+                            planes[0], planes[1],
+                            max_dim=int(cfg.preview_max_dim or 0) or 1280,
+                            sdr_nits=p.sdr_nits if p else 100.0,
+                            tonemap=p.tonemap if p else "bt.2390",
+                            full_range=p.full_range if p else False)
+                    except Exception:
+                        img = None
+                on_preview(img if img is not None else fallback, idx)
+
+        pump_state["thread"] = _threading.Thread(
+            target=_pump, name="pc.hdrpreview", daemon=True)
+        pump_state["stop"] = pump_stop
+        pump_state["evt"] = pump_evt
+        pump_state["lock"] = pump_lock
+        pump_state["thread"].start()
+
     def _maybe_preview(frame_idx: int, frame: np.ndarray) -> None:
         """Throttled preview emission (reference `_emit_preview_bgr`,
         gui_app.py:13434-13481): every `preview_every` processed frames,
@@ -223,44 +289,19 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 and now - preview_state["last_t"] < 1.0 / cfg.preview_fps_cap:
             return
         preview_state["last_t"] = now
-        if preview_hdr_source is not None:
-            # HDR preview pump (reference P010 preview stream,
-            # gui_app.py:13290-13481 + video_io.py:841-921): previews
-            # render from source P010 planes through the device tone-map
-            # kernel — a DEDICATED source, never the exporter's pipe (the
-            # saver thread owns that one). Falls back to the analysis
-            # frame when planes are unavailable.
-            try:
-                planes = preview_hdr_source.get_planes(frame_idx)
-            except Exception:
-                planes = None
-            if planes is not None:
-                from ..hdr_preview import tonemap_preview_frame
+        if pump_state["thread"] is not None:
+            with pump_state["lock"]:
+                pump_state["req"] = (frame_idx, _downscaled(frame))
+            pump_state["evt"].set()
+            return
+        on_preview(_downscaled(frame), frame_idx)
 
-                p = hdr_exporter.params if hdr_exporter is not None else None
-                try:
-                    img = tonemap_preview_frame(
-                        planes[0], planes[1],
-                        max_dim=int(cfg.preview_max_dim or 0) or 1280,
-                        sdr_nits=p.sdr_nits if p else 100.0,
-                        tonemap=p.tonemap if p else "bt.2390",
-                        full_range=p.full_range if p else False)
-                    on_preview(img, frame_idx)
-                    return
-                except Exception:
-                    pass
-        img = frame
-        md = int(cfg.preview_max_dim or 0)
-        h, w = img.shape[:2]
-        if md and max(h, w) > md:
-            try:
-                import cv2
-                s = md / max(h, w)
-                img = cv2.resize(img, (int(round(w * s)), int(round(h * s))),
-                                 interpolation=cv2.INTER_AREA)
-            except ImportError:
-                pass
-        on_preview(img, frame_idx)
+    def _stop_preview_pump() -> None:
+        if pump_state["thread"] is not None:
+            pump_state["stop"].set()
+            pump_state["evt"].set()
+            pump_state["thread"].join(timeout=5)
+            pump_state["thread"] = None
 
     # software pipeline (depth = cfg.tpu_pipeline_depth, default 2): later
     # batches' face programs are submitted before earlier results are
@@ -1021,6 +1062,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         flush()
         si += 1
     flush()
+    _stop_preview_pump()
     if debug_fh is not None:
         debug_fh.close()
     res.wall_s = time.perf_counter() - t0

@@ -279,11 +279,17 @@ def _split(node, vals):
     elif len(vals) > 1 and vals[1] is not None:
         sizes = _ints(_require_host(node, vals[1], "split"))
     else:
-        # no explicit sizes: ONNX (opset 18) splits as evenly as possible,
-        # earlier chunks one element larger when the dim doesn't divide
+        # no explicit sizes: ONNX (opset 18) uses ceil(dim/n)-sized chunks
+        # with only the LAST chunk smaller for non-divisible dims — e.g.
+        # dim 7 into 3 → [3, 3, 1] (not numpy array_split's [3, 2, 2])
         n = len(node.outputs)
-        base, rem = divmod(int(x.shape[axis]), n)
-        sizes = [base + (1 if i < rem else 0) for i in range(n)]
+        dim = int(x.shape[axis])
+        chunk = -(-dim // n)
+        sizes = [chunk] * (n - 1) + [dim - chunk * (n - 1)]
+        if sizes[-1] <= 0:
+            raise NotImplementedError(
+                f"Split node '{node.name}': {n} outputs cannot cover "
+                f"dim {dim}")
     outs = []
     off = 0
     for sz in sizes:

@@ -384,18 +384,35 @@ class FfmpegPipeReader:
         self.pos += done
         return done
 
+    #: forward gaps up to this many frames drain the live pipe instead of
+    #: respawning the decoder (a respawn costs a process spawn + container
+    #: seek + preroll decode; the fd9 gate and prefetch resyncs produce
+    #: many small forward hops)
+    FORWARD_DRAIN_MAX = 96
+
     def seek(self, frame_idx: int) -> None:
-        """Random access by respawning the decoder at a timestamp just
-        before the target, then decoding the preroll frames away."""
+        """Random access: small forward gaps drain the existing pipe;
+        anything else respawns the decoder at a timestamp just before the
+        target and decodes the preroll frames away."""
         target = max(0, int(frame_idx))
+        delta = target - self.pos
+        if 0 <= delta <= self.FORWARD_DRAIN_MAX and not self.failed \
+                and self.eof_reason is None:
+            if delta:
+                want = delta
+                done = self.skip(want)
+                if done < want:
+                    self.pos = target  # hit EOF: next read() reports it
+            return
         preroll = min(self.SEEK_PREROLL, target)
         # half a frame early: ffmpeg's accurate seek emits the first frame
         # with pts >= -ss, so rounding can never land us one frame past
         start_sec = max(0.0, (target - preroll - 0.5) / self.fps)
         self._spawn(start_sec)
         self.pos = target - preroll if start_sec > 0 else 0
-        short = self.skip(target - self.pos)
-        if short < target - self.pos:
+        want = target - self.pos
+        done = self.skip(want)
+        if done < want:
             self.pos = target  # seek past EOF: next read() reports EOF
 
     def _kill_proc(self) -> None:
@@ -451,6 +468,11 @@ class ResilientReader:
     def _at_eof(self) -> bool:
         if getattr(self.reader, "failed", False):
             return False
+        # a decoder that classified its own exit as clean EOF is final even
+        # when container metadata overcounts total_frames (cv2 frame counts
+        # and duration-based estimates routinely exceed decodable frames)
+        if getattr(self.reader, "eof_reason", None) == "eof":
+            return True
         if self.total > 0:
             return self.reader.pos >= self.total
         # unknown length and no explicit failure: trust the reader's EOF
@@ -498,7 +520,11 @@ class ResilientReader:
                                             None) or "decode failed in skip"
                 self._reopen_at(target)
                 self.recoveries += 1
-                done = count
+                # only claim the frames the reopened reader actually
+                # reached — a reopen that itself hits EOF stays short so
+                # callers (the prescan uses short skips as its EOF signal)
+                # stop advancing
+                done = count - max(0, target - self.reader.pos)
         self.pos = self.reader.pos
         return done
 
@@ -620,6 +646,15 @@ class _BufferedFirstFrame:
         self.pos = self._reader.pos if self._frame is None else self.pos
         return done
 
+    def seek(self, frame_idx: int) -> None:
+        """Explicit seek: the buffered probe frame must be discarded and
+        this wrapper's pos updated — forwarding seek through __getattr__
+        would desync both (the underlying reader moves while the wrapper
+        keeps replaying frame 0 at a stale position)."""
+        self._frame = None
+        self._reader.seek(int(frame_idx))
+        self.pos = self._reader.pos
+
     def __getattr__(self, name):
         return getattr(self._reader, name)
 
@@ -721,15 +756,18 @@ class StridedPrefetchReader:
 
     def _do_resync(self, target: int):
         """Land the underlying reader exactly on ``target``; caller holds
-        the lock. Seekless readers resync forward by skipping and backward
-        by reopening (never silently)."""
+        the lock. Forward gaps drain with skip (cheap on every reader and
+        free when already there — the starvation fallback resyncs to the
+        current pos); backward gaps seek, or reopen for seekless readers
+        (never silently)."""
         r = self.reader
-        if hasattr(r, "seek"):
-            r.seek(target)
+        delta = target - r.pos
+        if 0 <= delta <= 96 or (delta > 0 and not hasattr(r, "seek")):
+            if delta:
+                r.skip(delta)
             return
-        if target >= r.pos:
-            if target > r.pos:
-                r.skip(target - r.pos)
+        if hasattr(r, "seek"):
+            r.seek(target)      # far forward or backward
             return
         if self._reopen is None:
             raise RuntimeError(

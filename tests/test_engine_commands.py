@@ -126,3 +126,46 @@ def test_engine_set_speed_throttles(tmp_path):
     # 120 frames at stride 2 = 60 processed at ≤30 f/s ⇒ ≥2 s
     # (unthrottled the oracle finishes in well under a second)
     assert dt >= 1.8, dt
+
+
+def test_engine_releases_resources_on_failure(tmp_path):
+    """A main-pass exception must still release the reader stack (decoder
+    processes / prefetch threads) — review finding: they leaked on every
+    failed run, accumulating per run in a GUI session."""
+    import threading
+
+    import numpy as np
+
+    from person_capture_tpu.config import SessionConfig
+    from person_capture_tpu.core.bank import RefBank
+    from person_capture_tpu.pipeline.backends import OracleBackend
+    from person_capture_tpu.pipeline.engine import Engine
+    from person_capture_tpu.video.synthetic import generate_video
+
+    sv = generate_video(str(tmp_path / "f.mp4"), width=160, height=120,
+                        fps=30.0, total_frames=60, segments=[(5, 55, 0)])
+
+    class ExplodingBackend(OracleBackend):
+        def extract_batch(self, frames, valid, frame_idxs=None):
+            raise RuntimeError("device exploded mid-pass")
+
+        submit_batch = None  # force the extract_batch path
+
+    backend = ExplodingBackend(sv)
+    cfg = SessionConfig()
+    cfg.video = sv.path
+    cfg.out_dir = str(tmp_path / "out")
+    cfg.prescan_enable = False
+    cfg.curate_enable = False
+    cfg.tpu_batch_frames = 8
+    bank = RefBank(cap=8)
+    bank.seed([backend.identity_feat(0)])
+
+    before = {t.name for t in threading.enumerate()}
+    eng = Engine(cfg, backend)
+    res = eng.run(bank=bank)
+    assert not res.ok and "device exploded" in res.error
+    assert eng._run_resources == []          # cleanup ran
+    # the prefetch worker thread must be gone
+    leaked = {t.name for t in threading.enumerate()} - before
+    assert not any("pc.prefetch" in n for n in leaked), leaked

@@ -431,15 +431,22 @@ def test_unsupported_op_reports_clearly(tmp_path):
 
 
 def test_split_no_sizes_distributes_remainder(tmp_path):
-    """Opset-18 default Split: chunks as even as possible, earlier chunks
-    one larger for non-divisible dims (was floor-division, silently
-    dropping the remainder)."""
+    """Opset-18 default Split: ceil(dim/n)-sized chunks, only the LAST
+    chunk smaller (was floor-division, silently dropping the remainder)."""
     x = np.arange(2 * 11, dtype=np.float32).reshape(2, 11)
     nodes = [OnnxNode("Split", ["x"], ["a", "b", "c"], attrs={"axis": 1})]
     a, b, c = _run_graph(tmp_path, nodes, {}, {"x": x.shape},
                          ["a", "b", "c"], [x])
     assert a.shape == (2, 4) and b.shape == (2, 4) and c.shape == (2, 3)
     np.testing.assert_allclose(np.concatenate([a, b, c], axis=1), x)
+    # the case that separates ceil-last-smaller from even distribution:
+    # dim 7 into 3 is [3, 3, 1] per spec/onnxruntime, NOT [3, 2, 2]
+    x7 = np.arange(7, dtype=np.float32).reshape(1, 7)
+    nodes = [OnnxNode("Split", ["x"], ["a", "b", "c"], attrs={"axis": 1})]
+    a, b, c = _run_graph(tmp_path, nodes, {}, {"x": x7.shape},
+                         ["a", "b", "c"], [x7])
+    assert a.shape == (1, 3) and b.shape == (1, 3) and c.shape == (1, 1)
+    np.testing.assert_allclose(np.concatenate([a, b, c], axis=1), x7)
 
 
 def test_cast_unsupported_dtype_reports_clearly(tmp_path):

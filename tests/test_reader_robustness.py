@@ -402,3 +402,67 @@ def test_prefetch_over_resilient_reader(synth):
     # sampled frame: recovery resumes at 31, later samples realign on 37+)
     assert got[:5] == [0, 6, 12, 18, 24]
     assert len(got) >= 9 and state["opens"] == 1
+
+
+# ---- review regressions (round-3 self-review findings) ------------------
+
+
+def test_buffered_first_frame_seek_discards_probe(synth, fake_ffmpeg):
+    """_BufferedFirstFrame must implement seek itself: forwarding through
+    __getattr__ left the buffered probe frame 0 to be replayed at the seek
+    target with a stale pos (HDR analysis reader + span seek)."""
+    from person_capture_tpu.video.reader import (FfmpegPipeReader,
+                                                 _probe_first_frame)
+
+    r = _probe_first_frame(FfmpegPipeReader(synth.path))
+    assert r is not None
+    r.seek(50)
+    f = r.read()
+    assert _val(f) == 50, "stale probe frame replayed after seek"
+    assert r.pos == 51
+
+
+def test_pipe_seek_past_eof_clamps_pos(synth, fake_ffmpeg):
+    r = FfmpegPipeReader(synth.path)
+    r.seek(TOTAL + 10)
+    assert r.pos == TOTAL + 10          # documented: pos = target
+    assert r.read() is None
+    assert r.eof_reason == "eof" and not r.failed
+    r.release()
+
+
+def test_pipe_small_forward_seek_drains_without_respawn(synth, fake_ffmpeg):
+    """Forward gaps within FORWARD_DRAIN_MAX drain the live pipe — the
+    fd9 gate and prefetch resyncs must not pay a decoder respawn each."""
+    r = FfmpegPipeReader(synth.path)
+    r.read()
+    p0 = r.proc
+    r.seek(r.pos + 10)                  # small forward: same process
+    assert r.proc is p0
+    assert _val(r.read()) == 11
+    r.seek(r.pos + FfmpegPipeReader.FORWARD_DRAIN_MAX + 5)  # far: respawn
+    assert r.proc is not p0
+    r.release()
+
+
+def test_resilient_reader_trusts_clean_pipe_eof_over_overcounted_total(
+        synth, fake_ffmpeg):
+    """Container metadata routinely overcounts frames; a decoder that
+    exited cleanly (eof_reason='eof') must not trigger reopen retries."""
+    from person_capture_tpu.video.reader import (FfmpegPipeReader,
+                                                 ResilientReader)
+
+    opens = {"n": 0}
+
+    def reopen():
+        opens["n"] += 1
+        return FfmpegPipeReader(synth.path)
+
+    r = ResilientReader(FfmpegPipeReader(synth.path), reopen,
+                        total_frames=TOTAL + 5)   # overcounted metadata
+    n = 0
+    while r.read() is not None:
+        n += 1
+    assert n == TOTAL
+    assert opens["n"] == 0 and r.recoveries == 0
+    r.release()
