@@ -109,7 +109,12 @@ class HdrExportParams:
     guide_cleanup: bool = False     # hdr_wic_yuv444_guide_cleanup
 
     @staticmethod
-    def from_cfg(cfg) -> "HdrExportParams":
+    def from_cfg(cfg, transfer: str = "",
+                 full_range: Optional[bool] = None) -> "HdrExportParams":
+        """``transfer``/``full_range`` come from the SOURCE probe (engine:
+        detect_hdr().transfer, color_range_full) — an HLG video tone-mapped
+        through the PQ EOTF renders with grossly wrong luminance, so the
+        probed transfer must override the 'pq' default."""
         p = HdrExportParams(
             sdr_nits=cfg.sdr_nits,
             tonemap=cfg.hdr_sdr_tonemap,
@@ -131,6 +136,13 @@ class HdrExportParams:
             gamut=cfg.hdr_sdr_gamut_mapping,
             guide_cleanup=cfg.hdr_wic_yuv444_guide_cleanup,
         )
+        tr = (transfer or "").lower()
+        if tr in ("hlg", "arib-std-b67"):
+            p.transfer = "hlg"
+        elif tr in ("pq", "smpte2084", "smpte st 2084"):
+            p.transfer = "pq"
+        if full_range is not None:
+            p.full_range = bool(full_range)
         # conversion backend selection (reference: windows_wic = WIC-look
         # with color-match repair; ffmpeg = plain libplacebo/zscale render)
         if (cfg.hdr_sdr_conversion or "").lower() == "ffmpeg":
@@ -246,6 +258,42 @@ def _get_render_fn(params: HdrExportParams):
     return fn
 
 
+def _get_ext_match_fn(params: HdrExportParams):
+    """One jitted program for the EXTERNAL-reference post-stages, mirroring
+    the internal chain's order exactly: color match → guide cleanup →
+    shadow deblob → despeckle."""
+    key = _params_key(params) + ("ext_match",)
+    fn = _RENDER_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+
+    from ..kernels.cleanup import (despeckle_bgr, guide_cleanup_bgr,
+                                   shadow_deblob_bgr)
+    from ..kernels.colormatch import color_match_bgr
+
+    def run(bgr, ref):
+        out = color_match_bgr(
+            bgr, ref, strength=params.color_match_strength,
+            luma_strength=params.color_match_luma,
+            chroma_strength=params.color_match_chroma,
+            shadow_luma_protect=params.shadow_luma_protect,
+            shadow_chroma_protect=params.shadow_chroma_protect,
+            lowfreq=params.lowfreq)
+        if params.guide_cleanup:
+            out = guide_cleanup_bgr(out, ref)
+        if params.shadow_deblob > 0.0:
+            out = shadow_deblob_bgr(out, strength=params.shadow_deblob)
+        if params.speckle_cleanup:
+            out, _ = despeckle_bgr(out)
+        return out
+
+    fn = jax.jit(run)
+    _RENDER_CACHE[key] = fn
+    return fn
+
+
 def submit_sdr_crop_render(y_plane: np.ndarray, uv_plane: np.ndarray,
                            crop_xyxy, params: HdrExportParams,
                            reference_bgr: Optional[np.ndarray] = None):
@@ -289,27 +337,25 @@ def submit_sdr_crop_render(y_plane: np.ndarray, uv_plane: np.ndarray,
             trim = (ch, cw)
 
     if reference_bgr is not None and params.color_match:
-        # external reference: render without internal match (dispatched
-        # now), then match + despeckle inside fetch (those stages need the
-        # external array on device anyway)
+        # external reference: render the clean tone-map now (all the
+        # post-stages move to the jitted ext program so their ORDER matches
+        # the internal chain — match → guide cleanup → shadow deblob →
+        # despeckle — and nothing runs eagerly op-by-op, which pays a host
+        # round trip per op on tunneled links)
         base = HdrExportParams(**{**params.__dict__, "color_match": False,
-                                  "speckle_cleanup": False})
+                                  "speckle_cleanup": False,
+                                  "shadow_deblob": 0.0,
+                                  "guide_cleanup": False})
         pending = _get_render_fn(base)(y_crop, uv_crop)
+        ext_fn = _get_ext_match_fn(params)
+        out_dev = ext_fn(pending, np.asarray(reference_bgr))
+        try:
+            out_dev.copy_to_host_async()
+        except AttributeError:
+            pass
 
         def fetch_ext() -> np.ndarray:
-            from ..kernels.colormatch import color_match_bgr
-
-            bgr = np.asarray(color_match_bgr(
-                pending, reference_bgr,
-                strength=params.color_match_strength,
-                luma_strength=params.color_match_luma,
-                chroma_strength=params.color_match_chroma,
-                shadow_luma_protect=params.shadow_luma_protect,
-                shadow_chroma_protect=params.shadow_chroma_protect,
-                lowfreq=params.lowfreq))
-            if params.speckle_cleanup:
-                from ..kernels.cleanup import despeckle_bgr
-                bgr = np.asarray(despeckle_bgr(bgr)[0])
+            bgr = np.asarray(out_dev)
             return bgr[: trim[0], : trim[1]] if trim is not None else bgr
 
         return fetch_ext

@@ -52,12 +52,16 @@ class LazyBackend:
     their params eagerly costs ~20 s on tunneled TPU links."""
 
     def __init__(self, factory):
-        self._factory = factory
-        self._b = None
+        object.__setattr__(self, "_factory", factory)
+        object.__setattr__(self, "_b", None)
+        object.__setattr__(self, "_pending", {})
 
     def _get(self):
         if self._b is None:
-            self._b = self._factory()
+            object.__setattr__(self, "_b", self._factory())
+            for k, v in self._pending.items():
+                setattr(self._b, k, v)
+            self._pending.clear()
         return self._b
 
     def extract_batch(self, *a, **k):
@@ -66,7 +70,20 @@ class LazyBackend:
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
+        if self._b is None and name in self._pending:
+            return self._pending[name]
         return getattr(self._get(), name)
+
+    def __setattr__(self, name, value):
+        # attribute WRITES forward to the real backend too (e.g. the
+        # prescan driver sets score_thresh on its backend); stashing them
+        # on the wrapper would silently shadow the built backend's value
+        if name.startswith("_"):
+            object.__setattr__(self, name, value)
+        elif self._b is not None:
+            setattr(self._b, name, value)
+        else:
+            self._pending[name] = value
 
 
 class FaceBatchBackend(Protocol):
@@ -252,6 +269,15 @@ class ScrfdArcFaceBackend:
                 pad = self.max_faces - k
                 feats = jnp.pad(feats_k, ((0, 0), (0, pad), (0, 0)))
                 quality = jnp.pad(quality_k, ((0, 0), (0, pad)))
+                # non-embedded slots must not claim detections: a
+                # mask=True slot with zeroed feats reads as fd=1.0
+                # downstream, which would CLOSE active prescan spans on
+                # frames where the target was actually detected. NMS packs
+                # by score, so the dropped slots are the k+1-th..Nth
+                # lowest-score faces.
+                det = dict(det)
+                det["mask"] = det["mask"] & (
+                    jnp.arange(self.max_faces) < k)[None, :]
             else:
                 feats = feats_k
                 quality = quality_k
@@ -291,6 +317,13 @@ class ScrfdArcFaceBackend:
     def submit_device(self, bgr_dev, valid, frame_idxs=None):
         packed_dev = self._fused_bgr(bgr_dev,
                                      self._jnp.float32(self.score_thresh))
+        # same async device→host copy as submit_batch: the shared-upload
+        # main-pass path otherwise serializes the multi-MB download behind
+        # the host's previous-batch work (~30-300 ms RPC each)
+        try:
+            packed_dev.copy_to_host_async()
+        except AttributeError:
+            pass
         valid = np.asarray(valid).copy()
         return lambda: self._unpack(np.asarray(packed_dev), valid)
 
@@ -522,6 +555,15 @@ class YoloPersonBackend:
 
     def _submit(self, frames_dev, valid):
         out_dev = self._fused(frames_dev, self._jnp.float32(self.conf))
+        # start every device→host copy immediately (the fetch closure runs
+        # only after the host processed the previous batch; without the
+        # async copy each array download pays its RPC latency serially on
+        # the critical path)
+        for v in out_dev.values():
+            try:
+                v.copy_to_host_async()
+            except AttributeError:
+                pass
         valid = np.asarray(valid).copy()
 
         def fetch():

@@ -318,8 +318,12 @@ class Engine:
                         diag_dir = (cfg.hdr_speckle_diag_dir
                                     or os.path.join(cfg.out_dir,
                                                     "hdr_speckle_diag"))
+                    from ..video.probe import color_range_full
+
                     hdr_exporter = HdrStillExporter(
-                        src, HdrExportParams.from_cfg(cfg),
+                        src, HdrExportParams.from_cfg(
+                            cfg, transfer=hdr_info.transfer,
+                            full_range=color_range_full(cfg.video)),
                         out_format=cfg.hdr_sdr_output_format,
                         archive_dir=archive_dir,
                         archive_fmt=cfg.hdr_crop_format,

@@ -25,7 +25,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import SessionConfig
-from ..core.bank import FD_NONE, RefBank
+from ..core.bank import FD_NONE, RefBank, fd_min
 from ..core.spans import Fd9SkipGate, SpanBuilder, SpanBuilderConfig
 
 
@@ -204,9 +204,14 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
                 target = max(0, int(target))
                 if hasattr(reader, "seek"):
                     reader.seek(target)
+                    idx = target
                 else:
+                    # seekless reader: a backward target is unreachable —
+                    # continue from the reader's ACTUAL position so frame
+                    # indices stay truthful (silently pretending we landed
+                    # on target would mislabel every later sample)
                     reader.skip(max(0, target - reader.pos))
-                idx = target
+                    idx = reader.pos
                 res.perturbed = True
                 continue
         sb.cfg.enter = float(cfg.prescan_fd_enter)
@@ -321,10 +326,10 @@ def refine_span_edges(spans, reopen_reader, backend, cfg: SessionConfig,
             matched = [i for i, fd in zip(idxs, fds) if fd <= enter]
             if is_start:
                 if matched:
-                    tight = max(0, matched[0] - pad if cfg.prescan_trim_pad
-                                else min(matched[0], edge))
-                    new_s = min(edge, tight) if not cfg.prescan_trim_pad \
-                        else max(0, matched[0] - stride_ref)
+                    # trim_pad: tighten to just before the first match;
+                    # otherwise only ever move the start EARLIER
+                    new_s = max(0, matched[0] - stride_ref) \
+                        if cfg.prescan_trim_pad else min(edge, matched[0])
             else:
                 if matched:
                     new_e = min(total - 1, matched[-1] + stride_ref) \
@@ -340,7 +345,12 @@ def refine_span_edges(spans, reopen_reader, backend, cfg: SessionConfig,
             merged[-1] = (merged[-1][0], max(merged[-1][1], e))
         else:
             merged.append((s, e))
-    return merged
+    # post-trim minimum-length re-check (reference keeps a trimmed span
+    # only if it remains big enough, gui_app.py:1819): trim_pad can shrink
+    # a marginal span below prescan_min_segment_sec
+    min_len = max(1, int(round(float(cfg.prescan_min_segment_sec)
+                               * float(fps or 30.0))))
+    return [(s, e) for (s, e) in merged if (e - s + 1) >= min_len]
 
 
 def _sample_fds(reader, backend, cfg: SessionConfig, bank: RefBank, idxs):
@@ -380,9 +390,7 @@ def _sample_fds(reader, backend, cfg: SessionConfig, bank: RefBank, idxs):
         for slot in range(n):
             best = FD_NONE
             for j in np.flatnonzero(out["mask"][slot]):
-                v = out["feats"][slot][j]
-                v = v / max(np.linalg.norm(v), 1e-6)
-                best = min(best, 1.0 - float(np.max(bank_mat @ v)))
+                best = min(best, fd_min(out["feats"][slot][j], bank_mat))
             fds.append(best)
     # map back to requested idxs (missing decodes -> FD_NONE)
     by_idx = dict(zip(got, fds))

@@ -83,3 +83,20 @@ def test_embed_slots_decisions_match_full(backends):
         return fds.min(axis=1)
 
     np.testing.assert_allclose(best_fd(a), best_fd(b), atol=1e-5)
+
+
+def test_embed_slots_never_masks_unembedded_detections(backends):
+    """Slots beyond K must have mask=False, not mask=True with zeroed
+    feats (fd=1.0 would close active prescan spans on detected frames).
+    Invariant: every masked slot carries a real (unit-norm-ish) embedding."""
+    full, topk = backends
+    rng = np.random.default_rng(5)
+    # crowd scenes: more faces than embed_slots when the detector finds >4
+    frames = np.stack([_scene(rng, 6) for _ in range(8)])
+    valid = np.ones(8, bool)
+    out = topk.extract_batch(frames, valid)
+    mask = np.asarray(out["mask"])
+    feats = np.asarray(out["feats"])
+    assert mask.sum(axis=1).max() <= 4          # never more than K claimed
+    norms = np.linalg.norm(feats[mask], axis=-1)
+    assert (norms > 0.1).all(), "masked slot with zeroed embedding"

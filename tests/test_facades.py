@@ -84,3 +84,29 @@ def test_reid_embedder_facade():
     assert len(feats) == 3
     assert r.extract([]) == []
     assert r.extract([None]) == []
+
+
+def test_lazy_backend_forwards_attribute_writes():
+    from person_capture_tpu.pipeline.backends import LazyBackend
+
+    class B:
+        score_thresh = 0.5
+
+        def extract_batch(self, *a, **k):
+            return "out"
+
+    built = {}
+
+    def factory():
+        built["b"] = B()
+        return built["b"]
+
+    lazy = LazyBackend(factory)
+    lazy.score_thresh = 0.3            # write before build: stashed…
+    assert "b" not in built            # …without triggering construction
+    assert lazy.score_thresh == 0.3    # read of pending value, still lazy
+    assert "b" not in built
+    assert lazy.extract_batch() == "out"
+    assert built["b"].score_thresh == 0.3   # applied at build
+    lazy.score_thresh = 0.7            # write after build: forwarded
+    assert built["b"].score_thresh == 0.7

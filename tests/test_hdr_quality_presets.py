@@ -61,3 +61,14 @@ def test_engine_degrades_without_ffmpeg(tmp_path, monkeypatch):
     assert len(res.mainpass.hits) > 0
     # crops are plain JPEGs (no HDR re-render available)
     assert all(h.path.endswith(".jpg") for h in res.mainpass.hits)
+
+def test_from_cfg_plumbs_probed_transfer_and_range():
+    """HLG sources must not be tone-mapped through the PQ EOTF: the engine
+    passes the probe's transfer/color-range into from_cfg."""
+    cfg = SessionConfig()
+    p = HdrExportParams.from_cfg(cfg)
+    assert p.transfer == "pq" and p.full_range is False   # defaults
+    p = HdrExportParams.from_cfg(cfg, transfer="arib-std-b67")
+    assert p.transfer == "hlg"
+    p = HdrExportParams.from_cfg(cfg, transfer="smpte2084", full_range=True)
+    assert p.transfer == "pq" and p.full_range is True

@@ -147,3 +147,35 @@ def test_despeckle_keeps_coherent_color_regions():
     out, mask = (np.asarray(v) for v in CL.despeckle_bgr(img))
     assert mask[22:28, 22:28].sum() == 0
     assert np.array_equal(out[25, 25], img[25, 25])
+
+
+def test_external_reference_render_is_fused_and_ordered(tmp_path):
+    """External-reference exports run the post-stages in ONE jitted program
+    with the same stage order as the internal chain (match → guide →
+    deblob → despeckle); the old path ran them eagerly op-by-op and
+    silently dropped guide_cleanup."""
+    import numpy as np
+
+    from person_capture_tpu.hdr.stills import (HdrExportParams,
+                                               render_sdr_crop_from_p010)
+
+    rng = np.random.default_rng(4)
+    h, w = 64, 96
+    y = (rng.integers(200, 800, (h, w)).astype(np.uint16) << 6)
+    uv = np.full((h // 2, w // 2, 2), 512 << 6, np.uint16)
+    ref = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    crop = (0, 0, w, h)
+
+    base = render_sdr_crop_from_p010(
+        y, uv, crop, HdrExportParams(color_match=False,
+                                     speckle_cleanup=False))
+    p = HdrExportParams(color_match=True, speckle_cleanup=True,
+                        shadow_deblob=0.4)
+    ext = render_sdr_crop_from_p010(y, uv, crop, p, reference_bgr=ref)
+    assert ext.shape == base.shape and ext.dtype == np.uint8
+    assert not np.array_equal(ext, base)       # the match actually applied
+    # guide_cleanup toggles the output (it was silently ignored before)
+    p2 = HdrExportParams(color_match=True, speckle_cleanup=True,
+                         shadow_deblob=0.4, guide_cleanup=True)
+    ext2 = render_sdr_crop_from_p010(y, uv, crop, p2, reference_bgr=ref)
+    assert not np.array_equal(ext2, ext)

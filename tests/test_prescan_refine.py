@@ -111,3 +111,19 @@ def test_refine_uses_fixed_production_batch_shape(synth):
     assert backend.batch_sizes, "refinement must have run"
     assert set(backend.batch_sizes) == {cfg.tpu_batch_frames}
     assert abs(out[0][0] - 60) <= 8 and abs(out[0][1] - 150) <= 8
+
+
+def test_refine_drops_spans_trimmed_below_min_length(tmp_path):
+    """Reference parity (gui_app.py:1819): a span trimmed below
+    prescan_min_segment_sec does not survive refinement."""
+    path = str(tmp_path / "short.mp4")
+    sv = generate_video(path, width=160, height=120, fps=30.0,
+                        total_frames=240, segments=[(100, 104, 0)])
+    backend = OracleBackend(sv)
+    bank = RefBank(cap=8)
+    bank.seed([backend.identity_feat(0)])
+    cfg = _cfg(prescan_min_segment_sec=1.0,   # 30 frames at 30 fps
+               prescan_trim_pad=True)
+    out = refine_span_edges([(80, 124)], lambda: Cv2Reader(path), backend,
+                            cfg, bank, 30.0, 240)
+    assert out == [], f"micro-span survived refinement: {out}"
