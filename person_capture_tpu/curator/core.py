@@ -239,9 +239,10 @@ def cluster_scenes(items: List[Item], sim_thresh: float = 0.92,
         for cidx in range(len(clusters) - 1, start - 1, -1):
             last = clusters[cidx][-1]
             dt = abs(it.ts - items[last].ts)
-            if dt > time_gap and not same_scene(idx, medoids[cidx]):
+            ss = same_scene(idx, medoids[cidx])   # pHash + CLIP: eval once
+            if dt > time_gap and not ss:
                 continue
-            if same_scene(idx, medoids[cidx]):
+            if ss:
                 clusters[cidx].append(idx)
                 if items[idx].quality_score() > items[medoids[cidx]].quality_score():
                     medoids[cidx] = idx

@@ -327,39 +327,48 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         nonlocal last_save_t
         if not ff_queue or fullframe_backend is None:
             return
-        items = ff_queue[:ff_batch]
-        ff_queue.clear()
-        frames = np.stack([f for (_, f) in items])
-        n = len(items)
-        valid = np.ones((n,), bool)
-        idxs = np.asarray([i for (i, _) in items]
-                          + [items[-1][0]] * (ff_batch - n))
-        if n < ff_batch:
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], ff_batch - n, axis=0)], 0)
-            valid = np.concatenate([valid, np.zeros(ff_batch - n, bool)])
-        out = fullframe_backend.extract_batch(frames, valid, idxs)
-        for slot, (frame_idx, frame) in enumerate(items):
-            mask = out["mask"][slot]
-            if not mask.any():
-                continue
-            fds = [(j, _face_fd(out["feats"][slot][j]))
-                   for j in np.flatnonzero(mask)]
-            j, fd = min(fds, key=lambda t: t[1])
-            if fd > float(cfg.face_thresh):
-                continue
-            fb = tuple(float(v) for v in out["boxes"][slot][j])
-            q = float(out["quality"][slot][j])
-            cand = Candidate(_det_box_from_face(fb, frame.shape[1],
-                                                frame.shape[0]),
-                             fb, fd, None, q, fd,
-                             face_feat=out["feats"][slot][j])
-            lock.register_hit(fb, frame_idx, cfg.lock_after_hits,
-                              det_box=cand.det_box)
-            t = frame_idx / fps
-            if t - last_save_t >= min_gap:
-                if _compose_and_save(frame_idx, frame, cand, t):
-                    last_save_t = t
+        # chunk through the WHOLE queue: the cadence guarantee means every
+        # queued frame gets its high-res probe (the reference probes each
+        # cadence frame individually; dropping queue overflow would
+        # permanently miss small-face frames)
+        while ff_queue:
+            items = ff_queue[:ff_batch]
+            del ff_queue[:ff_batch]
+            frames = np.stack([f for (_, f) in items])
+            n = len(items)
+            valid = np.ones((n,), bool)
+            idxs = np.asarray([i for (i, _) in items]
+                              + [items[-1][0]] * (ff_batch - n))
+            if n < ff_batch:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], ff_batch - n, axis=0)],
+                    0)
+                valid = np.concatenate([valid, np.zeros(ff_batch - n, bool)])
+            out = fullframe_backend.extract_batch(frames, valid, idxs)
+            for slot, (frame_idx, frame) in enumerate(items):
+                mask = out["mask"][slot]
+                if not mask.any():
+                    continue
+                fds = [(j, _face_fd(out["feats"][slot][j]))
+                       for j in np.flatnonzero(mask)]
+                j, fd = min(fds, key=lambda t: t[1])
+                if fd > float(cfg.face_thresh):
+                    continue
+                fb = tuple(float(v) for v in out["boxes"][slot][j])
+                q = float(out["quality"][slot][j])
+                cand = Candidate(_det_box_from_face(fb, frame.shape[1],
+                                                    frame.shape[0]),
+                                 fb, fd, None, q, fd,
+                                 face_feat=out["feats"][slot][j])
+                if frame_idx >= int(lock.last_seen_frame):
+                    # never move the lock BACKWARD onto a stale frame: a
+                    # newer in-batch sighting already positioned it
+                    lock.register_hit(fb, frame_idx, cfg.lock_after_hits,
+                                      det_box=cand.det_box)
+                t = frame_idx / fps
+                if t - last_save_t >= min_gap:
+                    if _compose_and_save(frame_idx, frame, cand, t):
+                        last_save_t = t
 
     def _roi_rescue():
         """Re-probe miss-while-locked frames on a native-resolution crop
@@ -370,7 +379,13 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         the main batch instead of per-frame."""
         import cv2
 
-        if not rescue_queue or lock.last_face_box is None:
+        if not rescue_queue:
+            return
+        if lock.last_face_box is None:
+            # lock lost mid-batch: the queued frames' ROI no longer exists.
+            # DROP them (don't retain ~0.5-1 GB of batch views, and never
+            # probe stale frames against a future lock's ROI).
+            rescue_queue.clear()
             return
         fb = lock.last_face_box
         fw = max(8.0, fb[2] - fb[0])
@@ -423,8 +438,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             cand = Candidate(_det_box_from_face(face_box, frame.shape[1],
                                                 frame.shape[0]),
                              face_box, fd, None, q, fd)
-            lock.register_hit(face_box, frame_idx, cfg.lock_after_hits,
-                              det_box=cand.det_box)
+            if frame_idx >= int(lock.last_seen_frame):
+                # never regress the lock onto an older frame's position
+                lock.register_hit(face_box, frame_idx, cfg.lock_after_hits,
+                                  det_box=cand.det_box)
             t = frame_idx / fps
             if t - last_save_t >= min_gap:
                 if _compose_and_save(frame_idx, frame, cand, t):
@@ -539,6 +556,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             _resolve(inflight.pop(0))
 
     def _face_fd(feat) -> float:
+        if bank_mat is None:
+            # empty bank: reid_only/both degradation (line ~660 accepts on
+            # reid alone) must not crash on the first detected face
+            return 9.0
         v = feat / max(np.linalg.norm(feat), 1e-6)
         return 1.0 - float(np.max(bank_mat @ v))
 
@@ -694,7 +715,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 face_h_frac = (fb[3] - fb[1]) / max(1.0, float(H))
                 assoc_ok = (assoc_max <= 0.0 or face_h_frac <= assoc_max)
                 on_cadence = (frame_idx // stride) % cadence == 0
-                if assoc_ok and (on_cadence or not persons):
+                if assoc_ok and on_cadence:
                     for pbox in persons:
                         if _center_in_box(fb, pbox):
                             det_box = pbox
@@ -1008,63 +1029,77 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             return None
         return seek_request()
 
-    si = 0
-    start_override: Optional[int] = None
-    while si < len(spans):
-        s, e = spans[si]
-        if should_stop is not None and should_stop():
-            break
-        target = max(s, start_override) if start_override is not None else s
-        start_override = None
-        idx = smart_seek(reader, target, keyframes, cfg.seek_fast,
-                         cfg.seek_max_grabs, fps)
-        if idx > e:
-            si += 1
-            continue
-        seek_jump = False
-        while idx <= e:
+    try:
+        si = 0
+        start_override: Optional[int] = None
+        while si < len(spans):
+            s, e = spans[si]
             if should_stop is not None and should_stop():
                 break
-            seek_to = _poll_seek()
-            if seek_to is not None:
-                # interactive seek (reference seek_frame command): flush in
-                # order, then resume at the span containing/after the target
-                flush()
-                if int(cfg.seek_preview_peek_every) > 0:
-                    # peek preview at the seek landing (reference decodes a
-                    # peek every N frames while scrubbing; keyframe seeks
-                    # land instantly so one peek per landing suffices)
-                    preview_state["count"] = -1  # next frame emits
-                    preview_state["last_t"] = -1e9
-                nsi = span_index_for(int(seek_to), spans)
-                if nsi is None:
-                    si = len(spans)
-                else:
-                    si = nsi
-                    start_override = int(seek_to)
-                seek_jump = True
-                break
-            frame = reader.read()
-            if frame is None:
-                break
-            res.frames_decoded += 1
-            pend.append((idx, frame))
-            if len(pend) == batch:
-                flush(drain=False)
-                if progress is not None and meta.total_frames > 0:
-                    progress(min(1.0, idx / meta.total_frames))
-            skipped = reader.skip(stride - 1)
-            idx += 1 + skipped
-            if skipped < stride - 1:
-                break
-        if seek_jump:
-            continue
+            target = max(s, start_override) if start_override is not None else s
+            start_override = None
+            idx = smart_seek(reader, target, keyframes, cfg.seek_fast,
+                             cfg.seek_max_grabs, fps)
+            if idx > e:
+                si += 1
+                continue
+            # seek_fast caps the forward grabs after a keyframe landing, so
+            # smart_seek can stop SHORT of the span start — skip the rest, or
+            # frames pre-scan excluded would be analyzed (and saveable)
+            while idx < target:
+                skipped = reader.skip(target - idx)
+                if skipped <= 0:
+                    break
+                idx += skipped
+            seek_jump = False
+            while idx <= e:
+                if should_stop is not None and should_stop():
+                    break
+                seek_to = _poll_seek()
+                if seek_to is not None:
+                    # interactive seek (reference seek_frame command): flush in
+                    # order, then resume at the span containing/after the target
+                    flush()
+                    if int(cfg.seek_preview_peek_every) > 0:
+                        # peek preview at the seek landing (reference decodes a
+                        # peek every N frames while scrubbing; keyframe seeks
+                        # land instantly so one peek per landing suffices)
+                        preview_state["count"] = -1  # next frame emits
+                        preview_state["last_t"] = -1e9
+                    nsi = span_index_for(int(seek_to), spans)
+                    if nsi is None:
+                        si = len(spans)
+                    else:
+                        si = nsi
+                        start_override = int(seek_to)
+                    seek_jump = True
+                    break
+                frame = reader.read()
+                if frame is None:
+                    break
+                res.frames_decoded += 1
+                pend.append((idx, frame))
+                if len(pend) == batch:
+                    flush(drain=False)
+                    if progress is not None and meta.total_frames > 0:
+                        progress(min(1.0, idx / meta.total_frames))
+                skipped = reader.skip(stride - 1)
+                idx += 1 + skipped
+                if skipped < stride - 1:
+                    break
+            if seek_jump:
+                continue
+            flush()
+            si += 1
         flush()
-        si += 1
-    flush()
-    _stop_preview_pump()
-    if debug_fh is not None:
-        debug_fh.close()
+    finally:
+        # the pump thread polls preview_hdr_source, which the
+        # engine releases right after this returns: stop it on
+        # EVERY exit path (a device error mid-run otherwise
+        # leaves an orphaned thread racing a closed pipe)
+        _stop_preview_pump()
+        if debug_fh is not None:
+            debug_fh.close()
     res.wall_s = time.perf_counter() - t0
     return res
 

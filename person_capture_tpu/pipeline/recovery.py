@@ -252,9 +252,17 @@ class RecoveryPolicy:
             self.sticky_rot = rotation_k
             self.sticky_left = self.rot_after_hit_frames
         elif self.sticky_left > 0:
-            self.sticky_left -= 1
-            if self.sticky_left == 0:
-                self.sticky_rot = None
+            self._decay_sticky()
+
+    def _decay_sticky(self) -> None:
+        """Sticky rotation is a FRAME budget: it decays on every frame it
+        is probed (hit or empty) and re-arms only on a fresh rotated hit —
+        otherwise a subject leaving the scene would leave the extra probe
+        variant active for the rest of the no-face stretch."""
+        self.sticky_left -= 1
+        if self.sticky_left <= 0:
+            self.sticky_left = 0
+            self.sticky_rot = None
 
     def variants_for_empty(self) -> List[Tuple[str, float | int]]:
         """Called once per empty frame in sample order; returns the variant
@@ -268,6 +276,7 @@ class RecoveryPolicy:
             # rr_period-th empty sample
             if self.sticky_rot is not None:
                 out.append(("rot", self.sticky_rot))
+                self._decay_sticky()
             elif self.empty_count % self.rr_period == 0:
                 out.append(("rot", ROTATION_KS[self._rr % len(ROTATION_KS)]))
                 self._rr += 1
@@ -278,6 +287,7 @@ class RecoveryPolicy:
             out.append(("pad", EDGE_PAD_FRAC))
         if self.sticky_rot is not None:
             out.append(("rot", self.sticky_rot))
+            self._decay_sticky()
         elif self.rot_adaptive:
             if self.streak >= self.rot_every_n:
                 out.extend(("rot", k) for k in ROTATION_KS)
@@ -349,7 +359,11 @@ class RecoveringFaceBackend:
                   if hasattr(self.inner, "submit_batch")
                   else (lambda out=self.inner.extract_batch(
                       frames, valid, frame_idxs): out))
-        kept = frames.copy()
+        # no defensive copy: both pipeline drivers np.stack a FRESH batch
+        # per submit and never mutate it afterwards (a copy here cost a
+        # full-batch memcpy — ~150 MB at batch 128 × 832 px — per submit
+        # on the 1-core host hot path)
+        kept = frames
 
         def fetch():
             out = fetch0()
