@@ -70,6 +70,11 @@ class FfmpegP010Source:
         self._proc = None
         self._pos = -1  # frame index the pipe will yield next
         self.respawns = 0  # observability
+        import threading
+
+        # serializes pipe access: the saver may abandon a timed-out render
+        # thread still blocked in get_planes (see get_planes docstring)
+        self._lock = threading.Lock()
 
     def _kill(self):
         if self._proc is None:
@@ -102,36 +107,64 @@ class FfmpegP010Source:
                 bufsize=self.frame_bytes * 2)
         except OSError:
             return False
-        self._pos = int(round(ss * self.fps))
+        # ffmpeg's accurate seek emits the first frame with pts >= ss, so
+        # the frame index the pipe yields next is ceil(ss*fps) — round()
+        # could land one EARLY and shift every subsequent index by one
+        # (VFR sources remain approximate; the preroll absorbs small drift)
+        import math
+
+        self._pos = max(0, math.ceil(ss * self.fps - 1e-6))
         self.respawns += 1
         return True
 
     def _read_frame(self):
-        data = self._proc.stdout.read(self.frame_bytes)
+        try:
+            proc = self._proc
+            if proc is None:
+                return None
+            data = proc.stdout.read(self.frame_bytes)
+        except (AttributeError, ValueError, OSError):
+            # another thread killed/respawned the pipe under us (abandoned
+            # timed-out render): report failure, never corrupt state
+            return None
         if data is None or len(data) < self.frame_bytes:
             return None
         self._pos += 1
         return data
 
     def get_planes(self, frame_idx: int):
+        """Thread-hardened: the saver can abandon a timed-out render thread
+        that is still blocked inside this method (reference relay stalls run
+        minutes); the pipe lock serializes access, and a lock held past the
+        source timeout gets its decoder killed so the stuck read returns."""
         frame_idx = int(frame_idx)
-        if (self._proc is None or frame_idx < self._pos
-                or frame_idx - self._pos > self.seq_window):
-            if not self._respawn(frame_idx):
-                return None
-        # forward-skip by reading whole frames (cheaper than re-seeking
-        # within the sequential window)
-        data = None
-        while self._pos <= frame_idx:
-            data = self._read_frame()
-            if data is None:
-                self._kill()
-                return None
-        w, h = self.width, self.height
-        raw = np.frombuffer(data, np.uint16, count=self.frame_bytes // 2)
-        y = raw[: w * h].reshape(h, w)
-        uv = raw[w * h:].reshape(h // 2, w // 2, 2)
-        return y.copy(), uv.copy()
+        acquired = self._lock.acquire(timeout=max(5.0, self.timeout))
+        if not acquired:
+            # holder is stuck in a pipe read: kill the decoder to release
+            # it, then take the lock
+            self._kill()
+            self._lock.acquire()
+        try:
+            if (self._proc is None or frame_idx < self._pos
+                    or frame_idx - self._pos > self.seq_window):
+                if not self._respawn(frame_idx):
+                    return None
+            # forward-skip by reading whole frames (cheaper than re-seeking
+            # within the sequential window)
+            data = None
+            while self._pos <= frame_idx:
+                data = self._read_frame()
+                if data is None:
+                    self._kill()
+                    return None
+            w, h = self.width, self.height
+            raw = np.frombuffer(data, np.uint16,
+                                count=self.frame_bytes // 2)
+            y = raw[: w * h].reshape(h, w)
+            uv = raw[w * h:].reshape(h // 2, w // 2, 2)
+            return y.copy(), uv.copy()
+        finally:
+            self._lock.release()
 
     def release(self):
         self._kill()
@@ -312,12 +345,21 @@ class HdrStillExporter:
                 else:
                     djob()
         if ok and self.diag_dir:
-            from .diagnostics import run_speckle_diagnostics
+            # diagnostics are best-effort: the still is already written and
+            # archived — a diag failure (unwritable dir, disk full) must
+            # not flip the export into a recorded failure
+            try:
+                from .diagnostics import run_speckle_diagnostics
 
-            base = os.path.splitext(os.path.basename(out_path))[0]
-            run_speckle_diagnostics(y, uv, src_crop,
-                                    os.path.join(self.diag_dir, base),
-                                    base_params=self.params)
+                base = os.path.splitext(os.path.basename(out_path))[0]
+                run_speckle_diagnostics(y, uv, src_crop,
+                                        os.path.join(self.diag_dir, base),
+                                        base_params=self.params)
+            except Exception as e:  # noqa: BLE001
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "speckle diagnostics failed for %s: %s", out_path, e)
         return ok, err
 
     def export(self, frame_idx: int, crop_xyxy, frame_size: Tuple[int, int],

@@ -86,20 +86,23 @@ def load_cache(path: str, key: str,
     if not os.path.isfile(path):
         return None
     try:
-        data = np.load(path)
-        stored_key = bytes(data["key"]).decode()
-        if stored_key != key:
-            return None
-        spans = [tuple(int(v) for v in row) for row in data["spans"]]
-        bank = RefBank(cap=int(data["bank_cap"]))
-        if cfg is not None:
-            bank.dedup_cos = cfg.prescan_diversity_dedup_cos
-            bank.replace_margin = cfg.prescan_replace_margin
-            bank.weights = tuple(cfg.prescan_weights)
-        mat = data["bank"]
-        if mat.size:
-            bank.vectors = [row.astype(np.float32) for row in mat]
-        return spans, bank
+        # context manager: NpzFile holds the zip handle open otherwise
+        # (leaks per cache hit; an open handle also blocks overwriting the
+        # file on Windows)
+        with np.load(path) as data:
+            stored_key = bytes(data["key"]).decode()
+            if stored_key != key:
+                return None
+            spans = [tuple(int(v) for v in row) for row in data["spans"]]
+            bank = RefBank(cap=int(data["bank_cap"]))
+            if cfg is not None:
+                bank.dedup_cos = cfg.prescan_diversity_dedup_cos
+                bank.replace_margin = cfg.prescan_replace_margin
+                bank.weights = tuple(cfg.prescan_weights)
+            mat = data["bank"]
+            if mat.size:
+                bank.vectors = [row.astype(np.float32) for row in mat]
+            return spans, bank
     except Exception:
         return None
 

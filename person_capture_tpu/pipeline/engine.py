@@ -240,6 +240,22 @@ class Engine:
             self._run_resources.append(
                 lambda: reader_holder["r"].release())
             meta = main_reader.meta()
+            if meta.fps <= 0 or meta.total_frames <= 0:
+                # cv2 reports 0 fps/frames on some MKV/stream files; run
+                # the recovery chain (cv2 → ffprobe → duration×fps) like
+                # the reference repairs BEFORE setup (video_io.py:461-534,
+                # gui_app.py:4931-4947) — total=0 would otherwise collapse
+                # the whole run to a single-frame span
+                from ..video.probe import probe_fps_total
+
+                r_fps, r_total = probe_fps_total(cfg.video)
+                if meta.fps <= 0 and r_fps > 0:
+                    meta.fps = r_fps
+                if meta.total_frames <= 0 and r_total > 0:
+                    meta.total_frames = r_total
+                self._status_cb(
+                    f"repaired stream metadata: fps={meta.fps} "
+                    f"total_frames={meta.total_frames}")
             self._fps = float(meta.fps or 0.0)
             pres: Optional[PrescanResult] = None
             if cfg.prescan_enable:

@@ -122,7 +122,11 @@ class AsyncSaver:
         self._csv_f = open(self.csv_path, "w", newline="")
         self._csv = csv.writer(self._csv_f)
         self._csv.writerow(CSV_COLUMNS)
+        self._csv_f.flush()
         self._csv_lock = threading.Lock()
+        self._csv_closed = False
+        self._csv_rows = 0
+        self._csv_flush_every = 25
         self.saved: List[str] = []
         self.errors: List[Tuple[str, str]] = []
         self.archived: List[str] = []
@@ -272,35 +276,30 @@ class AsyncSaver:
                 self._aq.task_done()
 
     def _run_render(self, item: SaveItem):
-        """Run a deferred render bounded by the render timeout. On timeout
-        the item's cancel event is set and the (daemon) render thread is
-        abandoned — Python threads can't be killed, but cooperative renders
-        (hdr/exporter.py) observe the event between stages."""
-        if self.render_timeout <= 0:
-            return item.render(item.path)
-        result: List = []
-
-        def _call():
-            try:
-                result.append(item.render(item.path))
-            except Exception as e:  # noqa: BLE001
-                result.append((False, f"{type(e).__name__}: {e}"))
-
-        th = threading.Thread(target=_call, name="pc.render", daemon=True)
-        th.start()
-        th.join(timeout=self.render_timeout)
-        if th.is_alive():
-            if item.cancel_event is not None:
-                item.cancel_event.set()
-            return False, f"render_timeout>{self.render_timeout:.0f}s"
-        return result[0] if result else (False, "render_no_result")
+        """Run a deferred render bounded by the render timeout (via
+        :meth:`_call_bounded`: on timeout the item's cancel event is set and
+        the daemon thread abandoned — cooperative renders observe the event
+        between stages)."""
+        called, res = self._call_bounded(item,
+                                         lambda: item.render(item.path),
+                                         self.render_timeout)
+        return res if called else (False, str(res))
 
     def _record(self, item: SaveItem, ok: bool, err: str) -> None:
         if ok:
             self.saved.append(item.path)
             if item.csv_row is not None:
                 with self._csv_lock:
+                    if self._csv_closed:
+                        self.errors.append(
+                            (item.path, "saver closed before csv row"))
+                        return
                     self._csv.writerow(item.csv_row)
+                    # bound csv loss on a crash/kill to flush_every rows
+                    # (reference flushes periodically, gui_app.py:7368)
+                    self._csv_rows += 1
+                    if self._csv_rows % self._csv_flush_every == 0:
+                        self._csv_f.flush()
         else:
             self.errors.append((item.path, err))
 
@@ -324,11 +323,28 @@ class AsyncSaver:
     def close(self) -> None:
         if self._q is not None:
             self._q.put(None)
-            self._thread.join(timeout=60)
+            # drain the backlog for as long as it keeps making PROGRESS
+            # (a 100-item HDR backlog legitimately outlives any fixed join
+            # cap; a fixed 60 s cap dropped the tail AND closed the CSV
+            # under the worker, killing it on its next row). Give up only
+            # when nothing completes for a full render-timeout window.
+            stall_window = max(60.0, self.render_timeout or 0.0)
+            while self._thread.is_alive():
+                before = len(self.saved) + len(self.errors)
+                self._thread.join(timeout=stall_window)
+                if not self._thread.is_alive():
+                    break
+                if len(self.saved) + len(self.errors) == before:
+                    self.errors.append(
+                        ("saver", f"close(): worker stalled "
+                                  f">{stall_window:.0f}s with "
+                                  f"{self._q.qsize()} items queued"))
+                    break
         if self._athread is not None:
             self._aq.put(None)
             self._athread.join(timeout=120)
         with self._csv_lock:
+            self._csv_closed = True
             self._csv_f.flush()
             self._csv_f.close()
 

@@ -1,290 +1,278 @@
 """Keyframe index from direct container parsing (fast seek support).
 
-Host utilities mirroring the reference's parsers (gui_app.py:3637-3971):
-MP4 ``moov/trak(vide)/mdia/minf/stbl/stss`` sync-sample walk and a Matroska
-EBML ``Cues`` scan. Returns sorted 0-based frame indices of keyframes;
-``[]`` when the container has no index (then every frame is assumed
-seekable, e.g. all-intra streams).
+Provides what the reference obtains from its own container walkers
+(gui_app.py:3637-3971 — MP4 sync-sample table, Matroska Cues): sorted
+0-based frame indices of seekable keyframes, ``[]`` when the container has
+no index (then every frame is assumed seekable, e.g. all-intra streams).
+
+Implementation is original to this repo: the MP4 side slurps the ``moov``
+box into memory once and parses it with offset arithmetic over a bytes
+buffer (no file-seek walking), selects the video track via its ``hdlr``
+handler type, and rescales sync samples only on a PRINCIPLED mismatch —
+when the track's ``stsz`` sample count disagrees with the decoder's frame
+count — instead of comparing the last keyframe number to the frame total
+(which stretched indices on perfectly normal GOP files). The Matroska side
+is a small element-stream scanner over EBML varints.
 """
 
 from __future__ import annotations
 
 import os
 import struct
-from typing import List, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF
+# ---------------------------------------------------------------------------
+
+_MOOV_MAX_BYTES = 256 * 1024 * 1024   # refuse absurd moov boxes
 
 
-def _u32(b: bytes) -> int:
-    return struct.unpack(">I", b)[0]
+def _scan_boxes(buf: bytes, start: int, end: int
+                ) -> Iterator[Tuple[bytes, int, int]]:
+    """Yield ``(fourcc, body_start, body_end)`` for each box in
+    ``buf[start:end]``; tolerates 64-bit largesize and to-end boxes."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        fourcc = buf[off + 4:off + 8]
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off:      # corrupt: would loop forever
+            return
+        box_end = off + size
+        if box_end > end:
+            box_end = end
+        yield fourcc, body, box_end
+        off += size
 
 
-def _u64(b: bytes) -> int:
-    return struct.unpack(">Q", b)[0]
-
-
-def _read_box(f, end_pos: int) -> Optional[Tuple[int, str, int, int]]:
-    pos = f.tell()
-    if pos + 8 > end_pos:
-        return None
-    hdr = f.read(8)
-    if len(hdr) < 8:
-        return None
-    sz = _u32(hdr[:4])
-    typ = hdr[4:8].decode("ascii", "ignore")
-    header = 8
-    if sz == 1:
-        ext = f.read(8)
-        if len(ext) < 8:
-            return None
-        sz = _u64(ext)
-        header = 16
-    if sz == 0:
-        sz = end_pos - pos
-    return pos, typ, sz, header
-
-
-def _find_child(f, parent_start: int, parent_size: int,
-                name: str) -> Optional[Tuple[int, int]]:
-    end = parent_start + parent_size
-    f.seek(parent_start + 8)
-    while f.tell() + 8 <= end:
-        box = _read_box(f, end)
-        if not box:
-            break
-        pos, typ, sz, _ = box
-        if typ == name:
-            return (pos, sz)
-        f.seek(pos + sz)
+def _child(buf: bytes, start: int, end: int, fourcc: bytes
+           ) -> Optional[Tuple[int, int]]:
+    for name, body, box_end in _scan_boxes(buf, start, end):
+        if name == fourcc:
+            return body, box_end
     return None
 
 
-def mp4_read_stss(path: str, total_frames: int) -> List[int]:
-    """0-based keyframe sample indices from the MP4 sync-sample table,
-    rescaled when the container's sample count disagrees with the decoder's
-    frame count (reference behavior)."""
+def _descend(buf: bytes, start: int, end: int, *path: bytes
+             ) -> Optional[Tuple[int, int]]:
+    span: Optional[Tuple[int, int]] = (start, end)
+    for name in path:
+        span = _child(buf, span[0], span[1], name)
+        if span is None:
+            return None
+    return span
+
+
+def _load_moov(path: str) -> Optional[bytes]:
+    """Top-level scan of the file for the ``moov`` box; returns its body."""
     try:
-        size = os.path.getsize(path)
+        file_size = os.path.getsize(path)
     except OSError:
-        return []
+        return None
     with open(path, "rb") as f:
-        end = size
-        moov = None
-        while f.tell() + 8 <= end:
-            box = _read_box(f, end)
-            if not box:
-                break
-            pos, typ, sz, _ = box
-            if typ == "moov":
-                moov = (pos, sz)
-                break
-            f.seek(pos + sz)
-        if not moov:
-            return []
+        pos = 0
+        while pos + 8 <= file_size:
+            f.seek(pos)
+            hdr = f.read(16)
+            if len(hdr) < 8:
+                return None
+            size = int.from_bytes(hdr[:4], "big")
+            fourcc = hdr[4:8]
+            body = pos + 8
+            if size == 1:
+                if len(hdr) < 16:
+                    return None
+                size = int.from_bytes(hdr[8:16], "big")
+                body = pos + 16
+            elif size == 0:
+                size = file_size - pos
+            if size < body - pos:
+                return None
+            if fourcc == b"moov":
+                n = min(pos + size, file_size) - body
+                if n <= 0 or n > _MOOV_MAX_BYTES:
+                    return None
+                f.seek(body)
+                return f.read(n)
+            pos += size
+    return None
 
-        # find the video trak
-        moov_pos, moov_sz = moov
-        moov_end = moov_pos + moov_sz
-        f.seek(moov_pos + 8)
-        video_trak = None
-        while f.tell() + 8 <= moov_end:
-            box = _read_box(f, moov_end)
-            if not box:
-                break
-            pos, typ, sz, _ = box
-            if typ == "trak":
-                mdia = _find_child(f, pos, sz, "mdia")
-                if mdia:
-                    hdlr = _find_child(f, mdia[0], mdia[1], "hdlr")
-                    if hdlr:
-                        f.seek(hdlr[0] + 16)
-                        if f.read(4).decode("ascii", "ignore") == "vide":
-                            video_trak = (pos, sz)
-                            break
-            f.seek(pos + sz)
-        if not video_trak:
-            return []
 
-        mdia = _find_child(f, video_trak[0], video_trak[1], "mdia")
-        if not mdia:
-            return []
-        minf = _find_child(f, mdia[0], mdia[1], "minf")
-        if not minf:
-            return []
-        stbl = _find_child(f, minf[0], minf[1], "stbl")
-        if not stbl:
-            return []
-        stss = _find_child(f, stbl[0], stbl[1], "stss")
-        if not stss:
-            return []  # no table: every sample is a sync sample
+def _video_stbl(moov: bytes) -> Optional[Tuple[int, int]]:
+    """Sample-table span of the first track whose handler type is video."""
+    for name, body, box_end in _scan_boxes(moov, 0, len(moov)):
+        if name != b"trak":
+            continue
+        mdia = _descend(moov, body, box_end, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _child(moov, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None:
+            continue
+        # full box: version/flags(4) + pre_defined(4) + handler_type(4)
+        handler = moov[hdlr[0] + 8:hdlr[0] + 12]
+        if handler != b"vide":
+            continue
+        return _descend(moov, mdia[0], mdia[1], b"minf", b"stbl")
+    return None
 
-        f.seek(stss[0] + 8)
-        f.read(4)  # version/flags
-        cnt = f.read(4)
-        if len(cnt) < 4:
-            return []
-        n = _u32(cnt)
-        out: List[int] = []
-        max_sample = 0
-        for _ in range(n):
-            data = f.read(4)
-            if len(data) < 4:
-                break
-            sample = _u32(data)
-            max_sample = max(max_sample, sample)
-            out.append(max(sample - 1, 0))
-        out.sort()
-        if not out:
-            return []
-        if total_frames and max_sample and max_sample - 1 != total_frames:
-            scale = float(total_frames) / float(max_sample)
-            out = [max(0, min(total_frames - 1, int(round((s + 1) * scale) - 1)))
-                   for s in out]
-            out = sorted(set(out))
-        elif total_frames:
-            out = [min(total_frames - 1, s) for s in out]
-        return out
+
+def _full_box_entries(buf: bytes, body: int, box_end: int
+                      ) -> Optional[Tuple[int, int]]:
+    """(entry_count, first_entry_offset) of a version-0 full box whose
+    payload is a u32 count followed by entries."""
+    if body + 8 > box_end:
+        return None
+    count = int.from_bytes(buf[body + 4:body + 8], "big")
+    return count, body + 8
+
+
+def mp4_read_stss(path: str, total_frames: int) -> List[int]:
+    """0-based keyframe frame indices from the MP4 sync-sample table.
+
+    Sync samples are 1-based sample numbers; when the track's ``stsz``
+    sample count disagrees with the decoder's frame count the indices are
+    rescaled proportionally (edit lists / dropped frames), otherwise they
+    map 1:1 (clamped into range)."""
+    moov = _load_moov(path)
+    if moov is None:
+        return []
+    stbl = _video_stbl(moov)
+    if stbl is None:
+        return []
+    stss = _child(moov, stbl[0], stbl[1], b"stss")
+    if stss is None:
+        return []   # no table: every sample is a sync sample
+
+    parsed = _full_box_entries(moov, stss[0], stss[1])
+    if parsed is None:
+        return []
+    count, off = parsed
+    avail = (stss[1] - off) // 4
+    count = min(count, max(0, avail))
+    samples = struct.unpack_from(f">{count}I", moov, off) if count else ()
+    frames = sorted({max(0, s - 1) for s in samples})
+    if not frames:
+        return []
+
+    sample_count = 0
+    stsz = _child(moov, stbl[0], stbl[1], b"stsz")
+    if stsz is not None and stsz[0] + 12 <= stsz[1]:
+        # stsz payload: version/flags(4) + sample_size(4) + sample_count(4)
+        sample_count = int.from_bytes(moov[stsz[0] + 8:stsz[0] + 12], "big")
+
+    if total_frames and sample_count and sample_count != total_frames:
+        scale = float(total_frames) / float(sample_count)
+        frames = sorted({
+            max(0, min(total_frames - 1, int(round((s + 1) * scale)) - 1))
+            for s in frames})
+    elif total_frames:
+        frames = [min(total_frames - 1, s) for s in frames]
+    return frames
 
 
 # ---------------------------------------------------------------------------
-# Matroska / EBML
+# Matroska / WebM (EBML)
 # ---------------------------------------------------------------------------
 
-_ID_SEGMENT = 0x18538067
-_ID_INFO = 0x1549A966
-_ID_TIMESTAMP_SCALE = 0x2AD7B1
-_ID_CUES = 0x1C53BB6B
-_ID_CUEPOINT = 0xBB
-_ID_CUETIME = 0xB3
+_EBML_SEGMENT = 0x18538067
+_EBML_INFO = 0x1549A966
+_EBML_TS_SCALE = 0x2AD7B1
+_EBML_CUES = 0x1C53BB6B
+_EBML_CUEPOINT = 0xBB
+_EBML_CUETIME = 0xB3
 
 
-def _read_vint(f, mask_marker: bool):
-    """Read an EBML variable-size integer. mask_marker strips the length
-    marker bit (sizes) or keeps it (IDs)."""
-    first = f.read(1)
-    if not first:
-        return None, 0
-    b0 = first[0]
-    if b0 == 0:
-        return None, 0
-    length = 1
-    probe = 0x80
-    while length <= 8 and not (b0 & probe):
-        probe >>= 1
-        length += 1
-    if length > 8:
-        return None, 0
-    value = b0 & (probe - 1) if mask_marker else b0
-    rest = f.read(length - 1)
-    if len(rest) < length - 1:
-        return None, 0
-    for byte in rest:
-        value = (value << 8) | byte
-    return value, length
+def _vint(f, keep_marker: bool) -> Optional[int]:
+    """EBML variable-size integer. Element IDs keep the length-marker bit
+    (``keep_marker``); sizes strip it."""
+    head = f.read(1)
+    if not head or head[0] == 0:
+        return None
+    # number of leading zero bits + 1 = total byte length
+    width = 9 - head[0].bit_length()
+    if width > 8:
+        return None
+    tail = f.read(width - 1)
+    if len(tail) != width - 1:
+        return None
+    raw = int.from_bytes(head + tail, "big")
+    if keep_marker:
+        return raw
+    return raw & ~(1 << (7 * width))
 
 
-def _read_ebml_id(f):
-    return _read_vint(f, mask_marker=False)
+def _elements(f, end: int) -> Iterator[Tuple[int, int, int]]:
+    """Yield ``(element_id, body_size, body_pos)`` until ``end``; the caller
+    decides whether to descend (leave position) or skip (seek past)."""
+    while f.tell() + 2 <= end:
+        eid = _vint(f, keep_marker=True)
+        if eid is None:
+            return
+        size = _vint(f, keep_marker=False)
+        if size is None:
+            return
+        yield eid, size, f.tell()
 
 
-def _read_ebml_size(f):
-    return _read_vint(f, mask_marker=True)
-
-
-def _read_uint(f, size: int) -> int:
-    data = f.read(size)
-    value = 0
-    for b in data:
-        value = (value << 8) | b
-    return value
+def _uint_payload(f, size: int) -> int:
+    return int.from_bytes(f.read(size), "big")
 
 
 def mkv_read_cues(path: str, fps: float, total_frames: int) -> List[int]:
-    """0-based keyframe frame indices from Matroska Cues (CueTime entries
-    scaled by TimestampScale → seconds → frames)."""
+    """0-based keyframe frame indices from Matroska Cues: CueTime ticks ×
+    TimestampScale → seconds → frames."""
     try:
         file_size = os.path.getsize(path)
     except OSError:
         return []
-    timestamp_scale = 1_000_000  # ns per tick default
-    cue_times: List[int] = []
+    ns_per_tick = 1_000_000
+    ticks: List[int] = []
     with open(path, "rb") as f:
-        # top level: find Segment
-        segment_end = file_size
-        while f.tell() + 2 <= file_size:
-            eid, _ = _read_ebml_id(f)
-            if eid is None:
-                return []
-            size, _ = _read_ebml_size(f)
-            if size is None:
-                return []
-            if eid == _ID_SEGMENT:
-                segment_start = f.tell()
-                segment_end = min(file_size, segment_start + size)
+        seg: Optional[Tuple[int, int]] = None
+        for eid, size, body in _elements(f, file_size):
+            if eid == _EBML_SEGMENT:
+                seg = (body, min(file_size, body + size))
                 break
-            f.seek(size, os.SEEK_CUR)
-        else:
+            f.seek(body + size)
+        if seg is None:
             return []
-
-        # walk Segment children
-        while f.tell() + 2 <= segment_end:
-            eid, _ = _read_ebml_id(f)
-            if eid is None:
-                break
-            size, _ = _read_ebml_size(f)
-            if size is None:
-                break
-            child_end = f.tell() + size
-            if eid == _ID_INFO:
-                while f.tell() + 2 <= child_end:
-                    iid, _ = _read_ebml_id(f)
-                    if iid is None:
-                        break
-                    isz, _ = _read_ebml_size(f)
-                    if isz is None:
-                        break
-                    if iid == _ID_TIMESTAMP_SCALE:
-                        timestamp_scale = _read_uint(f, isz)
+        f.seek(seg[0])
+        for eid, size, body in _elements(f, seg[1]):
+            if eid == _EBML_INFO:
+                for iid, isz, _ib in _elements(f, body + size):
+                    if iid == _EBML_TS_SCALE:
+                        ns_per_tick = _uint_payload(f, isz)
                     else:
                         f.seek(isz, os.SEEK_CUR)
-                f.seek(child_end)
-            elif eid == _ID_CUES:
-                while f.tell() + 2 <= child_end:
-                    cid, _ = _read_ebml_id(f)
-                    if cid is None:
-                        break
-                    csz, _ = _read_ebml_size(f)
-                    if csz is None:
-                        break
-                    point_end = f.tell() + csz
-                    if cid == _ID_CUEPOINT:
-                        while f.tell() + 2 <= point_end:
-                            pid, _ = _read_ebml_id(f)
-                            if pid is None:
-                                break
-                            psz, _ = _read_ebml_size(f)
-                            if psz is None:
-                                break
-                            if pid == _ID_CUETIME:
-                                cue_times.append(_read_uint(f, psz))
+            elif eid == _EBML_CUES:
+                for cid, csz, cb in _elements(f, body + size):
+                    if cid == _EBML_CUEPOINT:
+                        for pid, psz, _pb in _elements(f, cb + csz):
+                            if pid == _EBML_CUETIME:
+                                ticks.append(_uint_payload(f, psz))
                             else:
                                 f.seek(psz, os.SEEK_CUR)
-                        f.seek(point_end)
-                    else:
-                        f.seek(point_end)
-                f.seek(child_end)
-            else:
-                f.seek(child_end)
+                    f.seek(cb + csz)
+            f.seek(body + size)
 
-    if not cue_times or fps <= 0:
+    if not ticks or fps <= 0:
         return []
-    out = []
-    for t in sorted(set(cue_times)):
-        secs = t * timestamp_scale / 1e9
-        frame = int(round(secs * fps))
+    out = set()
+    for t in ticks:
+        frame = int(round(t * ns_per_tick / 1e9 * fps))
         if total_frames:
             frame = max(0, min(total_frames - 1, frame))
-        out.append(frame)
-    return sorted(set(out))
+        out.add(frame)
+    return sorted(out)
 
 
 def read_keyframes(path: str, fps: float, total_frames: int) -> List[int]:

@@ -169,3 +169,51 @@ def test_engine_releases_resources_on_failure(tmp_path):
     # the prefetch worker thread must be gone
     leaked = {t.name for t in threading.enumerate()} - before
     assert not any("pc.prefetch" in n for n in leaked), leaked
+
+
+def test_engine_repairs_zeroed_stream_metadata(tmp_path, monkeypatch):
+    """cv2 reports fps=0/total=0 on some MKV/stream files; the engine must
+    run the probe recovery chain instead of collapsing to a 1-frame run."""
+    import numpy as np
+
+    from person_capture_tpu.config import SessionConfig
+    from person_capture_tpu.core.bank import RefBank
+    from person_capture_tpu.pipeline.backends import OracleBackend
+    from person_capture_tpu.pipeline.engine import Engine
+    from person_capture_tpu.video import reader as R
+    from person_capture_tpu.video.synthetic import generate_video
+
+    sv_vid = generate_video(str(tmp_path / "z.mp4"), width=160, height=120,
+                            fps=30.0, total_frames=60, segments=[(5, 55, 0)])
+
+    real_meta = R.Cv2Reader.meta
+
+    def broken_meta(self):
+        m = real_meta(self)
+        m.fps = 0.0
+        m.total_frames = 0
+        return m
+
+    monkeypatch.setattr(R.Cv2Reader, "meta", broken_meta)
+    backend = OracleBackend(sv_vid)
+    cfg = SessionConfig()
+    cfg.video = sv_vid.path
+    cfg.out_dir = str(tmp_path / "out")
+    cfg.prescan_enable = False
+    cfg.curate_enable = False
+    cfg.frame_stride = 3
+    cfg.min_gap_sec = 0.3
+    cfg.tpu_batch_frames = 8
+    cfg.min_box_pixels = 50
+    cfg.face_quality_min = 0.0
+    cfg.min_sharpness = 0.0
+    bank = RefBank(cap=8)
+    bank.seed([backend.identity_feat(0)])
+    msgs = []
+    eng = Engine(cfg, backend, status=msgs.append)
+    res = eng.run(bank=bank)
+    assert res.ok, res.error
+    assert any("repaired stream metadata" in m for m in msgs)
+    # the whole span was processed, not a single frame
+    assert res.mainpass.frames_decoded > 10
+    assert len(res.mainpass.hits) > 0

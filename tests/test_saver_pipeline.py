@@ -132,3 +132,52 @@ def test_exporter_begin_finish_roundtrip(tmp_path):
     a = cv2.imread(str(tmp_path / "two.png"))
     b = cv2.imread(str(tmp_path / "one.png"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_close_drains_backlog_beyond_any_fixed_join_cap(tmp_path):
+    """close() must drain a large queued backlog as long as progress is
+    being made (a fixed 60s join cap dropped the tail and closed the CSV
+    under the worker, silently losing exports)."""
+    import time as _time
+
+    import numpy as np
+
+    from person_capture_tpu.pipeline.saver import AsyncSaver, SaveItem
+
+    n = 40
+    with AsyncSaver(str(tmp_path), async_save=True) as sv:
+        for i in range(n):
+            img = np.full((8, 8, 3), i % 255, np.uint8)
+            sv.submit(SaveItem(
+                img, str(tmp_path / f"b{i}.jpg"),
+                csv_row=[i, "0.0", "", "", "", 0, 0, 1, 1,
+                         f"b{i}.jpg", "", "1:1"]))
+        # leave the with-block immediately: close() drains
+    assert len(sv.saved) == n and not sv.errors
+    import csv as _csv
+
+    with open(tmp_path / "index.csv") as fh:
+        rows = list(_csv.reader(fh))
+    assert len(rows) == n + 1
+
+
+def test_csv_rows_flushed_periodically(tmp_path):
+    """index.csv must not buffer the whole run in memory: rows hit disk
+    every flush_every writes (reference flushes periodically too)."""
+    import numpy as np
+
+    from person_capture_tpu.pipeline.saver import AsyncSaver, SaveItem
+
+    sv = AsyncSaver(str(tmp_path), async_save=True)
+    sv._csv_flush_every = 2
+    for i in range(4):
+        sv.submit(SaveItem(np.full((8, 8, 3), 10, np.uint8),
+                           str(tmp_path / f"f{i}.jpg"),
+                           csv_row=[i, "0.0", "", "", "", 0, 0, 1, 1,
+                                    f"f{i}.jpg", "", "1:1"]))
+    sv.wait_empty()
+    # read WITHOUT closing: flushed rows are on disk already
+    with open(tmp_path / "index.csv") as fh:
+        on_disk = fh.read().strip().splitlines()
+    assert len(on_disk) >= 1 + 2   # header + at least one flush batch
+    sv.close()

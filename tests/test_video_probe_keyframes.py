@@ -13,13 +13,17 @@ def _box(typ: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + typ + payload
 
 
-def _make_minimal_mp4(stss_samples):
-    """Hand-build an MP4 with moov/trak/mdia/{hdlr,minf/stbl/stss}."""
+def _make_minimal_mp4(stss_samples, sample_count=0):
+    """Hand-build an MP4 with moov/trak/mdia/{hdlr,minf/stbl/stss[,stsz]}."""
     stss_payload = (b"\x00\x00\x00\x00"
                     + struct.pack(">I", len(stss_samples))
                     + b"".join(struct.pack(">I", s) for s in stss_samples))
-    stss = _box(b"stss", stss_payload)
-    stbl = _box(b"stbl", stss)
+    stbl_payload = _box(b"stss", stss_payload)
+    if sample_count:
+        # stsz: version/flags + sample_size(0 = per-sample) + sample_count
+        stbl_payload += _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0,
+                                                                sample_count))
+    stbl = _box(b"stbl", stbl_payload)
     minf = _box(b"minf", stbl)
     hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
     mdia = _box(b"mdia", hdlr + minf)
@@ -31,21 +35,31 @@ def _make_minimal_mp4(stss_samples):
 
 def test_mp4_stss_parse(tmp_path):
     # samples are 1-based in the container; output is 0-based
-    data = _make_minimal_mp4([1, 31, 61, 91])
+    data = _make_minimal_mp4([1, 31, 61, 91], sample_count=90)
     p = tmp_path / "t.mp4"
     p.write_bytes(data)
-    # total_frames=90 == max_sample-1: no rescale branch
     out = K.mp4_read_stss(str(p), 90)
-    assert out == [0, 30, 60, 89]
+    assert out == [0, 30, 60, 89]   # 91 clamps into range
 
 
-def test_mp4_stss_rescale(tmp_path):
-    data = _make_minimal_mp4([1, 51, 101])
+def test_mp4_stss_rescale_on_sample_count_mismatch(tmp_path):
+    # container track says 101 samples, decoder says 200 frames -> scale ×2
+    data = _make_minimal_mp4([1, 51, 101], sample_count=101)
     p = tmp_path / "t.mp4"
     p.write_bytes(data)
-    # container says 101 samples, decoder says 200 frames -> scale ×2
     out = K.mp4_read_stss(str(p), 200)
     assert out[0] <= 2 and abs(out[1] - 100) <= 2 and abs(out[2] - 199) <= 2
+
+
+def test_mp4_stss_no_stretch_on_normal_gop(tmp_path):
+    """A normal GOP file (sample count == frame count) must return the sync
+    samples VERBATIM: the old last-keyframe-vs-total heuristic stretched
+    [0,250,500,750] to [0,332,665,999] on every ordinary mp4, sending
+    smart_seek to slow mid-GOP positions."""
+    data = _make_minimal_mp4([1, 251, 501, 751], sample_count=1000)
+    p = tmp_path / "t.mp4"
+    p.write_bytes(data)
+    assert K.mp4_read_stss(str(p), 1000) == [0, 250, 500, 750]
 
 
 def test_mp4_no_moov(tmp_path):
