@@ -47,6 +47,11 @@ class RefBank:
     replace_margin: float = 0.010
     weights: Tuple[float, float, float] = (0.70, 0.25, 0.05)  # anchor, div, quality
     vectors: List[np.ndarray] = field(default_factory=list)
+    # embedding width used by padded() BEFORE any vector is seeded; the
+    # bundled synthetic ArcFace is 256-D while real w600k/glintr100
+    # checkpoints are 512-D, so callers warming a jitted program against an
+    # empty bank must set this to their backend's embed_dim
+    dim: Optional[int] = None
 
     # -- views ----------------------------------------------------------
     @property
@@ -58,15 +63,18 @@ class RefBank:
             return None
         return np.vstack(self.vectors).astype(np.float32)
 
-    def padded(self, cap: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    def padded(self, cap: Optional[int] = None,
+               dim: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         """Fixed-shape device view: ``([cap, D] float32, [cap] bool mask)``.
         Rows beyond ``size`` are zero (cos sim 0 → fd 1, never a best match
-        thanks to the mask)."""
+        thanks to the mask). D comes from the seeded vectors, else ``dim`` /
+        ``self.dim`` (512 only as a last-resort classic-ArcFace default —
+        wrong for the bundled 256-D synthetic embedder, so set ``dim``)."""
         cap = int(cap or self.cap)
         if self.vectors:
             d = self.vectors[0].shape[-1]
         else:
-            d = 512
+            d = int(dim or self.dim or 512)
         out = np.zeros((cap, d), np.float32)
         mask = np.zeros((cap,), bool)
         n = min(cap, len(self.vectors))

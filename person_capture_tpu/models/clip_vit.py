@@ -116,12 +116,21 @@ def init_clip(key, cfg: ClipVitConfig, dtype=jnp.float32):
 
 
 def encode_images(model: ClipViT, variables, crops_bgr):
-    """Embed BGR uint8/float crops ``[N, H, W, 3]`` (any size; resized to the
-    tower's input) → L2-normalized float32 ``[N, D]``."""
+    """Embed BGR uint8/float crops ``[N, H, W, 3]`` (any size; ingested to
+    the tower's input like the reference's open_clip preprocess — shortest
+    side resized to ``image_size`` then center-cropped, reid_embedder.py:34)
+    → L2-normalized float32 ``[N, D]``. Shapes are static per compiled
+    program, so the aspect-preserving branch stays jittable."""
     s = model.cfg.image_size
     x = crops_bgr.astype(jnp.float32)
-    if x.shape[1] != s or x.shape[2] != s:
-        x = resize_bilinear(x, s, s)
+    h, w = int(x.shape[1]), int(x.shape[2])
+    if (h, w) != (s, s):
+        scale = s / min(h, w)
+        nh, nw = max(s, int(h * scale)), max(s, int(w * scale))
+        x = resize_bilinear(x, nh, nw)
+        y0 = int(round((nh - s) / 2.0))
+        x0 = int(round((nw - s) / 2.0))
+        x = x[:, y0:y0 + s, x0:x0 + s]
     x = normalize_clip(x).astype(model.dtype)
     emb = model.apply(variables, x).astype(jnp.float32)
     norm = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-10)

@@ -206,10 +206,6 @@ def load_clip_torch(variables, cfg, src: Dict[str, np.ndarray],
         put((ln, "bias"), take(f"{tname}.bias"), params[ln]["bias"])
     put(("proj",), take("proj"), params["proj"])
 
-    def maybe_t(t, in_dim):
-        # torch linear [out, in] → flax [in, out]
-        return np.transpose(t, (1, 0)) if t.shape[-1] == in_dim else t
-
     for i in range(cfg.layers):
         b = f"block_{i}"
         t = f"transformer.resblocks.{i}"

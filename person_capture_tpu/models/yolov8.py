@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..ops.nms import nms_select
 from ..ops.preprocess import normalize_yolo
+from .layers import upsample2x
 
 
 @dataclass(frozen=True)
@@ -118,11 +119,6 @@ class SPPF(nn.Module):
             jnp.concatenate([y, p1, p2, p3], axis=-1), train)
 
 
-def _upsample2x(x):
-    x = jnp.repeat(x, 2, axis=1)
-    return jnp.repeat(x, 2, axis=2)
-
-
 class YoloV8(nn.Module):
     cfg: YoloConfig
     dtype: Any = jnp.float32
@@ -145,9 +141,9 @@ class YoloV8(nn.Module):
         p5 = SPPF(w4, dtype=self.dtype)(x, train)
         # PAN neck
         u4 = C2f(w3, d1, shortcut=False, dtype=self.dtype)(
-            jnp.concatenate([_upsample2x(p5), p4], axis=-1), train)
+            jnp.concatenate([upsample2x(p5), p4], axis=-1), train)
         u3 = C2f(w2, d1, shortcut=False, dtype=self.dtype)(
-            jnp.concatenate([_upsample2x(u4), p3], axis=-1), train)
+            jnp.concatenate([upsample2x(u4), p3], axis=-1), train)
         d4_ = C2f(w3, d1, shortcut=False, dtype=self.dtype)(
             jnp.concatenate([ConvSiLU(w2, 3, 2, dtype=self.dtype)(u3, train),
                              u4], axis=-1), train)
@@ -257,11 +253,17 @@ def detect_faces_yolo(model: YoloV8, variables, frames_bgr, det_scales,
 
 
 def detect_persons(model: YoloV8, variables, frames_bgr, det_scales,
-                   conf: float = 0.35, max_det: int | None = None):
+                   conf: float = 0.35, max_det: int | None = None,
+                   clip_hw: Tuple[int, int] | None = None):
     """Fused person detection over a letterboxed batch.
 
     Returns dict: boxes ``[B, K, 4]`` (original coords), scores ``[B, K]``,
     mask ``[B, K]`` — person (class 0) only, like the reference detector.
+    ``clip_hw`` (source frame height/width) clamps boxes to frame bounds
+    like the ultralytics ``scale_boxes`` path the reference goes through
+    (detectors.py:271-296 → res.boxes.xyxy): edge-of-frame regressions
+    must not report out-of-frame extents, or downstream area/IoU/ratio
+    logic diverges from the reference.
     """
     cfg = model.cfg
     max_det = int(max_det or cfg.max_det)
@@ -287,5 +289,9 @@ def detect_persons(model: YoloV8, variables, frames_bgr, det_scales,
 
     b_out, s_out, m_out = jax.vmap(per_frame)(boxes, scores, valid)
     inv = 1.0 / jnp.maximum(det_scales.astype(jnp.float32), 1e-9)
-    return {"boxes": b_out * inv[:, None, None], "scores": s_out,
-            "mask": m_out}
+    b_out = b_out * inv[:, None, None]
+    if clip_hw is not None:
+        h, w = clip_hw
+        lim = jnp.asarray([w, h, w, h], jnp.float32)
+        b_out = jnp.clip(b_out, 0.0, lim)
+    return {"boxes": b_out, "scores": s_out, "mask": m_out}

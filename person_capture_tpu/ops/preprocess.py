@@ -93,8 +93,14 @@ def batch_letterbox_topleft(frames, size: int):
 
 
 def crop_and_resize(frame, box_xyxy, out_h: int, out_w: int):
-    """Differentiable fixed-size crop+resize of a dynamic box (bilinear),
-    used for lock-ROI probes and person-box face extraction on device.
+    """Differentiable fixed-size crop+resize of a dynamic box (bilinear).
+
+    Currently unused by the production pipeline: lock-ROI probes and
+    person-box face extraction crop on HOST (pipeline/mainpass.py) because
+    the boxes are data-dependent and the gather-based device formulation
+    serializes on TPU (~15 ns/element — CLAUDE.md). Kept as the
+    device-side building block for co-located hosts where the transfer,
+    not the gather, dominates.
 
     Args:
       frame: ``[H, W, C]``.

@@ -13,8 +13,9 @@ import numpy as np
 
 
 def bgr_to_gray_jnp(bgr):
-    """BT.601 luma of a float/uint8 BGR array ``[..., 3]`` with cv2-style
-    round-half-away-from-zero for uint8 inputs."""
+    """BT.601 luma of a float/uint8 BGR array ``[..., 3]``, unrounded —
+    callers emulating cv2's uint8 gray plane round separately (see
+    ``chip_quality``)."""
     b = bgr[..., 0].astype(jnp.float32)
     g = bgr[..., 1].astype(jnp.float32)
     r = bgr[..., 2].astype(jnp.float32)
@@ -44,7 +45,10 @@ def chip_quality(chips_bgr):
     """Quality score for ``[..., H, W, 3]`` BGR chips (Laplacian variance of
     the rounded uint8-style gray plane, matching the host path)."""
     y = bgr_to_gray_jnp(chips_bgr)
-    y = jnp.clip(jnp.round(y), 0.0, 255.0)
+    # cv2's fixed-point BGR→gray rounds half UP (away from zero for the
+    # non-negative luma); jnp.round would round half to even and disagree
+    # with the host oracle by 1 LSB exactly on .5 values
+    y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0)
     return laplacian_variance(y)
 
 

@@ -532,7 +532,8 @@ class YoloPersonBackend:
             padded, scales = jax.vmap(
                 lambda f: letterbox_topleft(f, self.det_size))(frames)
             return Y.detect_persons(self.model, self.variables, padded,
-                                    scales, conf, self.max_det)
+                                    scales, conf, self.max_det,
+                                    clip_hw=frames.shape[1:3])
 
         self._fused = fused
         self._jnp = jnp
@@ -605,14 +606,32 @@ class ClipReidBackend:
         self._size = size
 
     def extract(self, crops) -> np.ndarray:
-        """crops: list of HxWx3 BGR arrays → [N, D] float32 normalized."""
+        """crops: list of HxWx3 BGR arrays → [N, D] float32 normalized.
+
+        Preprocess matches the reference's open_clip transform
+        (reid_embedder.py:34,47: ``Resize(shortest side → 224, bicubic)``
+        then ``CenterCrop(224)``) — a squash resize would aspect-distort
+        the typical tall person crop and systematically shift embeddings
+        vs thresholds tuned on reference behavior.
+        """
         import cv2
 
         if not crops:
             return np.zeros((0, self.embed_dim), np.float32)
         s = self._size
-        resized = [cv2.resize(c, (s, s), interpolation=cv2.INTER_AREA)
-                   if c.shape[:2] != (s, s) else c for c in crops]
+
+        def preprocess(c):
+            h, w = c.shape[:2]
+            if (h, w) == (s, s):
+                return c
+            scale = s / min(h, w)
+            nw, nh = max(s, int(w * scale)), max(s, int(h * scale))
+            r = cv2.resize(c, (nw, nh), interpolation=cv2.INTER_CUBIC)
+            y0 = int(round((nh - s) / 2.0))
+            x0 = int(round((nw - s) / 2.0))
+            return r[y0:y0 + s, x0:x0 + s]
+
+        resized = [preprocess(c) for c in crops]
         out = []
         for i in range(0, len(resized), self.batch):
             chunk = resized[i:i + self.batch]

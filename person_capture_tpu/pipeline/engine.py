@@ -175,7 +175,8 @@ class Engine:
         bank = RefBank(cap=cfg.prescan_bank_max,
                        dedup_cos=cfg.prescan_diversity_dedup_cos,
                        replace_margin=cfg.prescan_replace_margin,
-                       weights=tuple(cfg.prescan_weights))
+                       weights=tuple(cfg.prescan_weights),
+                       dim=getattr(self.backend, "embed_dim", None))
         from .backends import extract_single_image
 
         det = int(getattr(self.backend, "det_size", 0) or 640)

@@ -57,3 +57,41 @@ def test_clip_tiny_embedding():
     np.testing.assert_allclose(emb, emb2, atol=1e-6)
     other = np.asarray(encode(crops + 50.0))
     assert np.abs(emb - other).max() > 1e-4
+
+
+def test_yolo_boxes_clipped_to_frame(yolo_tiny):
+    """detect_persons(clip_hw=...) clamps edge regressions to frame bounds
+    like the reference's ultralytics scale_boxes path (detectors.py:271)."""
+    model, variables, _ = yolo_tiny
+    rng = np.random.default_rng(3)
+    # square letterboxed canvas (production always letterboxes to det_size);
+    # clip_hw carries the pre-letterbox source bounds
+    frames = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)), jnp.float32)
+    out = Y.detect_persons(model, variables, frames, jnp.ones((2,)),
+                           conf=0.0, clip_hw=(48, 64))
+    b = np.asarray(out["boxes"])[np.asarray(out["mask"])]
+    assert b.size  # conf=0 guarantees detections even at random init
+    assert (b[:, 0] >= 0).all() and (b[:, 1] >= 0).all()
+    assert (b[:, 2] <= 64).all() and (b[:, 3] <= 48).all()
+    # without clip_hw at least one random-init box regresses out of frame
+    raw = Y.detect_persons(model, variables, frames, jnp.ones((2,)),
+                           conf=0.0)
+    rb = np.asarray(raw["boxes"])[np.asarray(raw["mask"])]
+    assert ((rb[:, 0] < 0) | (rb[:, 1] < 0) |
+            (rb[:, 2] > 64) | (rb[:, 3] > 48)).any()
+
+
+def test_clip_ingress_center_crops_not_squash():
+    """Non-square inputs take the open_clip Resize+CenterCrop path
+    (reid_embedder.py:34): a tall crop's output must equal encoding the
+    center square, not the squashed full extent."""
+    model, variables = CV.init_clip(jax.random.PRNGKey(1), CV.TINY)
+    s = model.cfg.image_size
+    rng = np.random.default_rng(4)
+    tall = rng.integers(0, 255, (1, 3 * s, s, 3)).astype(np.float32)
+    emb_tall = np.asarray(CV.encode_images(model, variables,
+                                           jnp.asarray(tall)))
+    center = tall[:, s:2 * s]
+    emb_center = np.asarray(CV.encode_images(model, variables,
+                                             jnp.asarray(center)))
+    np.testing.assert_allclose(emb_tall, emb_center, atol=1e-5)
