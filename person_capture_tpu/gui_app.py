@@ -53,16 +53,21 @@ class EngineBridge(QtCore.QObject):
     def start(self):
         if self._thread is not None and self._thread.is_alive():
             return
+        # the Engine exists BEFORE the worker thread spins up so that
+        # pause/stop/seek clicked during the (slow) backend compile are not
+        # silently dropped; the heavy backend build itself stays on the
+        # worker thread via LazyBackend (first extract triggers the factory)
+        from .pipeline.backends import LazyBackend
+
+        self._engine = Engine(
+            self.cfg, LazyBackend(self._backend_factory),
+            status=self.status.emit,
+            progress=self.progress.emit,
+            on_hit=self.hit.emit,
+            on_preview=lambda img, idx: self.preview.emit(img, idx))
 
         def run():
             try:
-                backend = self._backend_factory()
-                self._engine = Engine(
-                    self.cfg, backend,
-                    status=self.status.emit,
-                    progress=self.progress.emit,
-                    on_hit=self.hit.emit,
-                    on_preview=lambda img, idx: self.preview.emit(img, idx))
                 result = self._engine.run()
                 self.finished.emit(result.ok, result.error)
             except Exception as e:  # noqa: BLE001
@@ -428,14 +433,20 @@ class MainWindow(QtWidgets.QMainWindow):
             self.cur_result.appendPlainText("select pool dir and reference")
             return
 
+        # widget values are read on the UI thread; the worker only sees
+        # plain strings
+        max_images = str(self.cur_max.value())
+        fd_gate = str(self.cur_fd_gate.value())
+        lam = str(self.cur_lambda.value())
+
         def run():
             try:
                 from .curator.__main__ import main as curate_main
 
                 rc = curate_main(["--pool", pool, "--out", out, "--ref", ref,
-                                  "--max-images", str(self.cur_max.value()),
-                                  "--fd-gate", str(self.cur_fd_gate.value()),
-                                  "--lambda", str(self.cur_lambda.value())])
+                                  "--max-images", max_images,
+                                  "--fd-gate", fd_gate,
+                                  "--lambda", lam])
                 QtCore.QMetaObject.invokeMethod(
                     self.cur_result, "appendPlainText",
                     QtCore.Qt.QueuedConnection,
@@ -552,17 +563,50 @@ class MainWindow(QtWidgets.QMainWindow):
             idx = self.match_mode.findText(self.cfg.match_mode)
             if idx >= 0:
                 self.match_mode.setCurrentIndex(idx)
+            self.prescan_enable.setChecked(self.cfg.prescan_enable)
+            self.curate_enable.setChecked(self.cfg.curate_enable)
+            # refresh the generated settings tab too — _collect_cfg reads
+            # every generated widget back, so stale controls would silently
+            # overwrite the loaded preset at Start (reference _apply_cfg,
+            # gui_app.py:16592)
+            self._apply_cfg_to_widgets()
+
+    def _apply_cfg_to_widgets(self):
+        for name, (w, default, kind) in getattr(self, "_field_widgets",
+                                                {}).items():
+            value = getattr(self.cfg, name, default)
+            if kind == "check":
+                w.setChecked(bool(value))
+            elif kind == "int":
+                w.setValue(int(value))
+            elif kind == "float":
+                w.setValue(float(value))
+            else:
+                w.setText(", ".join(str(v) for v in value)
+                          if isinstance(value, tuple) else str(value))
 
     def _check_updates(self):
+        """Network check/fetch runs off the UI thread (the reference's
+        UpdateManager is async for the same reason); log lines marshal back
+        through the queued-connection invoke."""
         from . import updater
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        mgr = updater.UpdateManager(repo, status=self._log)
-        avail, detail = mgr.check()
-        self._log(f"update available: {avail} ({detail})")
-        if avail:
-            ok, d = mgr.perform()
-            self._log(f"update: {d}; restart to apply")
+
+        def log(msg):
+            QtCore.QMetaObject.invokeMethod(
+                self.log_pane, "appendPlainText", QtCore.Qt.QueuedConnection,
+                QtCore.Q_ARG(str, str(msg)))
+
+        def run():
+            mgr = updater.UpdateManager(repo, status=log)
+            avail, detail = mgr.check()
+            log(f"update available: {avail} ({detail})")
+            if avail:
+                _ok, d = mgr.perform()
+                log(f"update: {d}; restart to apply")
+
+        threading.Thread(target=run, daemon=True, name="pc.update").start()
 
     # ------------------------------------------------------------------
     def _restore_settings(self):

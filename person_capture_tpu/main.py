@@ -105,6 +105,8 @@ def build_config(args, ap):
     flag("face_det_conf", "face_det_conf")
     flag("prescan", "prescan_enable")
     flag("batch", "tpu_batch_frames")
+    flag("mesh", "tpu_mesh")
+    flag("compute_dtype", "tpu_compute_dtype")
 
     # --set KEY=VALUE: typed override of any SessionConfig field (applied
     # last; replaces the reference's env-var side channel for one-offs)
@@ -132,6 +134,39 @@ def build_config(args, ap):
     return cfg
 
 
+def resolve_yolo(yolo_model: str, dtype=None):
+    """Resolve the person-detector spec to (yolo_cfg, weights).
+
+    Bundled synthetic-trained weights for known names; a user-supplied
+    checkpoint path loads for real (ultralytics .pt via
+    models/loaders.load_yolov8_torch, flax .npz via the zoo). A spec that
+    resolves to nothing raises — never a silent random-init run."""
+    from .models import yolov8 as YV
+    from .models.zoo import BUNDLED, resolve_weights
+
+    yolo_spec = str(yolo_model or "yolov8n.pt")
+    yolo_name = (os.path.splitext(os.path.basename(yolo_spec))[0]
+                 .replace("-", "_")) or "yolov8n"
+    yolo_cfg = YV.CONFIGS.get(yolo_name, YV.YOLOV8N)
+    if os.path.isfile(yolo_spec):
+        if yolo_spec.lower().endswith((".pt", ".pth")):
+            import jax as _jax
+
+            from .models.loaders import load_yolov8_torch
+            from .tools.convert_weights import torch_param_dict
+
+            _m, _v = YV.init_yolo(_jax.random.PRNGKey(0), yolo_cfg,
+                                  size=640, dtype=dtype)
+            return yolo_cfg, load_yolov8_torch(
+                _v, yolo_cfg, torch_param_dict(yolo_spec), strict=True)
+        return yolo_cfg, resolve_weights(yolo_spec, yolo_name)
+    if yolo_name not in BUNDLED:
+        raise FileNotFoundError(
+            f"--yolo {yolo_spec!r}: not a file and no bundled weights "
+            f"for {yolo_name!r}")
+    return yolo_cfg, resolve_weights("auto", yolo_name)
+
+
 def main(argv=None) -> int:
     ap = build_parser()
     args = ap.parse_args(argv)
@@ -146,9 +181,12 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    cfg.tpu_mesh = args.mesh
-    cfg.tpu_compute_dtype = args.compute_dtype
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    # mesh/dtype flags flow through build_config like every other flag, so
+    # the documented precedence (preset < explicit flags < --set) holds for
+    # them too; read the post-override values back from cfg
+    mesh_spec = cfg.tpu_mesh
+    dtype = (jnp.bfloat16 if cfg.tpu_compute_dtype == "bfloat16"
+             else jnp.float32)
     from .models.zoo import resolve_weights
 
     # face detector config: SCRFD names resolve from models/scrfd.py;
@@ -193,14 +231,20 @@ def main(argv=None) -> int:
         import jax as _jax
         _m, _v = AF.init_arcface(_jax.random.PRNGKey(0), arc_cfg, dtype=dtype)
         arc_w = load_checkpoint(args.arcface_weights, "arcface", _v, arc_cfg)
-    if args.mesh:
+    clip_face_cfg = None
+    if not cfg.use_arcface:
+        from .models import clip_vit as CV
+
+        clip_face_cfg = CV.CONFIGS.get(cfg.clip_face_backbone)
+    if mesh_spec:
         from .pipeline.backends import ShardedScrfdArcFaceBackend
 
         backend = ShardedScrfdArcFaceBackend(
-            mesh_spec=args.mesh,
+            mesh_spec=mesh_spec,
             scrfd_cfg=face_cfg,
             arcface_cfg=arc_cfg,
             det_size=args.det_size, score_thresh=cfg.face_det_conf,
+            max_faces=cfg.tpu_max_faces,
             dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
     else:
         backend = ScrfdArcFaceBackend(
@@ -209,9 +253,7 @@ def main(argv=None) -> int:
             det_size=args.det_size, score_thresh=cfg.face_det_conf,
             max_faces=cfg.tpu_max_faces,
             use_arcface=cfg.use_arcface,
-            clip_face_cfg=None if cfg.use_arcface else __import__(
-                "person_capture_tpu.models.clip_vit", fromlist=["CONFIGS"]
-            ).CONFIGS.get(cfg.clip_face_backbone),
+            clip_face_cfg=clip_face_cfg,
             dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
 
     # batched recovery ladder (rotations / scale-TTA / edge-pad) around the
@@ -236,24 +278,31 @@ def main(argv=None) -> int:
             and int(cfg.face_fullframe_imgsz) > int(args.det_size)):
         from .pipeline.backends import LazyBackend
 
-        if args.mesh:
+        if mesh_spec:
             from .pipeline.backends import ShardedScrfdArcFaceBackend
 
             fullframe_backend = LazyBackend(
                 lambda: ShardedScrfdArcFaceBackend(
-                    mesh_spec=args.mesh,
+                    mesh_spec=mesh_spec,
                     scrfd_cfg=face_cfg,
                     arcface_cfg=arc_cfg,
                     det_size=int(cfg.face_fullframe_imgsz),
                     score_thresh=cfg.face_det_conf,
+                    max_faces=cfg.tpu_max_faces,
                     dtype=dtype, scrfd_weights=scrfd_w,
                     arcface_weights=arc_w))
         else:
+            # mirror the primary backend's embedding configuration — a
+            # CLIP-face primary with an ArcFace rescue would score the
+            # same RefBank in two incompatible embedding spaces
             fullframe_backend = LazyBackend(lambda: ScrfdArcFaceBackend(
                 scrfd_cfg=face_cfg,
                 arcface_cfg=arc_cfg,
                 det_size=int(cfg.face_fullframe_imgsz),
                 score_thresh=cfg.face_det_conf,
+                max_faces=cfg.tpu_max_faces,
+                use_arcface=cfg.use_arcface,
+                clip_face_cfg=clip_face_cfg,
                 dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w))
 
     # person/ReID backends only when the requested mode needs them
@@ -262,12 +311,12 @@ def main(argv=None) -> int:
     if cfg.match_mode != "face_only" or not cfg.skip_yolo_when_faceonly:
         from .pipeline.backends import YoloPersonBackend
 
-        # bundled synthetic-trained weights by default; a user-supplied
-        # ultralytics .pt converts via models/loaders.py
-        yolo_name = os.path.splitext(os.path.basename(cfg.yolo_model))[0]
+        try:
+            yolo_cfg, yolo_w = resolve_yolo(cfg.yolo_model, dtype=dtype)
+        except FileNotFoundError as e:
+            ap.error(str(e))
         person_backend = YoloPersonBackend(
-            conf=cfg.min_det_conf,
-            weights=resolve_weights("auto", yolo_name or "yolov8n"))
+            cfg=yolo_cfg, conf=cfg.min_det_conf, weights=yolo_w)
     if cfg.match_mode in ("either", "both", "reid_only"):
         from .models import clip_vit as CV
         from .pipeline.backends import ClipReidBackend

@@ -203,6 +203,7 @@ class Engine:
 
     def run(self, bank: Optional[RefBank] = None) -> EngineResult:
         cfg = self.cfg
+        self._last_frame_t = 0.0
         try:
             ref_paths = [p for p in str(cfg.ref).split(";") if p] if cfg.ref else []
             if bank is None:
@@ -214,7 +215,8 @@ class Engine:
             from ..video.probe import detect_hdr as _detect_hdr
             from ..video.reader import open_analysis_reader
 
-            src_is_hdr = _detect_hdr(cfg.video).is_hdr
+            hdr_info = _detect_hdr(cfg.video)
+            src_is_hdr = hdr_info.is_hdr
 
             def _open_analysis(max_w=0, prefer_ffmpeg=False):
                 # HDR sources reach the detectors tone-mapped (reference
@@ -307,13 +309,13 @@ class Engine:
                 spans = [(0, max(0, meta.total_frames - 1))]
 
             from ..video.keyframes import read_keyframes
-            from ..video.probe import detect_hdr
 
             keyframes = read_keyframes(cfg.video, meta.fps,
                                        meta.total_frames)
             hdr_exporter = None
             preview_p010 = None
-            hdr_info = detect_hdr(cfg.video)
+            # hdr_info probed once above — re-probing here could disagree
+            # mid-run if a force env var changed between the two calls
             if hdr_info.is_hdr and cfg.hdr_screencap_fullres:
                 try:
                     from ..hdr.exporter import (FfmpegP010Source,
@@ -423,6 +425,16 @@ class Engine:
             self._release_run_resources()
             return EngineResult(False, [], None, None,
                                 f"{e}\n{traceback.format_exc()}")
+        finally:
+            # reset per-run command state ON EXIT: an Engine is reusable
+            # across runs (see _release_run_resources), so a stop()/step()
+            # from this run must not make the next one exit immediately.
+            # Clearing on exit (not entry) keeps a stop() issued
+            # concurrently with start() effective. pause (like speed) is a
+            # persistent toggle — a run may start pre-paused and be stepped
+            self._stop.clear()
+            self._steps = 0
+            self._seek_target = None
 
     def _release_run_resources(self) -> None:
         """Release decoder processes / prefetch threads / P010 pipes opened

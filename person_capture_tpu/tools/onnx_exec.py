@@ -667,16 +667,18 @@ def _avg_pool(node, vals):
     import jax.numpy as jnp
 
     x = vals[0]
-    kernel, strides, _, pairs = _pool_prep(node, x)
+    kernel, strides, dilations, pairs = _pool_prep(node, x)
     window = (1, 1, *kernel)
     wstrides = (1, 1, *strides)
+    wdil = (1, 1, *dilations)
     wpad = [(0, 0), (0, 0), *pairs]
-    sums = lax.reduce_window(x, 0.0, lax.add, window, wstrides, padding=wpad)
+    sums = lax.reduce_window(x, 0.0, lax.add, window, wstrides,
+                             window_dilation=wdil, padding=wpad)
     if int(node.attrs.get("count_include_pad", 0)):
         return sums / float(np.prod(kernel))
     ones = jnp.ones(x.shape[2:], x.dtype)[None, None]
     counts = lax.reduce_window(ones, 0.0, lax.add, window, wstrides,
-                               padding=wpad)
+                               window_dilation=wdil, padding=wpad)
     return sums / counts
 
 

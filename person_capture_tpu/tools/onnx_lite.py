@@ -142,7 +142,12 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
     elif ints64 and dtype == np.int64:
         arr = np.asarray(ints64, np.int64)
     elif ints32:
-        arr = np.asarray(ints32, np.int64).astype(dtype)
+        if dtype == np.float16:
+            # TensorProto stores float16 in int32_data as raw uint16 bit
+            # patterns (ONNX spec), not numeric values
+            arr = np.asarray(ints32, np.uint16).view(np.float16)
+        else:
+            arr = np.asarray(ints32, np.int64).astype(dtype)
     else:
         arr = np.zeros(shape, dtype)
     # always reshape: scalar tensors (dims == ()) must come back 0-d
@@ -302,7 +307,8 @@ def parse_onnx(path: str) -> OnnxGraph:
                     domain = bytes(ov).decode("utf-8", errors="replace")
                 elif of == 2 and ow == 0:
                     version = int(ov)
-            if domain == "" and version is not None:
+            # "ai.onnx" is spec-equivalent to the default "" domain
+            if domain in ("", "ai.onnx") and version is not None:
                 opset = version
         elif field == 7 and wire == 2:          # ModelProto.graph
             for gfield, gwire, gval in _fields(val):

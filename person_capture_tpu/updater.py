@@ -20,6 +20,23 @@ from typing import Callable, List, Optional, Tuple
 
 PRESERVE_DIRS = ("output", "prescan_cache", "trt_cache", ".ultralytics")
 STAGE_FLAG = ".pc_staged_update.json"
+INSTALLED_META = ".pc_installed_release.json"
+
+
+def installed_release_tag(repo_dir: str) -> str:
+    """Tag of the last release applied through the staged-ZIP path (empty
+    when none was). Non-git installs have no other durable version marker —
+    __version__ never matches release tag formats, so check() would report
+    an already-applied release as available forever without this."""
+    try:
+        with open(os.path.join(repo_dir, INSTALLED_META)) as fh:
+            return str(json.load(fh).get("tag", ""))
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return ""
+
+
+def _norm_tag(tag: str) -> str:
+    return tag.strip().lstrip("vV")
 
 
 def current_version(repo_dir: str) -> str:
@@ -127,16 +144,38 @@ def apply_staged_update(repo_dir: str) -> Tuple[bool, str]:
         return False, "stage_dir_missing"
 
     old_requirements = _read(os.path.join(repo_dir, "requirements.txt"))
-    for name in os.listdir(root):
-        if name in PRESERVE_DIRS or name == STAGE_FLAG:
-            continue
-        src = os.path.join(root, name)
-        dst = os.path.join(repo_dir, name)
-        if os.path.isdir(src):
-            shutil.copytree(src, dst, dirs_exist_ok=True)
-        else:
-            shutil.copy2(src, dst)
+    name = ""
+    try:
+        for name in os.listdir(root):
+            if name in PRESERVE_DIRS or name == STAGE_FLAG:
+                continue
+            src = os.path.join(root, name)
+            dst = os.path.join(repo_dir, name)
+            if os.path.isdir(src):
+                if os.path.isfile(dst):    # file → dir in the new release
+                    os.remove(dst)
+                shutil.copytree(src, dst, dirs_exist_ok=True)
+            else:
+                if os.path.isdir(dst):     # dir → file in the new release
+                    shutil.rmtree(dst)
+                shutil.copy2(src, dst)
+    except (OSError, shutil.Error) as e:
+        # report, never raise (updater contract) — and clear the flag so a
+        # deterministic copy failure cannot become a crash-on-every-start
+        # loop; the install may be half-applied, which the detail surfaces
+        try:
+            os.remove(flag_path)
+        except OSError:
+            pass
+        return False, f"apply_failed:{name}:{type(e).__name__}:{e}"
     new_requirements = _read(os.path.join(repo_dir, "requirements.txt"))
+    version = str(flag.get("version") or "")
+    if version:
+        try:
+            with open(os.path.join(repo_dir, INSTALLED_META), "w") as fh:
+                json.dump({"tag": version}, fh)
+        except OSError:
+            pass
     os.remove(flag_path)
     shutil.rmtree(os.path.join(repo_dir, ".pc_update_stage"),
                   ignore_errors=True)
@@ -305,8 +344,10 @@ class UpdateManager:
         rel = github_latest_release(self.github_repo, self.fetch_json)
         if rel is None or not rel["zip_url"]:
             return False, f"{detail};github_unavailable"
-        cur = self.version()
-        available = bool(rel["tag"]) and rel["tag"] not in (cur,)
+        tag = _norm_tag(rel["tag"])
+        installed = (_norm_tag(installed_release_tag(self.repo_dir))
+                     or _norm_tag(self.version()))
+        available = bool(tag) and tag != installed
         return available, f"github:{rel['tag'] or 'unknown'}"
 
     def perform(self) -> Tuple[bool, str]:

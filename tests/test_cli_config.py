@@ -67,3 +67,64 @@ def test_ref_repeatable_joins():
                           "--ref", "b.png", "--out", "o"])
     cfg = build_config(args, ap)
     assert cfg.ref == "a.png;b.png"
+
+
+def test_mesh_dtype_precedence(tmp_path):
+    """tpu_mesh / tpu_compute_dtype follow the documented precedence
+    (preset < explicit flags < --set) instead of being clobbered from
+    argparse defaults after build_config (round-3 review finding)."""
+    import json
+
+    from person_capture_tpu.config import SessionConfig
+    from person_capture_tpu.main import build_config, build_parser
+
+    preset = tmp_path / "p.json"
+    preset.write_text(json.dumps({"tpu_mesh": "data:4",
+                                  "tpu_compute_dtype": "float32"}))
+    ap = build_parser()
+    base = ["--video", "v", "--ref", "r", "--out", "o"]
+    # preset values survive when the flags are not passed
+    cfg = build_config(ap.parse_args(base + ["--preset", str(preset)]), ap)
+    assert cfg.tpu_mesh == "data:4"
+    assert cfg.tpu_compute_dtype == "float32"
+    # explicit flag overrides the preset
+    cfg = build_config(ap.parse_args(
+        base + ["--preset", str(preset), "--mesh", "data:2"]), ap)
+    assert cfg.tpu_mesh == "data:2"
+    # --set wins over everything
+    cfg = build_config(ap.parse_args(
+        base + ["--mesh", "data:2", "--set", "tpu_mesh=data:8",
+                "--set", "tpu_compute_dtype=float32"]), ap)
+    assert cfg.tpu_mesh == "data:8"
+    assert cfg.tpu_compute_dtype == "float32"
+    # without preset, flag defaults still land in cfg
+    cfg = build_config(ap.parse_args(base), ap)
+    assert cfg.tpu_mesh == SessionConfig().tpu_mesh
+    assert cfg.tpu_compute_dtype == "bfloat16"
+
+
+def test_resolve_yolo_rejects_unresolvable_spec(tmp_path):
+    """A user-supplied --yolo checkpoint that resolves to nothing raises —
+    it must never fall back to a silent random-init person detector."""
+    import numpy as np
+    import pytest
+
+    from person_capture_tpu.main import resolve_yolo
+
+    with pytest.raises(FileNotFoundError, match="yolov8s"):
+        resolve_yolo("/nonexistent/yolov8s.pt")
+    # bundled name (with or without the .pt suffix) resolves to real weights
+    cfg, w = resolve_yolo("yolov8n.pt")
+    assert cfg.name == "yolov8n"
+    assert w is not None
+    # an existing flax .npz path loads for real
+    from person_capture_tpu.models.zoo import bundled_weights_path
+
+    src = bundled_weights_path("yolov8n")
+    cfg2, w2 = resolve_yolo(src)
+    assert w2 is not None
+    flat_keys = lambda t, p="": [  # noqa: E731
+        k for kk, vv in t.items()
+        for k in (flat_keys(vv, p + kk + "/") if isinstance(vv, dict)
+                  else [p + kk])]
+    assert flat_keys(w) == flat_keys(w2)

@@ -217,3 +217,33 @@ def test_engine_repairs_zeroed_stream_metadata(tmp_path, monkeypatch):
     # the whole span was processed, not a single frame
     assert res.mainpass.frames_decoded > 10
     assert len(res.mainpass.hits) > 0
+
+
+def test_engine_reusable_after_stop(tmp_path):
+    """An Engine reused after a stopped run must do a real second run, not
+    return an instant empty success: per-run command state (stop/step/seek)
+    clears when run() exits (round-3 review finding)."""
+    sv, _, cfg, bank = _setup(tmp_path, total=400)
+    backend = SlowOracle(sv)
+    eng = Engine(cfg, backend)
+    result = {}
+
+    def run1():
+        result["r1"] = eng.run(bank=bank)
+
+    t = threading.Thread(target=run1)
+    t.start()
+    time.sleep(0.3)
+    eng.step()
+    eng.seek(350)
+    eng.stop()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert result["r1"].ok
+    assert result["r1"].mainpass.frames_decoded < 190   # really stopped
+
+    # second run on the SAME engine processes the whole video
+    res2 = eng.run(bank=bank)
+    assert res2.ok, res2.error
+    assert res2.mainpass.frames_decoded >= 190
+    assert len(res2.mainpass.hits) > 0

@@ -142,3 +142,53 @@ def test_qsettings_persist_and_restore(gui):
     assert win2.out_edit.text() == "persist_out"
     assert [win2.ref_list.item(i).text()
             for i in range(win2.ref_list.count())] == ["a.png", "b.png"]
+
+
+def test_preset_load_refreshes_generated_widgets(gui, tmp_path, monkeypatch):
+    """Loading a preset refreshes the auto-generated settings tab; without
+    that, _collect_cfg at Start silently overwrites the loaded values with
+    stale widget state (round-3 GUI review finding)."""
+    import json
+
+    preset = str(tmp_path / "p.json")
+    with open(preset, "w") as fh:
+        json.dump({"prescan_stride": 48, "min_det_conf": 0.77,
+                   "save_annot": True, "face_thresh": 0.19}, fh)
+    win = gui.MainWindow(backend_factory=lambda: None)
+    monkeypatch.setattr(fake_qt.QFileDialog, "getOpenFileName",
+                        staticmethod(lambda *a, **k: (preset, "")))
+    win._load_preset()
+    # generated widgets now carry the preset values...
+    w, _d, _k = win._field_widgets["prescan_stride"]
+    assert w.value() == 48
+    # ...and therefore survive config collection at Start
+    cfg = win._collect_cfg()
+    assert cfg.prescan_stride == 48
+    assert abs(cfg.min_det_conf - 0.77) < 1e-9
+    assert cfg.save_annot is True
+    assert abs(cfg.face_thresh - 0.19) < 1e-9
+
+
+def test_bridge_commands_before_engine_ready(gui):
+    """pause/stop/seek clicked while the backend is still compiling reach
+    the Engine: the bridge constructs it eagerly (LazyBackend defers only
+    the heavy build to the worker thread)."""
+    cfg = SessionConfig()
+    cfg.video = "nonexistent.mp4"   # run() will fail fast in the worker
+    cfg.ref = "nonexistent.png"
+    built = {"n": 0}
+
+    def slow_factory():
+        built["n"] += 1
+        return None
+
+    bridge = gui.EngineBridge(cfg, slow_factory)
+    done = []
+    bridge.finished.connect(lambda ok, err: done.append((ok, err)))
+    bridge.start()
+    # engine exists immediately — commands are not dropped
+    assert bridge._engine is not None
+    bridge.stop()
+    bridge.seek(10)
+    bridge._thread.join(timeout=30)
+    assert done and done[0][0] is False

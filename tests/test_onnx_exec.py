@@ -458,3 +458,21 @@ def test_cast_unsupported_dtype_reports_clearly(tmp_path):
     mod = load_onnx_module(path)
     with pytest.raises(NotImplementedError, match="dtype code 16"):
         mod(mod.params, np.zeros((2, 2), np.float32))
+
+
+def test_avg_pool_dilations(tmp_path):
+    """Opset>=19 AveragePool honors dilations (was silently ignored)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 1, 6, 6)).astype(np.float32)
+    nodes = [OnnxNode("AveragePool", ["x"], ["y"],
+                      attrs={"kernel_shape": [2, 2], "strides": [1, 1],
+                             "dilations": [2, 2]})]
+    y = _run_graph(tmp_path, nodes, {}, {"x": x.shape}, ["y"], [x],
+                   opset=19)
+    # dilated 2x2 window samples offsets {0, 2}: output dim 6-2 = 4
+    assert y.shape == (1, 1, 4, 4)
+    expect = np.zeros((4, 4), np.float32)
+    for i in range(4):
+        for j in range(4):
+            expect[i, j] = x[0, 0, (i, i + 2), :][:, (j, j + 2)].mean()
+    np.testing.assert_allclose(y[0, 0], expect, rtol=1e-5)

@@ -54,3 +54,40 @@ def test_convert_weights_cli_without_onnx(tmp_path, monkeypatch):
     data = np.load(out)
     # conv OIHW → HWIO re-orientation applied
     assert data["src/conv.weight"].shape == (3, 3, 3, 4)
+
+
+def test_float16_int32_data_bit_patterns(tmp_path):
+    """TensorProto float16 stored in int32_data holds raw uint16 bit
+    patterns per the ONNX spec — they must be bit-reinterpreted, not
+    numerically cast (1.0 is stored as 15360)."""
+    from person_capture_tpu.tools.onnx_lite import (_w_field, _w_ld,
+                                                    _w_varint)
+
+    vals = np.asarray([1.0, -2.5, 0.0, 65504.0], np.float16)
+    bits = vals.view(np.uint16)
+    t = b"".join(_w_field(1, 0, _w_varint(d)) for d in (4,))   # dims
+    t += _w_field(2, 0, _w_varint(10))                         # FLOAT16
+    t += b"".join(_w_field(5, 0, _w_varint(int(b))) for b in bits)
+    t += _w_ld(8, b"halfs")                                    # name
+    graph = _w_ld(5, t)
+    model = _w_field(1, 0, _w_varint(8)) + _w_ld(7, graph)
+    path = str(tmp_path / "fp16.onnx")
+    with open(path, "wb") as fh:
+        fh.write(model)
+    out = onnx_initializers(path)
+    assert out["halfs"].dtype == np.float16
+    np.testing.assert_array_equal(out["halfs"], vals)
+
+
+def test_opset_ai_onnx_domain_recognized(tmp_path):
+    """opset_import with domain "ai.onnx" is the default ONNX domain and
+    must set the graph opset (was: silently left at the fallback 11)."""
+    from person_capture_tpu.tools.onnx_lite import (_w_field, _w_ld,
+                                                    _w_varint, parse_onnx)
+
+    opset_b = _w_ld(1, b"ai.onnx") + _w_field(2, 0, _w_varint(18))
+    model = _w_field(1, 0, _w_varint(8)) + _w_ld(8, opset_b) + _w_ld(7, b"")
+    path = str(tmp_path / "dom.onnx")
+    with open(path, "wb") as fh:
+        fh.write(model)
+    assert parse_onnx(path).opset == 18

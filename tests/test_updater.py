@@ -161,3 +161,55 @@ def test_restart_handshake_prevents_loops(monkeypatch):
     assert execd["argv"][0] == U.build_restart_argv()[0]
     # second attempt in the restarted process is refused
     assert U.restart_process(execv=fake_execv) == "already_restarted_once"
+
+
+def test_github_check_converges_after_apply(tmp_path):
+    """An applied release is recorded and no longer reported available —
+    otherwise non-git installs re-download the same tag forever."""
+    from person_capture_tpu import updater as U
+
+    repo = tmp_path / "install"
+    repo.mkdir()
+    rel = {"tag_name": "v1.2.3",
+           "zipball_url": _make_release_zip(tmp_path), "name": "r"}
+    mgr = U.UpdateManager(repo_dir=str(repo), github_repo="o/r",
+                          fetch_json=lambda url: rel)
+    avail, detail = mgr.check()
+    assert avail and detail == "github:v1.2.3"
+    ok, _ = mgr.perform()
+    assert ok
+    ok, _ = U.apply_staged_update(str(repo))
+    assert ok
+    assert U.installed_release_tag(str(repo)) == "v1.2.3"
+    avail, detail = mgr.check()
+    assert not avail and detail == "github:v1.2.3"
+    # a NEWER tag is available again
+    rel["tag_name"] = "v1.3.0"
+    avail, _ = mgr.check()
+    assert avail
+
+
+def test_apply_handles_dir_over_file_collision(tmp_path):
+    """A release that turns a file into a directory (and vice versa) applies
+    cleanly; copy failures report (False, detail) and clear the flag instead
+    of raising into a startup crash loop."""
+    import zipfile
+
+    from person_capture_tpu import updater as U
+
+    repo = tmp_path / "install"
+    repo.mkdir()
+    (repo / "plugins").write_text("was a file")
+    (repo / "conf").mkdir()
+    (repo / "conf" / "x").write_text("1")
+    zpath = tmp_path / "rel2.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("proj/plugins/mod.py", "# now a dir\n")
+        zf.writestr("proj/conf", "now a file")
+    ok, _ = U.stage_zip_update(str(repo), str(zpath), "v2")
+    assert ok
+    ok, detail = U.apply_staged_update(str(repo))
+    assert ok, detail
+    assert (repo / "plugins" / "mod.py").is_file()
+    assert (repo / "conf").is_file()
+    assert not U.staged_update_pending(str(repo))
