@@ -22,15 +22,30 @@ def main(argv=None) -> int:
     ap.add_argument("--no-clip", action="store_true",
                     help="skip CLIP background embeddings")
     ap.add_argument("--det-size", type=int, default=640)
+    ap.add_argument("--scrfd-weights", default="auto",
+                    help=".npz checkpoint | auto (bundled) | random")
+    ap.add_argument("--arcface-weights", default="auto",
+                    help=".npz checkpoint | auto (bundled) | random")
     args = ap.parse_args(argv)
 
     import numpy as np
 
     from ..core.bank import RefBank
+    from ..models import arcface as AF
+    from ..models.zoo import bundled_weights_path, resolve_weights
     from ..pipeline.backends import ClipReidBackend, ScrfdArcFaceBackend
     from .core import Curator
 
-    backend = ScrfdArcFaceBackend(det_size=args.det_size)
+    # real weights like the main CLI (main.py resolve path) — a silent
+    # random-init SCRFD/ArcFace can never find or identify the reference
+    # face, so the zoo resolution is mandatory here too
+    arc_name = ("arcface_synth" if bundled_weights_path("arcface_synth")
+                else "w600k_r50")
+    backend = ScrfdArcFaceBackend(
+        arcface_cfg=AF.CONFIGS.get(arc_name, AF.W600K_R50),
+        det_size=args.det_size,
+        scrfd_weights=resolve_weights(args.scrfd_weights, "scrfd_2.5g"),
+        arcface_weights=resolve_weights(args.arcface_weights, arc_name))
     clip_backend = None if args.no_clip else ClipReidBackend()
 
     bank = RefBank(cap=16)

@@ -252,6 +252,30 @@ def cluster_scenes(items: List[Item], sim_thresh: float = 0.92,
             clusters.append([idx])
             medoids.append(idx)
 
+    # stitch adjacent clusters whose boundary items are within time_gap and
+    # pHash/CLIP-similar (reference dataset_curator.py:555-577) — without
+    # this the time_gap knob has no effect and a continuous shot whose
+    # medoid drifts over-fragments, defeating mmr_select's scene soft-cap
+    if nn_window > 0 and len(clusters) > 1:
+        merged: List[List[int]] = []
+        for group in clusters:
+            if not merged:
+                merged.append(group)
+                continue
+            prev = merged[-1]
+            ia, ib = items[prev[-1]], items[group[0]]
+            if abs(ib.ts - ia.ts) <= time_gap and (
+                    hamming64(ia.phash, ib.phash) <= hamm_thresh
+                    or (ia.bg_clip is not None and ib.bg_clip is not None
+                        # stitch keys off the BACKGROUND clip embedding so
+                        # face-driven diversity does not split identical
+                        # locations (reference comment)
+                        and cos(ia.bg_clip, ib.bg_clip) >= sim_thresh)):
+                prev.extend(group)
+            else:
+                merged.append(group)
+        clusters = merged
+
     scene_ids = [-1] * len(items)
     for sid, group in enumerate(clusters):
         for i in group:
@@ -320,7 +344,6 @@ def mmr_select(items: List[Item], max_images: int = 200,
     chosen: List[int] = []
     chosen_ph: List[int] = []
     chosen_faces: List[np.ndarray] = []
-    chosen_vecs: List[np.ndarray] = []
     debug: List[Dict] = []
     remaining = set(pool)
 
@@ -338,14 +361,21 @@ def mmr_select(items: List[Item], max_images: int = 200,
         return v / n if n > 0 else None
 
     vecs = {i: vec(i) for i in pool}
+    # incremental max-similarity-to-selected: ONE [N,D]@[D] matvec per pick
+    # updates a running max, instead of re-dotting every candidate against
+    # every chosen vector from scratch (O(picks·pool·picks) python-loop
+    # np.dot calls — tens of minutes on a 10k pool with a 1-core host).
+    # Vectors of different dims (bg+face / bg-only / face-only items) never
+    # compare, so candidates group by dim.
+    by_dim: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for d in {v.size for v in vecs.values() if v is not None}:
+        idxs = np.asarray([i for i in pool
+                           if vecs[i] is not None and vecs[i].size == d])
+        by_dim[d] = (idxs, np.stack([vecs[i] for i in idxs]))
+    maxsim = np.zeros(len(items), np.float32)
 
     def redundancy(i) -> float:
-        v = vecs[i]
-        if v is None or not chosen_vecs:
-            return 0.0
-        sims = [float(np.dot(v, b)) for b in chosen_vecs
-                if b.shape == v.shape]
-        return max(sims) if sims else 0.0
+        return float(maxsim[i]) if vecs.get(i) is not None else 0.0
 
     def is_blocked(i) -> bool:
         it = items[i]
@@ -375,7 +405,8 @@ def mmr_select(items: List[Item], max_images: int = 200,
             chosen_faces.append(it.face_feat)
         v = vecs[i]
         if v is not None:
-            chosen_vecs.append(v)
+            idxs, mat = by_dim[v.size]
+            maxsim[idxs] = np.maximum(maxsim[idxs], mat @ v)
         counts[cats[i]] = counts.get(cats[i], 0) + 1
         if abs(it.yaw) >= profile_yaw_thresh:
             counts["profile"] = counts.get("profile", 0) + 1
@@ -453,7 +484,6 @@ class Curator:
     def describe(self, paths: Sequence[str],
                  fps_hint: float = 30.0) -> List[Item]:
         items: List[Item] = []
-        bank_mat = self.bank.matrix()
         imgs: List[np.ndarray] = []
         metas: List[Item] = []
         for p in paths:

@@ -273,7 +273,7 @@ def build_sharded_train_step(mesh: Mesh, scrfd_cfg=None, size: int = 128,
     state = {"params": params, "batch_stats": batch_stats,
              "opt_state": opt_state}
 
-    loss_fn = make_loss_fn(model, scrfd_cfg.strides)
+    loss_fn = make_loss_fn(model)
     data_sh = shard_batch(mesh)
 
     def step(st, images_u8, targets):

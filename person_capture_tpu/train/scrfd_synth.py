@@ -113,7 +113,7 @@ def build_targets(boxes: np.ndarray, kps: np.ndarray, gt_mask: np.ndarray,
 
 # ----------------------------------------------------------------- losses
 
-def make_loss_fn(model, strides=(8, 16, 32)):
+def make_loss_fn(model):
     import jax.numpy as jnp
     import optax
 
@@ -183,6 +183,8 @@ def evaluate(model, variables, rng, size: int, batches: int = 4,
 
     from ..models.scrfd import detect_faces
 
+    from .common import match_detections
+
     tp = fp = fn = 0
     kp_err: List[float] = []
     for _ in range(batches):
@@ -190,38 +192,14 @@ def evaluate(model, variables, rng, size: int, batches: int = 4,
         det = detect_faces(model, variables,
                            jnp.asarray(data["images"].astype(np.float32)),
                            jnp.ones(batch, np.float32), score_thresh)
-        boxes = np.asarray(det["boxes"])
-        kps = np.asarray(det["kps"])
-        mask = np.asarray(det["mask"])
-        for i in range(batch):
-            gts = data["boxes"][i][data["gt_mask"][i]]
-            gkps = data["kps"][i][data["gt_mask"][i]]
-            used = np.zeros(len(gts), bool)
-            for j in np.flatnonzero(mask[i]):
-                best, best_iou = -1, 0.0
-                for gi, gt in enumerate(gts):
-                    if used[gi]:
-                        continue
-                    ix = max(0, min(boxes[i, j, 2], gt[2])
-                             - max(boxes[i, j, 0], gt[0]))
-                    iy = max(0, min(boxes[i, j, 3], gt[3])
-                             - max(boxes[i, j, 1], gt[1]))
-                    inter = ix * iy
-                    ua = ((boxes[i, j, 2] - boxes[i, j, 0])
-                          * (boxes[i, j, 3] - boxes[i, j, 1])
-                          + (gt[2] - gt[0]) * (gt[3] - gt[1]) - inter)
-                    iou = inter / max(ua, 1e-9)
-                    if iou > best_iou:
-                        best, best_iou = gi, iou
-                if best >= 0 and best_iou >= iou_thresh:
-                    used[best] = True
-                    tp += 1
-                    scale = max(gts[best][2] - gts[best][0], 1.0)
-                    kp_err.append(float(np.linalg.norm(
-                        kps[i, j] - gkps[best], axis=-1).mean() / scale))
-                else:
-                    fp += 1
-            fn += int((~used).sum())
+        btp, bfp, bfn, errs = match_detections(
+            np.asarray(det["boxes"]), np.asarray(det["mask"]),
+            data["boxes"], data["gt_mask"], iou_thresh=iou_thresh,
+            kps=np.asarray(det["kps"]), gt_kps=data["kps"])
+        tp += btp
+        fp += bfp
+        fn += bfn
+        kp_err.extend(errs)
     return {
         "recall": tp / max(tp + fn, 1),
         "precision": tp / max(tp + fp, 1),
@@ -274,7 +252,6 @@ def train(cfg_name: str = "scrfd_2.5g", size: int = 256, batch: int = 32,
     eval_rng = np.random.default_rng(seed + 10_000)
     t0 = time.time()
     pending = None
-    best = {"recall": 0.0, "precision": 0.0, "kps_err": 9.0}
     for i in range(start_step, steps):
         data = sample_batch(step_rng(seed, i), batch, size)
         targets = build_targets(data["boxes"], data["kps"], data["gt_mask"],
@@ -294,7 +271,6 @@ def train(cfg_name: str = "scrfd_2.5g", size: int = 256, batch: int = 32,
             print(f"  eval: recall={ev['recall']:.3f} "
                   f"precision={ev['precision']:.3f} "
                   f"kps_err={ev['kps_err']:.4f}", flush=True)
-            best = ev
         if ckpt_dir and ckpt_every and (i + 1) % ckpt_every == 0:
             save_checkpoint(ckpt_dir, i + 1, state)
         pending = metrics

@@ -87,6 +87,8 @@ def evaluate(model, variables, rng, size: int, batches: int = 4,
 
     from ..models.yolov8 import detect_faces_yolo
 
+    from .common import match_detections
+
     tp = fp = fn = 0
     kp_err = []
     for _ in range(batches):
@@ -94,39 +96,14 @@ def evaluate(model, variables, rng, size: int, batches: int = 4,
         det = detect_faces_yolo(
             model, variables, jnp.asarray(data["images"].astype(np.float32)),
             jnp.ones(batch, np.float32), conf)
-        boxes = np.asarray(det["boxes"])
-        kps = np.asarray(det["kps"])
-        mask = np.asarray(det["mask"])
-        for i in range(batch):
-            gts = data["boxes"][i][data["gt_mask"][i]]
-            gkps = data["kps"][i][data["gt_mask"][i]]
-            used = np.zeros(len(gts), bool)
-            for j in np.flatnonzero(mask[i]):
-                best, best_iou = -1, 0.0
-                for gi, gt in enumerate(gts):
-                    if used[gi]:
-                        continue
-                    ix = max(0.0, min(boxes[i, j, 2], gt[2])
-                             - max(boxes[i, j, 0], gt[0]))
-                    iy = max(0.0, min(boxes[i, j, 3], gt[3])
-                             - max(boxes[i, j, 1], gt[1]))
-                    inter = ix * iy
-                    ua = ((boxes[i, j, 2] - boxes[i, j, 0])
-                          * (boxes[i, j, 3] - boxes[i, j, 1])
-                          + (gt[2] - gt[0]) * (gt[3] - gt[1]) - inter)
-                    iou = inter / max(ua, 1e-9)
-                    if iou > best_iou:
-                        best, best_iou = gi, iou
-                if best >= 0 and best_iou >= 0.5:
-                    used[best] = True
-                    tp += 1
-                    fw = max(gts[best][2] - gts[best][0], 1.0)
-                    err = np.linalg.norm(kps[i, j] - gkps[best],
-                                         axis=-1).mean() / fw
-                    kp_err.append(float(err))
-                else:
-                    fp += 1
-            fn += int((~used).sum())
+        btp, bfp, bfn, errs = match_detections(
+            np.asarray(det["boxes"]), np.asarray(det["mask"]),
+            data["boxes"], data["gt_mask"], iou_thresh=0.5,
+            kps=np.asarray(det["kps"]), gt_kps=data["kps"])
+        tp += btp
+        fp += bfp
+        fn += bfn
+        kp_err.extend(errs)
     return {"recall": tp / max(tp + fn, 1),
             "precision": tp / max(tp + fp, 1),
             "kps_err": float(np.mean(kp_err)) if kp_err else 9.0}

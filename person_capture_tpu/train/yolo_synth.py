@@ -102,7 +102,7 @@ def build_targets(boxes: np.ndarray, gt_mask: np.ndarray, size: int,
     return out
 
 
-def make_loss_fn(model, strides=(8, 16, 32)):
+def make_loss_fn(model):
     import jax
     import jax.numpy as jnp
     import optax
@@ -162,39 +162,20 @@ def evaluate(model, variables, rng, size: int, batches: int = 4,
 
     from ..models.yolov8 import detect_persons
 
+    from .common import match_detections
+
     tp = fp = fn = 0
     for _ in range(batches):
         data = sample_person_batch(rng, batch, size)
         det = detect_persons(model, variables,
                              jnp.asarray(data["images"].astype(np.float32)),
                              jnp.ones(batch, np.float32), conf)
-        boxes = np.asarray(det["boxes"])
-        mask = np.asarray(det["mask"])
-        for i in range(batch):
-            gts = data["boxes"][i][data["gt_mask"][i]]
-            used = np.zeros(len(gts), bool)
-            for j in np.flatnonzero(mask[i]):
-                best, best_iou = -1, 0.0
-                for gi, gt in enumerate(gts):
-                    if used[gi]:
-                        continue
-                    ix = max(0, min(boxes[i, j, 2], gt[2])
-                             - max(boxes[i, j, 0], gt[0]))
-                    iy = max(0, min(boxes[i, j, 3], gt[3])
-                             - max(boxes[i, j, 1], gt[1]))
-                    inter = ix * iy
-                    ua = ((boxes[i, j, 2] - boxes[i, j, 0])
-                          * (boxes[i, j, 3] - boxes[i, j, 1])
-                          + (gt[2] - gt[0]) * (gt[3] - gt[1]) - inter)
-                    iou = inter / max(ua, 1e-9)
-                    if iou > best_iou:
-                        best, best_iou = gi, iou
-                if best >= 0 and best_iou >= 0.5:
-                    used[best] = True
-                    tp += 1
-                else:
-                    fp += 1
-            fn += int((~used).sum())
+        btp, bfp, bfn, _ = match_detections(
+            np.asarray(det["boxes"]), np.asarray(det["mask"]),
+            data["boxes"], data["gt_mask"], iou_thresh=0.5)
+        tp += btp
+        fp += bfp
+        fn += bfn
     return {"recall": tp / max(tp + fn, 1),
             "precision": tp / max(tp + fp, 1)}
 
@@ -222,7 +203,7 @@ def train(cfg_name: str = "yolov8n", size: int = 256, batch: int = 32,
     state = {"params": variables["params"],
              "batch_stats": variables["batch_stats"],
              "opt_state": tx.init(variables["params"])}
-    loss_fn = make_loss_fn(model, cfg.strides)
+    loss_fn = make_loss_fn(model)
 
     @jax.jit
     def step_fn(state, images_u8, targets):

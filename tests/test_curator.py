@@ -192,3 +192,71 @@ def test_mmr_dedup_blocks_near_duplicates():
         items.append(it)
     chosen, _ = CU.mmr_select(items, max_images=5)
     assert len(chosen) == 1  # pHash dedup kills the rest
+
+
+def test_cluster_scenes_stitches_adjacent_drifted_clusters():
+    """A continuous shot whose medoid drifts must not over-fragment: the
+    adjacent-cluster stitch (reference dataset_curator.py:555-577) merges
+    clusters whose boundary items are time-close and pHash-similar."""
+    from person_capture_tpu.curator.core import Item, cluster_scenes
+
+    p0 = 0
+    p1 = (1 << 5) - 1               # 5 bits from p0 (same scene)
+    p2 = p1 ^ (0b11111 << 5)        # 5 bits from p1, 10 bits from p0
+    items = [Item(path="a", ts=0.0, phash=p0),
+             Item(path="b", ts=1.0, phash=p1),
+             Item(path="c", ts=2.0, phash=p2)]
+    ids = cluster_scenes(items, hamm_thresh=7, time_gap=4.0)
+    # c is far from the medoid (a) but adjacent to b: one stitched scene
+    assert ids == [0, 0, 0]
+    # far apart in time: no stitch
+    items[2].ts = 60.0
+    ids = cluster_scenes(items, hamm_thresh=7, time_gap=4.0)
+    assert ids[0] == ids[1] != ids[2]
+
+
+def test_match_detections_shared_matcher():
+    """train/common.match_detections: greedy one-to-one IoU matching with
+    optional keypoint error (shared by the three detector trainers)."""
+    import numpy as np
+
+    from person_capture_tpu.train.common import match_detections
+
+    gt = np.asarray([[[10, 10, 50, 50], [100, 100, 140, 140]]], np.float32)
+    gt_mask = np.ones((1, 2), bool)
+    boxes = np.asarray([[[12, 12, 52, 52],      # matches gt0
+                         [11, 11, 49, 49],      # duplicate → fp (gt0 used)
+                         [300, 300, 340, 340]]], np.float32)  # fp
+    mask = np.asarray([[True, True, True]])
+    tp, fp, fn, errs = match_detections(boxes, mask, gt, gt_mask,
+                                        iou_thresh=0.5)
+    assert (tp, fp, fn) == (1, 2, 1)
+    kps = np.zeros((1, 3, 5, 2), np.float32)
+    gt_kps = np.zeros((1, 2, 5, 2), np.float32)
+    gt_kps[0, 0] += 4.0             # mean kp err 4*sqrt(2) px over width 40
+    tp, fp, fn, errs = match_detections(boxes, mask, gt, gt_mask,
+                                        iou_thresh=0.5, kps=kps,
+                                        gt_kps=gt_kps)
+    assert len(errs) == 1
+    assert abs(errs[0] - 4.0 * np.sqrt(2.0) / 40.0) < 1e-6
+
+
+def test_curator_cli_resolves_real_weights(monkeypatch, tmp_path):
+    """The curator CLI resolves bundled weights like the main CLI — a
+    random-init SCRFD/ArcFace can never find or identify the reference
+    face (round-3 review finding)."""
+    import person_capture_tpu.curator.__main__ as M
+    import person_capture_tpu.pipeline.backends as B
+
+    captured = {}
+
+    class FakeBackend:
+        def __init__(self, **kw):
+            captured.update(kw)
+
+    monkeypatch.setattr(B, "ScrfdArcFaceBackend", FakeBackend)
+    rc = M.main(["--pool", str(tmp_path), "--out", str(tmp_path / "o"),
+                 "--ref", str(tmp_path / "missing.png"), "--no-clip"])
+    assert rc == 1   # unreadable ref exits after backend construction
+    assert captured.get("scrfd_weights") is not None
+    assert captured.get("arcface_weights") is not None

@@ -137,7 +137,7 @@ def test_sharded_train_step_matches_single_device():
     # single-device oracle: same params, same loss fn
     model1, variables1 = SD.init_scrfd(jax.random.PRNGKey(seed), SD.TINY,
                                        size=size)
-    loss_fn = make_loss_fn(model1, SD.TINY.strides)
+    loss_fn = make_loss_fn(model1)
 
     # one fixed batch: steps on it must match the single-device loss at
     # step 0 and strictly improve (memorization)
