@@ -52,6 +52,10 @@ class RefBank:
     # checkpoints are 512-D, so callers warming a jitted program against an
     # empty bank must set this to their backend's embed_dim
     dim: Optional[int] = None
+    # cached matrix() view — fd() runs once per detected face in the
+    # prescan replay loop, and rebuilding a [cap, D] vstack per face costs
+    # more host time than the distance itself
+    _mat: Optional[np.ndarray] = field(default=None, repr=False, compare=False)
 
     # -- views ----------------------------------------------------------
     @property
@@ -61,7 +65,9 @@ class RefBank:
     def matrix(self) -> Optional[np.ndarray]:
         if not self.vectors:
             return None
-        return np.vstack(self.vectors).astype(np.float32)
+        if self._mat is None or self._mat.shape[0] != len(self.vectors):
+            self._mat = np.vstack(self.vectors).astype(np.float32)
+        return self._mat
 
     def padded(self, cap: Optional[int] = None,
                dim: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
@@ -92,6 +98,8 @@ class RefBank:
             if n > 1e-6 and len(self.vectors) < self.cap:
                 self.vectors.append((v / n).astype(np.float32))
                 added += 1
+        if added:
+            self._mat = None
         return added
 
     def fd(self, feat: Optional[np.ndarray]) -> float:
@@ -111,6 +119,7 @@ class RefBank:
 
         if not self.vectors:
             self.vectors.append(v)
+            self._mat = None
             return "added", None
 
         bank = self.matrix()
@@ -129,6 +138,7 @@ class RefBank:
 
         if len(self.vectors) < self.cap:
             self.vectors.append(v)
+            self._mat = None
             return "added", None
 
         # replacement: score existing members without the quality term
@@ -141,6 +151,7 @@ class RefBank:
         worst = int(np.argmin(s_bank))
         if s_new > float(s_bank[worst]) + self.replace_margin:
             self.vectors[worst] = v
+            self._mat = None
             return "replaced", worst
         return "skip", None
 

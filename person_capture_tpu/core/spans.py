@@ -64,9 +64,13 @@ class SpanBuilder:
         s = max(0, self.start - self._pad)
         e = min(self.cfg.total_frames - 1, end_idx + self._pad)
         if e - s + 1 >= self._min_len:
-            if self.spans and s <= self.spans[-1][1] + 1:
+            # merge only on genuine touch/overlap with the previous span —
+            # after a backward seek the new span can lie entirely BEFORE it
+            # (finish() sorts, so append is safe)
+            if (self.spans and s <= self.spans[-1][1] + 1
+                    and e >= self.spans[-1][0] - 1):
                 prev_s, prev_e = self.spans[-1]
-                self.spans[-1] = (prev_s, max(prev_e, e))
+                self.spans[-1] = (min(prev_s, s), max(prev_e, e))
             else:
                 self.spans.append((s, e))
 
@@ -90,19 +94,39 @@ class SpanBuilder:
         for i, fd in zip(frame_idxs, best_fds):
             self.update(int(i), float(fd))
 
+    def interrupt(self, last_idx: int) -> None:
+        """Close any active span at ``last_idx``. Call when the sample stream
+        jumps (interactive seek): without this a forward seek silently
+        extends the active span across unseen video, and a backward seek
+        feeds the span a start > end."""
+        if self.active:
+            self._commit(last_idx)
+            self.active = False
+            self.neg_run = 0
+
     def finish(self) -> List[Span]:
         """Close any open span at EOF, bridge gaps, return the final spans."""
         if self.active:
             s = max(0, self.start - self._pad)
             e = self.cfg.total_frames - 1
             if e - s + 1 >= self._min_len:
-                if self.spans and s <= self.spans[-1][1] + 1:
+                if (self.spans and s <= self.spans[-1][1] + 1
+                        and e >= self.spans[-1][0] - 1):
                     prev_s, prev_e = self.spans[-1]
-                    self.spans[-1] = (prev_s, max(prev_e, e))
+                    self.spans[-1] = (min(prev_s, s), max(prev_e, e))
                 else:
                     self.spans.append((s, e))
             self.active = False
-        return bridge_gaps(self.spans, self.cfg.bridge_gap_sec, self.cfg.fps)
+        # backward seeks feed samples out of global order: _commit only
+        # merges with the immediately previous span, so normalize (sort +
+        # merge overlaps) before bridging, which assumes sorted input
+        merged: List[Span] = []
+        for s, e in sorted(self.spans):
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        return bridge_gaps(merged, self.cfg.bridge_gap_sec, self.cfg.fps)
 
 
 def bridge_gaps(spans: List[Span], bridge_gap_sec: float, fps: float) -> List[Span]:

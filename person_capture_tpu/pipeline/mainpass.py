@@ -625,9 +625,26 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     negatives.append(v.astype(np.float32))
         any_face_match = any(fd <= cfg.face_thresh
                              for _, fd, _, _ in face_list)
+        # frame-global face visibility for the face-first policy (reference
+        # gui_app.py:6325-6331: quality-filtered count or raw detection)
+        if cfg.face_visible_uses_quality:
+            any_face_visible = any(q >= cfg.face_quality_min
+                                   for _, _, q, _ in face_list)
+        else:
+            any_face_visible = bool(face_list)
 
         candidates: List[Candidate] = []
         mode = cfg.match_mode
+        # Missing-reference degradation (reference gui_app.py:6381-6385): a
+        # run without a face bank degrades both/face_only to reid_only; a run
+        # without a ReID signal (no backend, disabled, or no ref feature)
+        # degrades both/reid_only to face_only.
+        eff_mode = mode
+        if bank_mat is None and eff_mode in ("both", "face_only"):
+            eff_mode = "reid_only"
+        if (not use_reid or ref_reid_feat is None) \
+                and eff_mode in ("both", "reid_only"):
+            eff_mode = "face_only"
         persons = []
         if person_out is not None:
             pmask = person_out["mask"][slot]
@@ -655,27 +672,46 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     rd = 1.0 - float(np.dot(feat, ref_reid_feat))
                 face_ok = fd is not None and fd <= cfg.face_thresh
                 reid_ok = rd is not None and rd <= cfg.reid_thresh
-                if mode == "face_only":
+                if eff_mode == "face_only":
                     accept = face_ok
-                elif mode == "reid_only":
-                    accept = reid_ok if rd is not None else False
-                elif mode == "both":
-                    if bank_mat is None:
+                elif eff_mode == "reid_only":
+                    accept = reid_ok
+                elif eff_mode == "both":
+                    # per-candidate degradation (gui_app.py:6388-6393): a
+                    # candidate missing one signal is judged on the other
+                    if fd is None and rd is not None:
                         accept = reid_ok
-                    elif ref_reid_feat is None or rd is None:
+                    elif rd is None and fd is not None:
                         accept = face_ok
                     else:
                         accept = face_ok and reid_ok
                 else:  # either
                     accept = face_ok or reid_ok
-                if (cfg.drop_reid_if_any_face_match and any_face_match
-                        and not face_ok):
+                # 'either'/'reid_only' explicitly allow ReID acceptance while
+                # other faces are visible (gui_app.py:6402)
+                if (cfg.drop_reid_if_any_face_match
+                        and eff_mode not in ("either", "reid_only")
+                        and any_face_match and not face_ok and accept):
                     accept = False
-                face_visible = fb is not None and (
-                    not cfg.face_visible_uses_quality
-                    or q >= cfg.face_quality_min)
-                if cfg.require_face_if_visible and face_visible and not face_ok:
-                    accept = False
+                # face-first policy (reference gui_app.py:6415-6436): in
+                # both/face_only, when ANY face is visible in the frame a
+                # candidate only survives with its OWN matched face — no
+                # face in the crop, an absurdly low-quality face, or a
+                # failing face identity all hard-drop it. 'either' and
+                # 'reid_only' are exempt by design (revised policy: don't
+                # overrule a solid ReID match with a gate triggered by a
+                # face elsewhere in the frame).
+                if (cfg.require_face_if_visible and any_face_visible
+                        and bank_mat is not None
+                        and eff_mode in ("both", "face_only")):
+                    qfail = fb is None
+                    if fb is not None and q < float(getattr(
+                            cfg, "face_quality_floor_absurd", 15.0)):
+                        qfail = True
+                    if fb is not None and not face_ok:
+                        qfail = True
+                    if qfail:
+                        accept = False
                 if not accept:
                     continue
                 score = combine_scores(fd, rd, cfg.combine)
@@ -686,12 +722,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                                             reid_feat=reid_map.get(
                                                 (slot, int(ki)))))
 
-        # global-face fallback / face_only short path: only in modes where a
-        # face match alone may accept (both-mode falls back only when the
-        # ReID reference signal is missing entirely)
-        face_may_accept = (mode in ("face_only", "either")
-                           or (mode == "both"
-                               and (ref_reid_feat is None or not use_reid)))
+        # global-face fallback / face_only short path: only in effective modes
+        # where a face match alone may accept (both/reid_only degrade to
+        # face_only above when the ReID reference signal is missing entirely)
+        face_may_accept = eff_mode in ("face_only", "either")
         if not candidates and face_list and face_may_accept:
             ordered = sorted(face_list, key=lambda t: t[1])
             fb, fd, q, fft = ordered[0]
@@ -702,6 +736,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     and box_iou(ordered[1][0], fb) < 0.5
                     and ordered[1][1] <= cfg.face_thresh):
                 lock.register_miss(cfg.lock_face_roi_max_misses)
+                # keep the motion-gate reference frame fresh on this early
+                # return too, or the next faceless fallback diffs against a
+                # frame from 2+ strides back
+                prev_frame[0] = frame
                 return "ambiguous_face"
             if fd <= cfg.face_thresh:
                 det_box = None

@@ -115,6 +115,8 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
     res = PrescanResult(spans=[], bank=bank)
     last_add_sample = -10 ** 9
     sample_idx = 0
+    last_seen_idx = -1  # last frame index fed to the span machine
+    probe_dispatches = 0  # gate probes dispatched so far (see below)
     add_cooldown = max(0, int(cfg.prescan_add_cooldown_samples))
 
     # Pending batch of decoded samples awaiting the device program
@@ -163,8 +165,9 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
             _resolve(inflight.pop(0))
 
     def _replay(out, entry_order):
-        nonlocal last_add_sample, sample_idx
+        nonlocal last_add_sample, sample_idx, last_seen_idx
         for frame_idx, slot, gate_observed in entry_order:
+            last_seen_idx = frame_idx
             if slot is None:
                 best = FD_NONE
                 res.skipped += 1
@@ -212,6 +215,13 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
                     # on target would mislabel every later sample)
                     reader.skip(max(0, target - reader.pos))
                     idx = reader.pos
+                # the sample stream just jumped: close any active span at
+                # the last processed sample (a seek must not extend a span
+                # across unseen video, and a backward seek would otherwise
+                # hand the builder a start > end) and drop the fd9 streak,
+                # which described the pre-seek neighborhood
+                sb.interrupt(last_seen_idx)
+                gate.reset()
                 res.perturbed = True
                 continue
         sb.cfg.enter = float(cfg.prescan_fd_enter)
@@ -240,6 +250,29 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
         if frame is None:
             break
         frame = _cap_width(frame, cfg.prescan_max_width)
+        # Gate probe: inside a no-face stretch this read exists only to
+        # refresh the gate, and the drain above means it would dispatch as
+        # ONE real frame padded to the full production batch — batch× the
+        # upload bytes over the tunnel per probe. After a few such probes
+        # (a stretch long enough to amortize it), pay one small extra XLA
+        # compile for a batch-1 program and dispatch probes alone.
+        if (gate.enabled and not sb.active and not pend_frames
+                and not inflight
+                and gate.streak >= max(0, int(gate.grace))):
+            probe_dispatches += 1
+            if probe_dispatches > 4:
+                flush()  # host-only here: replays any queued skip entries
+                out = backend.extract_batch(frame[None], np.ones((1,), bool),
+                                            np.asarray([idx]))
+                _replay(out, [(idx, 0, False)])
+                if progress is not None and total > 0:
+                    progress(min(1.0, idx / total))
+                skipped = reader.skip(stride - 1)
+                if skipped < stride - 1:
+                    idx += 1 + skipped
+                    break
+                idx += stride
+                continue
         pend_idxs.append(idx)
         pend_frames.append(frame)
         order.append((idx, len(pend_frames) - 1, False))

@@ -122,6 +122,11 @@ def generate_video(path: str, width: int = 320, height: int = 240,
                    draw_body: bool = False) -> SyntheticVideo:
     """Write an mp4 with faces present in the given ``(start, end, identity)``
     frame segments (inclusive), plus background noise.
+
+    A segment may carry two optional trailing fields:
+    ``(start, end, identity, x_frac, body)`` — a fixed horizontal center
+    (overrides ``moving``) and a per-segment body-rendering flag — so tests
+    can stage two concurrent non-overlapping persons.
     """
     if cv2 is None:
         raise RuntimeError("cv2 required to generate synthetic videos")
@@ -140,9 +145,14 @@ def generate_video(path: str, width: int = 320, height: int = 240,
         # light noise so frames differ
         noise = rng.integers(0, 12, (height, width, 1), dtype=np.uint8)
         img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
-        for (s, e, ident) in segments:
+        for seg in segments:
+            s, e, ident = seg[0], seg[1], seg[2]
+            x_frac = seg[3] if len(seg) > 3 else None
+            body = bool(seg[4]) if len(seg) > 4 else draw_body
             if s <= f <= e:
-                if moving:
+                if x_frac is not None:
+                    cx, cy = width * float(x_frac), height * 0.5
+                elif moving:
                     t = (f - s) / max(1, e - s)
                     cx = width * (0.3 + 0.4 * t)
                     cy = height * 0.5
@@ -150,7 +160,7 @@ def generate_video(path: str, width: int = 320, height: int = 240,
                     cx, cy = width * 0.5, height * 0.5
                 box = (cx - fw / 2, cy - fw / 2, cx + fw / 2, cy + fw / 2)
                 pl = FacePlacement(f, ident, box)
-                if draw_body:
+                if body:
                     draw_person(img, pl)
                 else:
                     draw_face(img, pl)

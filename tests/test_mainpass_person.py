@@ -99,9 +99,12 @@ def test_reid_only_mode(tmp_path, synth):
     assert all(h.reid_dist is not None and h.reid_dist <= 0.05 for h in res.hits)
 
 
-def test_require_face_if_visible_blocks_wrong_identity(tmp_path, synth):
-    # bank holds identity 2 (absent); reid would match via color, but the
-    # visible face does not match → hard reject
+def test_require_face_gate_exempts_either_mode(tmp_path, synth):
+    # bank holds identity 2 (absent); reid matches via color while the
+    # visible face does not. The reference's revised face-first policy
+    # scopes the require_face_if_visible hard gate to both/face_only
+    # (gui_app.py:6415-6422) — in 'either' mode a solid ReID match is NOT
+    # overruled by a non-matching face.
     reid = ColorReidBackend()
     reader = Cv2Reader(synth.path)
     reader.seek(60)
@@ -113,18 +116,20 @@ def test_require_face_if_visible_blocks_wrong_identity(tmp_path, synth):
     ref_feat = reid.extract([f[y1:y2, x1:x2]])[0]
 
     cfg = _cfg(str(tmp_path), match_mode="either", disable_reid=False,
-               reid_thresh=0.05, require_face_if_visible=True)
+               reid_thresh=0.05, require_face_if_visible=True,
+               drop_reid_if_any_face_match=False)
     res = _run(synth, cfg, _bank(2), person=OraclePersonBackend(synth),
                reid=reid, ref_reid=ref_feat)
-    assert res.hits == []
+    assert len(res.hits) >= 1
+    assert all(h.reid_dist is not None and h.reid_dist <= 0.05
+               for h in res.hits)
 
-    # with the gate off, reid alone can accept
-    cfg2 = _cfg(str(tmp_path), match_mode="either", disable_reid=False,
-                reid_thresh=0.05, require_face_if_visible=False,
-                drop_reid_if_any_face_match=False)
+    # 'both' mode with the same signals rejects: face present but failing
+    cfg2 = _cfg(str(tmp_path), match_mode="both", disable_reid=False,
+                reid_thresh=0.05, require_face_if_visible=True)
     res2 = _run(synth, cfg2, _bank(2), person=OraclePersonBackend(synth),
                 reid=reid, ref_reid=ref_feat)
-    assert len(res2.hits) >= 1
+    assert res2.hits == []
 
 
 def test_both_mode_requires_both(tmp_path, synth):

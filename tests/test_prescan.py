@@ -252,3 +252,92 @@ def test_pipeline_depth_does_not_change_results(tmp_path):
     assert a.spans == b.spans
     assert a.per_sample_fd == b.per_sample_fd
     assert a.extracted == b.extracted
+
+
+def test_prescan_seek_closes_active_span(tmp_path):
+    """A forward seek must not extend the active span across unseen video
+    (SpanBuilder.interrupt on the seek path)."""
+    vid = str(tmp_path / "v.mp4")
+    sv = generate_video(vid, total_frames=400, segments=[(0, 399, 0)],
+                        moving=False)
+    backend = OracleBackend(sv)
+    cfg = _cfg(prescan_pad_sec=0.0, prescan_bridge_gap_sec=0.0,
+               prescan_min_segment_sec=0.2, prescan_fd9_skip=False,
+               prescan_boundary_refine_sec=0.0)
+    calls = [0]
+
+    def seek_request():
+        calls[0] += 1
+        return 300 if calls[0] == 20 else None
+
+    reader = Cv2Reader(vid)
+    res = run_prescan(reader, backend, cfg, _bank(backend),
+                      seek_request=seek_request)
+    reader.release()
+    assert res.perturbed
+    assert len(res.spans) == 2
+    (s1, e1), (s2, e2) = res.spans
+    assert e1 < 150 and s2 >= 294  # nothing claims the unseen 150..294 gap
+
+
+def test_prescan_backward_seek_rescans_cleanly(tmp_path):
+    """A backward seek re-feeds earlier samples; the final span list must
+    come back sorted and merged, not duplicated."""
+    vid = str(tmp_path / "v.mp4")
+    sv = generate_video(vid, total_frames=400, segments=[(0, 150, 0)],
+                        moving=False)
+    backend = OracleBackend(sv)
+    cfg = _cfg(prescan_pad_sec=0.0, prescan_bridge_gap_sec=0.0,
+               prescan_min_segment_sec=0.2, prescan_fd9_skip=False,
+               prescan_boundary_refine_sec=0.0)
+    calls = [0]
+
+    def seek_request():
+        calls[0] += 1
+        return 60 if calls[0] == 40 else None  # past the span -> back inside
+
+    reader = Cv2Reader(vid)
+    res = run_prescan(reader, backend, cfg, _bank(backend),
+                      seek_request=seek_request)
+    reader.release()
+    assert res.perturbed
+    assert res.spans == sorted(res.spans)
+    for (a, b), (c, d) in zip(res.spans, res.spans[1:]):
+        assert b < c  # non-overlapping
+    assert len(res.spans) == 1
+    s, e = res.spans[0]
+    assert s <= 6 and abs(e - 150) <= 12
+
+
+class _RecordingBackend:
+    """Wraps a backend and records every extract_batch batch size."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.batch_sizes = []
+
+    def identity_feat(self, i):
+        return self.inner.identity_feat(i)
+
+    def extract_batch(self, frames, valid, frame_idxs=None):
+        self.batch_sizes.append(int(frames.shape[0]))
+        return self.inner.extract_batch(frames, valid, frame_idxs)
+
+
+def test_prescan_gate_probes_use_microbatch(tmp_path):
+    """Inside a long no-face stretch, gate probes switch to a batch-1
+    dispatch (full-batch padding would upload batch x the bytes per probe)."""
+    vid = str(tmp_path / "v.mp4")
+    sv = generate_video(vid, total_frames=900, segments=[(0, 60, 0)],
+                        moving=False)
+    backend = _RecordingBackend(OracleBackend(sv))
+    cfg = _cfg(prescan_fd9_skip=True, prescan_fd9_grace=1,
+               prescan_fd9_probe_period=2, prescan_boundary_refine_sec=0.0)
+    reader = Cv2Reader(vid)
+    res = run_prescan(reader, backend, cfg, _bank(backend))
+    reader.release()
+    assert res.skipped > 0
+    assert len(res.spans) == 1
+    assert 1 in backend.batch_sizes  # probes dispatched alone
+    # the first few probes still ride the already-compiled full batch
+    assert backend.batch_sizes.count(1) >= 5

@@ -185,3 +185,64 @@ def test_fd_min_batch_jnp_empty_bank():
     _, best = fd_min_batch_jnp(jnp.asarray(feats), jnp.asarray(mask),
                                jnp.asarray(bank), jnp.asarray(bank_mask))
     assert np.all(np.asarray(best) == FD_NONE)
+
+
+def test_spanbuilder_interrupt_closes_active_span():
+    sb = SpanBuilder(_cfg(stride=1, exit_cooldown_sec=0.1, total_frames=1000))
+    for i in range(100, 110):
+        sb.update(i, 0.2)
+    assert sb.active
+    sb.interrupt(109)
+    assert not sb.active and sb.neg_run == 0
+    assert sb.spans == [(100, 109)]
+    # resuming far away opens a NEW span instead of extending the old one
+    for i in range(500, 510):
+        sb.update(i, 0.2)
+    spans = sb.finish()
+    assert spans[0] == (100, 109) and spans[1][0] == 500
+
+
+def test_spanbuilder_interrupt_inactive_is_noop():
+    sb = SpanBuilder(_cfg(stride=1))
+    sb.update(5, 9.0)
+    sb.interrupt(5)
+    assert sb.finish() == []
+
+
+def test_spanbuilder_finish_sorts_out_of_order_spans():
+    # a backward seek feeds an earlier region after a later one
+    sb = SpanBuilder(_cfg(stride=1, exit_cooldown_sec=0.05, total_frames=1000))
+    for i in range(600, 650):
+        sb.update(i, 0.2)
+    sb.interrupt(649)
+    for i in range(100, 150):
+        sb.update(i, 0.2)
+    sb.interrupt(149)
+    spans = sb.finish()
+    assert spans == [(100, 149), (600, 649)]
+    # overlapping re-scan of the same region merges instead of duplicating
+    sb2 = SpanBuilder(_cfg(stride=1, exit_cooldown_sec=0.05, total_frames=1000))
+    for i in range(100, 160):
+        sb2.update(i, 0.2)
+    sb2.interrupt(159)
+    for i in range(120, 180):
+        sb2.update(i, 0.2)
+    sb2.interrupt(179)
+    assert sb2.finish() == [(100, 179)]
+
+
+def test_bank_matrix_cache_invalidation():
+    e = np.eye(8, dtype=np.float32)
+    b = RefBank(cap=2)
+    b.seed([e[0]])
+    m1 = b.matrix()
+    assert b.matrix() is m1  # cached between mutations
+    b.update(e[1], 10.0)
+    assert b.matrix().shape[0] == 2
+    # in-place replacement at capacity must also refresh the cache
+    v = e[0] * 0.9 + e[2] * np.sqrt(1.0 - 0.81)
+    v = (v / np.linalg.norm(v)).astype(np.float32)
+    action, idx = b.update(v, 10.0)
+    assert action == "replaced"
+    assert b.fd(v) == pytest.approx(0.0, abs=1e-6)
+    assert b.fd(e[1]) > 0.5  # the replaced row is really gone from matrix()
