@@ -301,6 +301,10 @@ class HdrStillExporter:
         status, payload = pending
         if status == "err":
             return False, payload
+        if _cancelled():
+            # check BEFORE the blocking fetch: a cancelled run must not wait
+            # out a stuck device render (tunnel stalls run minutes)
+            return False, "cancelled"
         y, uv, src_crop, fetch = payload
         bgr = fetch()
         if _cancelled():
@@ -331,10 +335,21 @@ class HdrStillExporter:
                                     timeout_sec=self.archive_timeout,
                                     out_pix_fmt=self.archive_pix_fmt,
                                     color_range=self.archive_range))
+            def _run_inline(fn, label):
+                # inline path (no archive sink): a failed archive must at
+                # least be logged — the still export already succeeded, so
+                # the failure is otherwise invisible
+                aok, ares = fn()
+                if not aok:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "HDR archive failed for %s: %s", label, ares)
+
             if self.archive_sink is not None:
                 self.archive_sink(job, label=apath)
             else:
-                job()
+                _run_inline(job, apath)
             if self.display_compat:
                 dpath = os.path.join(self.archive_dir,
                                      f"{base}_display.png")
@@ -343,7 +358,7 @@ class HdrStillExporter:
                 if self.archive_sink is not None:
                     self.archive_sink(djob, label=dpath)
                 else:
-                    djob()
+                    _run_inline(djob, dpath)
         if ok and self.diag_dir:
             # diagnostics are best-effort: the still is already written and
             # archived — a diag failure (unwritable dir, disk full) must

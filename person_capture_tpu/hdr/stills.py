@@ -209,17 +209,33 @@ def _get_render_fn(params: HdrExportParams):
 
     from ..kernels.cleanup import despeckle_bgr, shadow_deblob_bgr
     from ..kernels.colormatch import color_match_bgr
-    from ..kernels.hdr import p010_to_sdr_bgr_jnp
+    from ..kernels.hdr import hdr_to_sdr_bgr, p010_to_sdr_bgr_jnp
 
     def render(y_crop, uv_crop):
         clean_full = params.full_range or params.clean_range == "full"
-        bgr = p010_to_sdr_bgr_jnp(
-            y_crop, uv_crop, full_range=clean_full,
-            transfer=params.transfer, src_peak_nits=params.src_peak_nits,
-            sdr_nits=params.sdr_nits, algo=params.tonemap,
-            desat=params.desat, param=params.tm_param, dither=params.dither,
-            peak_detect=params.peak_detect,
-            contrast_recovery=params.contrast_recovery, gamut=params.gamut)
+        # plain PQ tone-map (no peak-detect/contrast-recovery/gamut-map —
+        # e.g. the "fast" quality preset) dispatches the Pallas-fused
+        # per-pixel kernel on TPU; richer configurations use the jnp chain
+        plain = (params.transfer == "pq" and not params.peak_detect
+                 and params.gamut == "clip"
+                 and float(params.contrast_recovery) == 0.0)
+        if plain:
+            bgr = hdr_to_sdr_bgr(
+                y_crop, uv_crop, full_range=clean_full,
+                transfer=params.transfer,
+                src_peak_nits=params.src_peak_nits,
+                sdr_nits=params.sdr_nits, algo=params.tonemap,
+                desat=params.desat, param=params.tm_param,
+                dither=params.dither)
+        else:
+            bgr = p010_to_sdr_bgr_jnp(
+                y_crop, uv_crop, full_range=clean_full,
+                transfer=params.transfer, src_peak_nits=params.src_peak_nits,
+                sdr_nits=params.sdr_nits, algo=params.tonemap,
+                desat=params.desat, param=params.tm_param,
+                dither=params.dither, peak_detect=params.peak_detect,
+                contrast_recovery=params.contrast_recovery,
+                gamut=params.gamut)
         if params.color_match:
             # WIC-look reference: full-range expansion + nearest chroma +
             # gamma-2.2, rendered at reduced resolution (stats only)
@@ -348,7 +364,20 @@ def submit_sdr_crop_render(y_plane: np.ndarray, uv_plane: np.ndarray,
                                   "guide_cleanup": False})
         pending = _get_render_fn(base)(y_crop, uv_crop)
         ext_fn = _get_ext_match_fn(params)
-        out_dev = ext_fn(pending, np.asarray(reference_bgr))
+        ref = np.asarray(reference_bgr)
+        if trim is not None:
+            # the render was edge-padded to the shape bucket; pad the
+            # reference by the same FRACTION of its own size so the spatial
+            # post-stages (lowfreq residual pooling, guide-cleanup resize)
+            # keep both inputs on the same normalized grid — an unpadded
+            # reference would be stretched over the pad band, shifting every
+            # interior comparison
+            rh, rw = ref.shape[:2]
+            rph = int(round(rh * (y_crop.shape[0] - ch) / float(ch)))
+            rpw = int(round(rw * (y_crop.shape[1] - cw) / float(cw)))
+            if rph or rpw:
+                ref = np.pad(ref, ((0, rph), (0, rpw), (0, 0)), mode="edge")
+        out_dev = ext_fn(pending, ref)
         try:
             out_dev.copy_to_host_async()
         except AttributeError:
@@ -386,9 +415,9 @@ def render_sdr_crop_from_p010(y_plane: np.ndarray, uv_plane: np.ndarray,
                                   reference_bgr)()
 
 
-def save_sdr_still(bgr: np.ndarray, out_path: str,
-                   fmt: Optional[str] = None) -> Tuple[bool, str]:
-    """Atomic PNG/JPG write + validation."""
+def save_sdr_still(bgr: np.ndarray, out_path: str) -> Tuple[bool, str]:
+    """Atomic PNG/JPG write + validation. The format follows the
+    ``out_path`` extension (HdrStillExporter.out_path_for sets it)."""
     from ..pipeline.saver import atomic_image_write
 
     ok, err = atomic_image_write(bgr, out_path)

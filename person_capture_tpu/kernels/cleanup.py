@@ -70,9 +70,8 @@ def shadow_deblob_bgr(bgr, strength: float = 0.5, dark_y: float = 0.16,
     alone). Chroma in sub-``dark_y`` luma is pulled toward its low-frequency
     field by up to ``strength``; luma and lit regions are untouched."""
     import jax
-    import numpy as np
 
-    from .color import YCBCR_BT601, rgb_to_ycbcr
+    from .color import ycbcr_to_bgr_u8
 
     x = jnp.asarray(bgr)
     rgb = x[..., ::-1].astype(jnp.float32) / 255.0
@@ -87,12 +86,7 @@ def shadow_deblob_bgr(bgr, strength: float = 0.5, dark_y: float = 0.16,
         low = jax.image.resize(jax.image.resize(c, (gh, gw), "linear"),
                                (h, w), "linear")
         out_c.append(c + pull * (low - c))
-    m = jnp.asarray(np.linalg.inv(YCBCR_BT601), jnp.float32)
-    r = m[0, 0] * out_c[0] + m[0, 1] * out_c[1] + m[0, 2] * out_c[2]
-    g = m[1, 0] * out_c[0] + m[1, 1] * out_c[1] + m[1, 2] * out_c[2]
-    b = m[2, 0] * out_c[0] + m[2, 1] * out_c[1] + m[2, 2] * out_c[2]
-    out = jnp.stack([b, g, r], -1) * 255.0
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return ycbcr_to_bgr_u8(out_c[0], out_c[1], out_c[2], YCBCR_BT601)
 
 
 def guide_cleanup_bgr(bgr, guide_bgr, strength: float = 1.0,
@@ -103,8 +97,6 @@ def guide_cleanup_bgr(bgr, guide_bgr, strength: float = 1.0,
     was rendered through an independent chain) — pull them toward the
     guide. ``guide_bgr`` may be reduced resolution; it is upsampled."""
     import jax
-
-    from .color import YCBCR_BT601, rgb_to_ycbcr
 
     x = jnp.asarray(bgr).astype(jnp.float32)
     g = jnp.asarray(guide_bgr).astype(jnp.float32)

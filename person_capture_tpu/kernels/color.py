@@ -131,6 +131,14 @@ def rgb_to_ycbcr(rgb, matrix=None):
     return jnp.einsum("...c,dc->...d", rgb.astype(jnp.float32), m)
 
 
+def ycbcr_to_bgr_u8(y, cb, cr, matrix=None):
+    """Y'CbCr planes → rounded uint8 BGR image. Shared reconstruction for
+    the color-match and cleanup kernels (one copy of the color math)."""
+    rgb = ycbcr_to_rgb(y, cb, cr, matrix)
+    return jnp.clip(jnp.round(rgb[..., ::-1] * 255.0), 0, 255) \
+        .astype(jnp.uint8)
+
+
 def normalize_limited(code, bits: int = 10, chroma: bool = False):
     """Limited-range code values → normalized (Y: 0..1, C: -0.5..0.5)."""
     scale = float(1 << (bits - 8))

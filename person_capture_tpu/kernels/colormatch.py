@@ -17,9 +17,8 @@ from __future__ import annotations
 
 
 import jax.numpy as jnp
-import numpy as np
 
-from .color import YCBCR_BT601, rgb_to_ycbcr
+from .color import YCBCR_BT601, rgb_to_ycbcr, ycbcr_to_bgr_u8
 
 
 def _to_ycbcr(bgr):
@@ -29,12 +28,7 @@ def _to_ycbcr(bgr):
 
 
 def _from_ycbcr(y, cb, cr):
-    m = jnp.asarray(np.linalg.inv(YCBCR_BT601), jnp.float32)
-    r = m[0, 0] * y + m[0, 1] * cb + m[0, 2] * cr
-    g = m[1, 0] * y + m[1, 1] * cb + m[1, 2] * cr
-    b = m[2, 0] * y + m[2, 1] * cb + m[2, 2] * cr
-    rgb = jnp.stack([r, g, b], -1)
-    return jnp.clip(jnp.round(rgb[..., ::-1] * 255.0), 0, 255).astype(jnp.uint8)
+    return ycbcr_to_bgr_u8(y, cb, cr, YCBCR_BT601)
 
 
 def fit_quantile_lut(clean, ref, n_points: int = 33):
@@ -56,22 +50,57 @@ def apply_lut(x, xs, ys):
     return jnp.interp(x, xs, ys)
 
 
-def fit_chroma_side_gains(clean_c, ref_c, hi_q: float = 0.90,
-                          max_gain: float = 2.5):
-    """Per-side chroma gains pinned at the neutral axis: positive and
-    negative halves each get gain = ref_q/clean_q of the |value|
-    distribution's high quantile. Keeps neutral pixels neutral."""
-    def side_gain(c_sel, r_sel):
-        cq = jnp.quantile(c_sel, hi_q)
-        rq = jnp.quantile(r_sel, hi_q)
-        g = rq / jnp.maximum(cq, 1e-5)
-        return jnp.clip(g, 1.0 / max_gain, max_gain)
+def _masked_percentile(vals, sel, q: float):
+    """Percentile of ``vals[sel]`` with fixed shapes (no boolean indexing
+    under jit): unselected values sort to +inf, the percentile indexes into
+    the selected prefix. Returns (percentile, n_selected); +inf when the
+    selection is empty."""
+    n = jnp.sum(sel)
+    v = jnp.sort(jnp.where(sel, vals, jnp.inf))
+    idx = jnp.clip(jnp.round(q * jnp.maximum(n - 1, 0)).astype(jnp.int32),
+                   0, vals.shape[0] - 1)
+    return v[idx], n
 
+
+def fit_chroma_side_gains(clean_c, ref_c, max_gain: float = 2.25,
+                          min_gain: float = 0.40, min_side_px: int = 256):
+    """Per-side chroma gains pinned at the neutral axis (reference
+    ``_neutral_chroma_gain_lut``, gui_app.py:9641-9692): each side's gain is
+    the p75 ratio of deviations over pixels where EITHER rendering actually
+    excursions past ~1 8-bit code unit. A side with too few such pixels (or
+    a near-neutral clean p75) falls back to the all-pixel gain, then to 1.0
+    — never to the clip floor, which the old full-array quantile hit on
+    sparsely-populated sides (one-sided casts desaturated by ~2x).
+
+    ``clean_c``/``ref_c`` must be the same shape (the caller resizes the
+    clean plane onto the statistics reference when it is reduced-res)."""
+    unit = 1.0 / 255.0  # one 8-bit code unit in normalized chroma
     c = clean_c.reshape(-1)
     r = ref_c.reshape(-1)
-    pos_g = side_gain(jnp.maximum(c, 0.0), jnp.maximum(r, 0.0))
-    neg_g = side_gain(jnp.maximum(-c, 0.0), jnp.maximum(-r, 0.0))
-    return pos_g, neg_g
+    if c.shape[0] < 1024:  # reference bails without enough pixels
+        one = jnp.float32(1.0)
+        return one, one
+
+    def side(sign: float):
+        cd, rd = sign * c, sign * r
+        sel = (cd > unit) | (rd > unit)
+        cp, n_sel = _masked_percentile(cd, sel, 0.75)
+        rp, _ = _masked_percentile(rd, sel, 0.75)
+        valid = ((n_sel >= min_side_px) & jnp.isfinite(cp)
+                 & jnp.isfinite(rp) & (cp >= unit))
+        g = jnp.clip(rp / jnp.maximum(cp, 1e-6), min_gain, max_gain)
+        return jnp.where(valid, g, jnp.nan), valid
+
+    # all-pixel fallback gain (reference fallback_gain)
+    cpa = jnp.quantile(jnp.abs(c), 0.75)
+    rpa = jnp.quantile(jnp.abs(r), 0.75)
+    fb = jnp.where(cpa >= unit,
+                   jnp.clip(rpa / jnp.maximum(cpa, 1e-6),
+                            min_gain, max_gain),
+                   1.0)
+    pos_g, pos_ok = side(1.0)
+    neg_g, neg_ok = side(-1.0)
+    return jnp.where(pos_ok, pos_g, fb), jnp.where(neg_ok, neg_g, fb)
 
 
 def shadow_protect_weight(y, protect: float, knee: float = 0.18):
@@ -123,9 +152,22 @@ def color_match_bgr(clean_bgr, ref_bgr, strength: float = 1.0,
     y_out = y_c + w_y * (y_mapped - y_c)
 
     # --- chroma: neutral-pinned side gains with shadow protection --------
+    def _fit_view(c_clean, c_ref):
+        # the side-gain fit pairs pixels (deviation-union selection), so a
+        # reduced-res statistics reference needs the clean plane on its
+        # grid — NEAREST, not linear: averaging would shrink the clean
+        # side's deviation distribution (the strided reference stays sharp)
+        # and bias every gain upward on high-frequency content
+        if c_clean.shape != c_ref.shape:
+            import jax
+
+            return jax.image.resize(c_clean, c_ref.shape, "nearest")
+        return c_clean
+
     out_c = []
     for c_clean, c_ref in ((cb_c, cb_r), (cr_c, cr_r)):
-        pos_g, neg_g = fit_chroma_side_gains(c_clean, c_ref)
+        pos_g, neg_g = fit_chroma_side_gains(_fit_view(c_clean, c_ref),
+                                             c_ref)
         mapped = jnp.where(c_clean >= 0, c_clean * pos_g, c_clean * neg_g)
         w_c = s * float(chroma_strength) * shadow_protect_weight(
             y_c, shadow_chroma_protect)

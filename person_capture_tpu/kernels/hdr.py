@@ -142,7 +142,7 @@ def hdr_to_sdr_core_jnp(rgb2020_lin, src_peak_nits: float = 1000.0,
     """Linear BT.2020 RGB (SDR-peak units) → linear BT.709 RGB (0..1)."""
     peak = max(1.0 + 1e-3, float(src_peak_nits) / float(sdr_nits))
     mapped = apply_tonemap(rgb2020_lin, peak, algo=algo, desat=desat,
-                           param=param)
+                           param=param, sdr_nits=sdr_nits)
     rgb709 = jnp.einsum("...c,dc->...d", mapped,
                         jnp.asarray(BT2020_TO_BT709))
     return jnp.clip(rgb709, 0.0, 1.0)
@@ -178,7 +178,7 @@ def p010_to_sdr_bgr_jnp(y_u16, uv_u16, full_range: bool = False,
         lin = pq_eotf(rgb_prime) * PQ_PEAK_NITS / sdr_nits
         peak_ratio = jnp.maximum(peak_nits / sdr_nits, 1.0 + 1e-3)
         mapped = apply_tonemap(lin, peak_ratio, algo=algo, desat=desat,
-                               param=param)
+                               param=param, sdr_nits=sdr_nits)
         mapped = recover_contrast(mapped, lin, contrast_recovery)
         rgb709 = map_gamut_709(jnp.einsum("...c,dc->...d", mapped,
                                           jnp.asarray(BT2020_TO_BT709)),
@@ -187,7 +187,8 @@ def p010_to_sdr_bgr_jnp(y_u16, uv_u16, full_range: bool = False,
     lin = hdr_rgb_prime_to_linear(rgb_prime, transfer, sdr_nits,
                                   src_peak_nits)
     peak = max(1.0 + 1e-3, float(src_peak_nits) / float(sdr_nits))
-    mapped = apply_tonemap(lin, peak, algo=algo, desat=desat, param=param)
+    mapped = apply_tonemap(lin, peak, algo=algo, desat=desat, param=param,
+                           sdr_nits=sdr_nits)
     mapped = recover_contrast(mapped, lin, contrast_recovery)
     rgb709 = map_gamut_709(jnp.einsum("...c,dc->...d", mapped,
                                       jnp.asarray(BT2020_TO_BT709)), gamut)
@@ -203,7 +204,8 @@ def _core_math(r, g, b, peak, algo, desat, param, sdr_nits):
     sRGB OETF. Shared by the Pallas kernel body (shapes [TH, TW])."""
     rgb = jnp.stack([r, g, b], axis=-1)
     lin = pq_eotf(rgb) * (PQ_PEAK_NITS / sdr_nits)
-    mapped = apply_tonemap(lin, peak, algo=algo, desat=desat, param=param)
+    mapped = apply_tonemap(lin, peak, algo=algo, desat=desat, param=param,
+                           sdr_nits=sdr_nits)
     m = BT2020_TO_BT709
     r2 = m[0, 0] * mapped[..., 0] + m[0, 1] * mapped[..., 1] + m[0, 2] * mapped[..., 2]
     g2 = m[1, 0] * mapped[..., 0] + m[1, 1] * mapped[..., 1] + m[1, 2] * mapped[..., 2]
@@ -264,7 +266,11 @@ def hdr_to_sdr_bgr(y_u16, uv_u16, full_range: bool = False,
                    sdr_nits: float = 100.0, algo: str = "bt.2390",
                    desat: float = 0.25, param: Optional[float] = None,
                    dither: bool = True, use_pallas: Optional[bool] = None):
-    """Production entry: P010 planes → SDR BGR uint8, Pallas-fused on TPU."""
+    """P010 planes → SDR BGR uint8 for the PLAIN tone-map configuration
+    (no peak-detect/contrast-recovery/gamut-map): Pallas-fused on TPU, the
+    jnp chain elsewhere. The stills renderer (hdr/stills._get_render_fn)
+    dispatches this path when params allow — e.g. the "fast" quality
+    preset; richer configurations stay on p010_to_sdr_bgr_jnp."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas or transfer != "pq":

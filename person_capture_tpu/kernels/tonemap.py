@@ -82,17 +82,23 @@ TONEMAPPERS = {
 
 
 def apply_tonemap(rgb_lin, peak: float, algo: str = "bt.2390",
-                  desat: float = 0.25, param: float | None = None):
+                  desat: float = 0.25, param: float | None = None,
+                  sdr_nits: float = 100.0):
     """Tone-map linear RGB (1.0 == SDR peak) with luma-driven desaturation.
 
     Maps max(R,G,B) through the curve and scales the pixel, preserving hue;
     ``desat`` blends toward per-channel mapping in highlights to avoid hue
     shifts at the clip point (the reference exposes this as ``tm_desat``).
+    ``sdr_nits`` anchors the BT.2390 knee at the pipeline's actual SDR peak
+    (the caller normalized 1.0 == sdr_nits; defaulting the curve to 100
+    would shift the knee whenever cfg.sdr_nits differs).
     """
     fn = TONEMAPPERS.get(algo, tm_bt2390)
     kwargs = {}
     if param is not None and fn is tm_mobius:
         kwargs["param"] = param
+    if fn is tm_bt2390:
+        kwargs["sdr_nits"] = sdr_nits
     lum = jnp.maximum(jnp.max(rgb_lin, axis=-1, keepdims=True), 1e-6)
     mapped_lum = fn(lum, peak, **kwargs)
     scaled = rgb_lin * (mapped_lum / lum)
