@@ -171,6 +171,15 @@ def main(argv=None) -> int:
     ap = build_parser()
     args = ap.parse_args(argv)
 
+    if str(getattr(args, "device", "tpu")).lower() == "cpu":
+        # pin BEFORE any backend is touched: env vars are not enough when a
+        # PJRT plugin (axon) forces the default platform from sitecustomize.
+        # "tpu" keeps the environment default; "cuda" is accepted for
+        # reference-preset compatibility (no CUDA exists on TPU hosts).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from .pipeline.backends import ScrfdArcFaceBackend
     from .pipeline.engine import Engine
 

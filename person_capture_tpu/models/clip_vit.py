@@ -17,7 +17,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.preprocess import normalize_clip, resize_bilinear
+from ..ops.preprocess import normalize_clip, resize_bicubic
 
 
 @dataclass(frozen=True)
@@ -127,7 +127,9 @@ def encode_images(model: ClipViT, variables, crops_bgr):
     if (h, w) != (s, s):
         scale = s / min(h, w)
         nh, nw = max(s, int(h * scale)), max(s, int(w * scale))
-        x = resize_bilinear(x, nh, nw)
+        # bicubic to match open_clip's torchvision Resize(BICUBIC) — the
+        # thresholds were tuned against that preprocess (reid_embedder.py:34)
+        x = resize_bicubic(x, nh, nw)
         y0 = int(round((nh - s) / 2.0))
         x0 = int(round((nw - s) / 2.0))
         x = x[:, y0:y0 + s, x0:x0 + s]

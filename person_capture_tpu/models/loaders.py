@@ -137,10 +137,17 @@ def _orient(w: np.ndarray, target: np.ndarray, name: str, cfg) -> np.ndarray:
         d = cfg.embed_dim
         if w.shape[0] == d:          # raw torch [out, in]
             w = np.transpose(w, (1, 0))
-        # permute input dim: torch flattens NCHW (c·h·w), flax NHWC (h·w·c)
+        # permute input dim: torch flattens NCHW (c·h·w), flax NHWC (h·w·c).
+        # The final iResNet map is input_size/16 per side (4 stride-2
+        # stages), NOT a hardcoded 7 — cfg.input_size is configurable
+        s = int(cfg.input_size) // 16
         in_dim = w.shape[0]
-        c = in_dim // 49
-        idx = np.arange(in_dim).reshape(c, 7, 7)     # torch order (c, h, w)
+        if in_dim % (s * s):
+            raise ValueError(
+                f"fc.weight input dim {in_dim} is not divisible by the "
+                f"{s}x{s} final map implied by input_size={cfg.input_size}")
+        c = in_dim // (s * s)
+        idx = np.arange(in_dim).reshape(c, s, s)     # torch order (c, h, w)
         perm = np.transpose(idx, (1, 2, 0)).reshape(-1)  # flax order (h, w, c)
         w = w[perm]
     return w
@@ -381,10 +388,12 @@ def load_checkpoint(path: str, kind: str, variables, cfg):
     from ..tools.weights import load_npz_variables
 
     data = np.load(path)
-    keys = list(data.files)
-    flat = {k: data[k] for k in keys}
-    if any(k.startswith("params/") for k in keys):
+    # decide the format from the key names BEFORE materializing any
+    # tensors — the flax-layout case otherwise decompresses the whole
+    # file twice (once here, once inside load_npz_variables)
+    if any(k.startswith("params/") for k in data.files):
         return load_npz_variables(path)
+    flat = {k: data[k] for k in data.files}
     loader = {"arcface": load_arcface_torch, "clip": load_clip_torch,
               "yolov8": load_yolov8_torch}[kind]
     return loader(variables, cfg, flat, strict=True)

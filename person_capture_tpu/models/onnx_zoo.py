@@ -38,7 +38,8 @@ class OnnxScrfdDetector:
 
     def __init__(self, path: str, det_size: int, max_faces: int = 8,
                  strides: Sequence[int] = (8, 16, 32), nms_iou: float = 0.4,
-                 max_candidates: int = 256, dtype=None):
+                 max_candidates: int = 256, dtype=None,
+                 require_kps: bool = True):
         import jax
 
         self.module: OnnxModule = load_onnx_module(path)
@@ -49,6 +50,16 @@ class OnnxScrfdDetector:
                 f"grouped-by-kind SCRFD order, got {n_out} "
                 f"({self.module.output_names})")
         self.use_kps = n_out == 9
+        if require_kps and not self.use_kps:
+            # the face pipeline aligns chips from the 5-pt landmarks; a
+            # bbox-only graph would emit all-zero kps and every "aligned"
+            # chip would silently be the same wrong frame region. The
+            # reference likewise requires *_bnkps models
+            # (face_embedder.py:55-65 download mirrors).
+            raise ValueError(
+                f"{path}: SCRFD graph has no landmark outputs (6 outputs, "
+                f"boxes only). The alignment pipeline needs a *_bnkps "
+                f"model; pass require_kps=False only for bbox-only use.")
         self.det_size = int(det_size)
         self.max_faces = int(max_faces)
         self.strides = tuple(int(s) for s in strides)

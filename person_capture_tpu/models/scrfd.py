@@ -136,6 +136,13 @@ class SCRFD(nn.Module):
 def init_scrfd(key, cfg: SCRFDConfig, size: int = 640, dtype=jnp.float32):
     from .layers import fast_init
 
+    deepest = max(cfg.strides)
+    if size % deepest:
+        # the PAFPN adds upsample2x(p5) to p4: any size not divisible by
+        # the deepest stride fails later as an opaque XLA broadcast error
+        raise ValueError(
+            f"SCRFD det size must be a multiple of {deepest}, got {size} "
+            f"(adjust --det-size / face_fullframe_imgsz)")
     model = SCRFD(cfg, dtype)
     variables = fast_init(model, key, (1, size, size, 3), dtype)
     return model, variables

@@ -180,6 +180,14 @@ class YoloV8(nn.Module):
 def init_yolo(key, cfg: YoloConfig, size: int = 640, dtype=jnp.float32):
     from .layers import fast_init
 
+    deepest = max(cfg.strides)
+    if size % deepest:
+        # PAN top-down/bottom-up adds across stride-8/16/32 levels: sizes
+        # not divisible by the deepest stride fail later as an opaque XLA
+        # broadcast error
+        raise ValueError(
+            f"YOLOv8 det size must be a multiple of {deepest}, got {size} "
+            f"(adjust --det-size / yolo_imgsz)")
     model = YoloV8(cfg, dtype)
     variables = fast_init(model, key, (1, size, size, 3), dtype)
     return model, variables

@@ -77,4 +77,21 @@ def resolve_weights(spec: str, model_name: str) -> Optional[Dict[str, Any]]:
         raise FileNotFoundError(
             f"weights checkpoint not found: {spec!r} (pass 'auto' for "
             f"bundled weights or 'random' for random init)")
-    return _cast_f32(load_npz_variables(spec))
+    vars_ = load_npz_variables(spec)
+    if "params" not in vars_:
+        # a converted-torch dump (src/... keys from tools/convert_weights)
+        # or a foreign npz would otherwise unflatten into a bogus tree and
+        # fail much later as an opaque missing-parameter error inside jit
+        raise ValueError(
+            f"{spec!r} is not a flax-variables checkpoint (no 'params/' "
+            f"keys; found {sorted({k.split('/')[0] for k in _npz_roots(spec)})}). "
+            f"Converted torch dumps load via models.loaders.load_checkpoint "
+            f"with the matching architecture config.")
+    return _cast_f32(vars_)
+
+
+def _npz_roots(path: str):
+    import numpy as np
+
+    with np.load(path) as data:
+        return list(data.files)

@@ -22,6 +22,15 @@ def resize_bilinear(img, out_h: int, out_w: int):
     return out
 
 
+def resize_bicubic(img, out_h: int, out_w: int):
+    """Bicubic resize of ``[..., H, W, C]`` (torchvision BICUBIC analogue —
+    the open_clip preprocess the ReID reference uses resizes bicubic)."""
+    *lead, h, w, c = img.shape
+    out = jax.image.resize(img.astype(jnp.float32),
+                           (*lead, out_h, out_w, c), method="cubic")
+    return out
+
+
 def letterbox_topleft(img, size: int, scale: float | None = None):
     """SCRFD-style letterbox: scale to fit in ``size×size`` preserving aspect,
     place at top-left, zero-fill the rest.
