@@ -51,15 +51,19 @@ def apply_lut(x, xs, ys):
 
 
 def _masked_percentile(vals, sel, q: float):
-    """Percentile of ``vals[sel]`` with fixed shapes (no boolean indexing
-    under jit): unselected values sort to +inf, the percentile indexes into
-    the selected prefix. Returns (percentile, n_selected); +inf when the
-    selection is empty."""
+    """Linear-interpolated percentile of ``vals[sel]`` with fixed shapes
+    (no boolean indexing under jit): unselected values sort to +inf, the
+    percentile interpolates inside the selected prefix — same estimator as
+    np.percentile/jnp.quantile, matching the reference and the all-pixel
+    fallback below. Returns (percentile, n_selected); +inf when empty."""
     n = jnp.sum(sel)
     v = jnp.sort(jnp.where(sel, vals, jnp.inf))
-    idx = jnp.clip(jnp.round(q * jnp.maximum(n - 1, 0)).astype(jnp.int32),
-                   0, vals.shape[0] - 1)
-    return v[idx], n
+    pos = q * jnp.maximum(n - 1, 0).astype(jnp.float32)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, vals.shape[0] - 1)
+    hi = jnp.clip(jnp.minimum(lo + 1, jnp.maximum(n - 1, 0)),
+                  0, vals.shape[0] - 1)
+    frac = pos - lo.astype(jnp.float32)
+    return v[lo] * (1.0 - frac) + v[hi] * frac, n
 
 
 def fit_chroma_side_gains(clean_c, ref_c, max_gain: float = 2.25,

@@ -387,13 +387,13 @@ def load_checkpoint(path: str, kind: str, variables, cfg):
     ('arcface' | 'clip' | 'yolov8')."""
     from ..tools.weights import load_npz_variables
 
-    data = np.load(path)
-    # decide the format from the key names BEFORE materializing any
-    # tensors — the flax-layout case otherwise decompresses the whole
-    # file twice (once here, once inside load_npz_variables)
-    if any(k.startswith("params/") for k in data.files):
-        return load_npz_variables(path)
-    flat = {k: data[k] for k in data.files}
+    with np.load(path) as data:
+        # decide the format from the key names BEFORE materializing any
+        # tensors — the flax-layout case otherwise decompresses the whole
+        # file twice (once here, once inside load_npz_variables)
+        if any(k.startswith("params/") for k in data.files):
+            return load_npz_variables(path)
+        flat = {k: data[k] for k in data.files}
     loader = {"arcface": load_arcface_torch, "clip": load_clip_torch,
               "yolov8": load_yolov8_torch}[kind]
     return loader(variables, cfg, flat, strict=True)

@@ -91,7 +91,5 @@ def resolve_weights(spec: str, model_name: str) -> Optional[Dict[str, Any]]:
 
 
 def _npz_roots(path: str):
-    import numpy as np
-
     with np.load(path) as data:
         return list(data.files)

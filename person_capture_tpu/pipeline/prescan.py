@@ -194,6 +194,19 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
             sample_idx += 1
 
     idx = 0
+
+    def _advance_after_read() -> bool:
+        """Shared stride advance after a decoded sample; False on an EOF
+        shortfall (caller breaks). Both the probe fast path and the normal
+        read path must account identically or sample indices desync."""
+        nonlocal idx
+        skipped = reader.skip(stride - 1)
+        if skipped < stride - 1:
+            idx += 1 + skipped
+            return False
+        idx += stride
+        return True
+
     while total <= 0 or idx < total:
         if should_stop is not None and should_stop():
             break
@@ -267,11 +280,8 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
                 _replay(out, [(idx, 0, False)])
                 if progress is not None and total > 0:
                     progress(min(1.0, idx / total))
-                skipped = reader.skip(stride - 1)
-                if skipped < stride - 1:
-                    idx += 1 + skipped
+                if not _advance_after_read():
                     break
-                idx += stride
                 continue
         pend_idxs.append(idx)
         pend_frames.append(frame)
@@ -282,11 +292,8 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
             flush(drain=False)
             if progress is not None and total > 0:
                 progress(min(1.0, idx / total))
-        skipped = reader.skip(stride - 1)
-        if skipped < stride - 1:
-            idx += 1 + skipped
+        if not _advance_after_read():
             break
-        idx += stride
     flush()
     res.spans = sb.finish()
     if cfg.prescan_boundary_refine_sec > 0 and res.spans and reopen_reader:

@@ -67,3 +67,29 @@ def test_weights_npz_roundtrip(tmp_path):
     for (ca, ba, ka), (cb, bb, kb) in zip(out_a, out_b):
         np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=1e-6)
         np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), atol=1e-6)
+
+def test_resolve_weights_rejects_non_flax_npz(tmp_path):
+    # a convert_weights-style dump (src/ keys) must fail loudly at load
+    # time, not as an opaque missing-parameter error inside jit
+    import numpy as np
+    import pytest
+
+    from person_capture_tpu.models.zoo import resolve_weights
+
+    bad = str(tmp_path / "torchdump.npz")
+    np.savez(bad, **{"src/backbone.conv.weight": np.zeros((3, 3))})
+    with pytest.raises(ValueError, match="flax-variables"):
+        resolve_weights(bad, "scrfd_2.5g")
+
+
+def test_det_size_divisibility_validated():
+    import jax
+    import pytest
+
+    from person_capture_tpu.models import scrfd as SD
+    from person_capture_tpu.models import yolov8 as YV
+
+    with pytest.raises(ValueError, match="multiple of 32"):
+        SD.init_scrfd(jax.random.PRNGKey(0), SD.TINY, size=100)
+    with pytest.raises(ValueError, match="multiple of 32"):
+        YV.init_yolo(jax.random.PRNGKey(0), YV.TINY, size=100)
