@@ -747,6 +747,11 @@ def _resize(node, vals):
                           "round_prefer_floor")
         scales = None
         sizes = None
+        if len(vals) == 2 and vals[1] is not None:
+            # opset-10 Resize signature: (X, scales) — later opsets move
+            # scales to input 2 (input 1 becomes roi)
+            scales = [float(s) for s in np.asarray(
+                _require_host(node, vals[1], "scales")).reshape(-1)]
         if len(vals) > 2 and vals[2] is not None and np.size(
                 _require_host(node, vals[2], "scales")):
             scales = [float(s) for s in np.asarray(vals[2]).reshape(-1)]
@@ -765,13 +770,31 @@ def _resize(node, vals):
     import jax.numpy as jnp
 
     out = x
+    float_path = jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
     for axis in range(x.ndim):
         if out_shape[axis] == in_shape[axis] and scales[axis] == 1.0:
             continue
         lo, hi, w = _resize_axis_indices(
             in_shape[axis], out_shape[axis], scales[axis],
             coord_mode, nearest_mode, linear=(mode == "linear"))
-        if w is None:
+        n_in, n_out = in_shape[axis], out_shape[axis]
+        if float_path:
+            # hat-weight matmul resample (CLAUDE.md: TPU gathers serialize
+            # at ~15 ns/element — never resample with advanced indexing on
+            # the device path). The per-axis interpolation weights are a
+            # static [out, in] matrix; the resize becomes one MXU matmul
+            # per axis, same formulation as ops/align.align_chips_matmul_jnp
+            W = np.zeros((n_out, n_in), np.float32)
+            if w is None:
+                W[np.arange(n_out), lo] = 1.0
+            else:
+                np.add.at(W, (np.arange(n_out), lo), 1.0 - w)
+                np.add.at(W, (np.arange(n_out), hi), w)
+            out = jnp.tensordot(out, jnp.asarray(W), axes=[[axis], [1]])
+            out = jnp.moveaxis(out, -1, axis)
+        elif w is None:
+            # integer nearest: keep the exact dtype (a float matmul would
+            # round large ints); these tensors are small host-shape data
             out = jnp.take(out, lo, axis=axis)
         else:
             a = jnp.take(out, lo, axis=axis)
@@ -780,6 +803,8 @@ def _resize(node, vals):
             bshape[axis] = len(w)
             wj = jnp.asarray(w).reshape(bshape)
             out = a * (1.0 - wj) + b * wj
+    if float_path:
+        out = out.astype(x.dtype)  # Resize preserves T (matmul promoted)
     return out
 
 

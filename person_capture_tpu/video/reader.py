@@ -70,6 +70,8 @@ def set_ffmpeg_env(ffmpeg_dir) -> dict:
         os.environ["PERSON_CAPTURE_FFPROBE"] = ffprobe
         applied["PERSON_CAPTURE_FFPROBE"] = ffprobe
         os.environ.setdefault("FFPROBE", ffprobe)
+    global _FILTER_CACHE
+    _FILTER_CACHE = None  # re-probe capabilities against the new binary
     try:
         from .probe import ffprobe_json
         ffprobe_json.cache_clear()
@@ -104,11 +106,16 @@ class Cv2Reader:
     def meta(self) -> VideoMeta:
         w = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         h = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 30.0
+        # report fps=0 honestly when cv2 doesn't know it: masking with a
+        # 30.0 default here would defeat the engine's ffprobe recovery
+        # chain (engine.py repairs `meta.fps <= 0` before setup)
+        fps = float(self.cap.get(cv2.CAP_PROP_FPS) or 0.0)
         total = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
         if self.max_w and w > self.max_w:
             scale = self.max_w / w
-            w, h = self.max_w, int(round(h * scale))
+            # even height, same formula as FfmpegPipeReader: a mid-run
+            # fallback between reader backends must not change frame shape
+            w, h = self.max_w, max(2, int(round(h * scale)) // 2 * 2)
         return VideoMeta(w, h, fps, total)
 
     def grab(self) -> bool:
@@ -133,6 +140,7 @@ class Cv2Reader:
     def _scale(self, frame: np.ndarray) -> np.ndarray:
         if self.max_w and frame.shape[1] > self.max_w:
             nh = int(round(frame.shape[0] * (self.max_w / frame.shape[1])))
+            nh = max(2, nh // 2 * 2)  # even, matching FfmpegPipeReader
             frame = cv2.resize(frame, (self.max_w, nh),
                                interpolation=cv2.INTER_AREA)
         return frame
@@ -162,17 +170,20 @@ def probe_ffmpeg_filters() -> frozenset:
     if _FILTER_CACHE is not None:
         return _FILTER_CACHE
     exe = find_ffmpeg()
+    if exe is None:
+        # do NOT cache the empty set: an ffmpeg pointed at later via
+        # set_ffmpeg_env must be probed then, not masked by this miss
+        return frozenset()
     names = set()
-    if exe is not None:
-        try:
-            cp = subprocess.run([exe, "-hide_banner", "-filters"],
-                                capture_output=True, timeout=20, check=False)
-            for line in cp.stdout.decode(errors="ignore").splitlines():
-                parts = line.split()
-                if len(parts) >= 2 and any(c in parts[0] for c in "TSC."):
-                    names.add(parts[1])
-        except (OSError, subprocess.SubprocessError):
-            pass
+    try:
+        cp = subprocess.run([exe, "-hide_banner", "-filters"],
+                            capture_output=True, timeout=20, check=False)
+        for line in cp.stdout.decode(errors="ignore").splitlines():
+            parts = line.split()
+            if len(parts) >= 2 and any(c in parts[0] for c in "TSC."):
+                names.add(parts[1])
+    except (OSError, subprocess.SubprocessError):
+        pass
     _FILTER_CACHE = frozenset(names)
     return _FILTER_CACHE
 
@@ -275,19 +286,54 @@ class FfmpegPipeReader:
             height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             fps = fps or float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
             cap.release()
+        if not (width > 0 and height > 0):
+            # try the ffprobe chain before giving up (cv2 can fail on
+            # codecs ffmpeg decodes); 0x0 must NEVER pass through — the
+            # pipe would then yield an infinite stream of empty frames
+            try:
+                from .probe import ffprobe_json
+                vs = next((s for s in (ffprobe_json(path) or {})
+                           .get("streams", [])
+                           if s.get("codec_type") == "video"), {})
+                width = int(vs.get("width") or 0)
+                height = int(vs.get("height") or 0)
+            except Exception:
+                pass
+            if not (width > 0 and height > 0):
+                raise IOError(
+                    f"cannot probe video dimensions: {path}")
         self.path = path
         self.src_w, self.src_h = width, height
         if max_w and width > max_w:
+            # same rounding as Cv2Reader._scale, then floored even (the
+            # tone-map chains require even dims); a mid-run backend
+            # fallback must not shift the frame shape by a row
             self.w = int(max_w)
-            self.h = int(round(height * (max_w / width))) // 2 * 2
+            self.h = max(2, int(round(height * (max_w / width))) // 2 * 2)
         else:
             self.w, self.h = width, height
         self.fps = fps or 30.0
+        self.total_frames = 0
+        if cv2 is not None:
+            cap = cv2.VideoCapture(path)
+            if cap.isOpened():
+                self.total_frames = int(
+                    cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+                if fps <= 0:
+                    self.fps = float(cap.get(cv2.CAP_PROP_FPS) or 0) or 30.0
+            cap.release()
         self.frame_bytes = self.w * self.h * 3
         self._exe = exe
         self._hwaccel = hwaccel
         vf = tonemap_vf
-        if (self.w, self.h) != (width, height) and "scale=" not in vf:
+        # append the decode-downscale unless the chain already has a
+        # standalone scale FILTER — a substring test would false-match
+        # "zscale=" and silently leave the stream at full resolution while
+        # frame_bytes expects the downscaled size (scrambled frames)
+        import re as _re
+
+        has_scale = bool(_re.search(r"(^|,)scale=", vf))
+        if (self.w, self.h) != (width, height) and not has_scale:
             vf = (vf + "," if vf else "") \
                 + f"scale={self.w}:{self.h}:flags=area"
         self._vf = vf
@@ -298,6 +344,12 @@ class FfmpegPipeReader:
         self.failed = False
         self._spawn(start_sec)
         self.pos = int(round(start_sec * self.fps))
+
+    def meta(self) -> VideoMeta:
+        """Reader-protocol metadata (engine/prescan call this on whichever
+        reader they were handed — this class must not be the one backend
+        without it)."""
+        return VideoMeta(self.w, self.h, self.fps, self.total_frames)
 
     def _spawn(self, start_sec: float) -> None:
         self._kill_proc()
@@ -703,6 +755,7 @@ class StridedPrefetchReader:
         self._resume = threading.Event()
         self._stop = threading.Event()
         self._eof = False
+        self._eof_idx: Optional[int] = None  # position where read() failed
         self._epoch = 0
         self._thread = threading.Thread(target=self._worker,
                                         name="pc.prefetch", daemon=True)
@@ -725,9 +778,13 @@ class StridedPrefetchReader:
                 frame = self.reader.read()
                 if frame is None:
                     self._resume.clear()
-                    self._put((epoch, idx, None))
-                    continue
-                self.reader.skip(self.stride - 1)
+                    self._eof_idx = idx
+                else:
+                    self.reader.skip(self.stride - 1)
+            # _put blocks when the queue is full — it must run OUTSIDE the
+            # lock (for the EOF sentinel too), or a consumer-side
+            # _pause_and_flush waiting on the lock deadlocks against a
+            # worker waiting on queue space
             self._put((epoch, idx, frame))
 
     def _put(self, item):
@@ -747,24 +804,27 @@ class StridedPrefetchReader:
             while not self._queue.empty():
                 self._queue.get_nowait()
 
-    def _resync_to(self, target: int):
-        """Underlying reader lands exactly on ``target``."""
+    def _resync_to(self, target: int) -> int:
+        """Underlying reader lands on ``target`` (or short at EOF);
+        returns the position actually reached."""
         self._pause_and_flush()
         with self._lock:
             self._do_resync(target)
+            achieved = self.reader.pos
         self._resume.set()
+        return achieved
 
     def _do_resync(self, target: int):
         """Land the underlying reader exactly on ``target``; caller holds
         the lock. Forward gaps drain with skip (cheap on every reader and
         free when already there — the starvation fallback resyncs to the
         current pos); backward gaps seek, or reopen for seekless readers
-        (never silently)."""
+        (never silently). A forward shortfall records the stream end."""
         r = self.reader
         delta = target - r.pos
         if 0 <= delta <= 96 or (delta > 0 and not hasattr(r, "seek")):
-            if delta:
-                r.skip(delta)
+            if delta and r.skip(delta) < delta:
+                self._eof_idx = r.pos
             return
         if hasattr(r, "seek"):
             r.seek(target)      # far forward or backward
@@ -775,8 +835,8 @@ class StridedPrefetchReader:
                 f"(at {r.pos}) with no reopen callback")
         r.release()
         self.reader = r = self._reopen()
-        if target > r.pos:
-            r.skip(target - r.pos)
+        if target > r.pos and r.skip(target - r.pos) < target - r.pos:
+            self._eof_idx = r.pos
 
     # ---- reader API -------------------------------------------------------
     def read(self):
@@ -810,12 +870,26 @@ class StridedPrefetchReader:
 
     def skip(self, count: int) -> int:
         count = max(0, int(count))
+        # honor the short-skip EOF contract the pipeline drivers rely on
+        # (prescan breaks on `skipped < requested`): once the worker saw
+        # the stream end, a skip crossing it reports the shortfall instead
+        # of silently claiming frames past EOF
+        eof = self._eof_idx
+        if eof is not None and self.pos <= eof < self.pos + count:
+            done = max(0, eof - self.pos)
+            self.pos = eof
+            return done
         if count == self.stride - 1:
             # the worker already performed this skip speculatively
             self.pos += count
             return count
-        self._resync_to(self.pos + count)
-        self.pos += count
+        target = self.pos + count
+        achieved = self._resync_to(target)
+        if achieved < target:  # stream ended inside the skip
+            done = max(0, achieved - self.pos)
+            self.pos = achieved
+            return done
+        self.pos = target
         return count
 
     def seek(self, frame_idx: int) -> None:

@@ -476,3 +476,17 @@ def test_avg_pool_dilations(tmp_path):
         for j in range(4):
             expect[i, j] = x[0, 0, (i, i + 2), :][:, (j, j + 2)].mean()
     np.testing.assert_allclose(y[0, 0], expect, rtol=1e-5)
+
+
+def test_resize_opset10_scales_at_input_1(tmp_path):
+    # opset-10 Resize signature: (X, scales) — scales sit at input 1, not 2
+    rng = np.random.default_rng(16)
+    x = rng.normal(size=(1, 2, 4, 5)).astype(np.float32)
+    nodes = [OnnxNode("Resize", ["x", "scales"], ["y"], attrs={
+        "mode": "nearest", "coordinate_transformation_mode": "asymmetric",
+        "nearest_mode": "floor"})]
+    inits = {"scales": np.asarray([1, 1, 2, 2], np.float32)}
+    got = _run_graph(tmp_path, nodes, inits, {"x": x.shape}, ["y"], [x])
+    want = F.interpolate(torch.from_numpy(x), scale_factor=2,
+                         mode="nearest").numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -466,3 +466,78 @@ def test_resilient_reader_trusts_clean_pipe_eof_over_overcounted_total(
     assert n == TOTAL
     assert opens["n"] == 0 and r.recoveries == 0
     r.release()
+
+
+def test_pipe_meta(synth, fake_ffmpeg):
+    r = FfmpegPipeReader(synth.path)
+    m = r.meta()
+    assert (m.width, m.height) == (W, H)
+    assert m.fps == pytest.approx(FPS, rel=0.01)
+    assert m.total_frames == TOTAL
+    r.release()
+
+
+def test_pipe_rejects_unprobeable_dims(tmp_path, fake_ffmpeg):
+    # a non-video file: cv2 and ffprobe both fail to give dimensions —
+    # 0x0 must raise instead of yielding an infinite empty-frame stream
+    bogus = str(tmp_path / "not_a_video.bin")
+    with open(bogus, "wb") as fh:
+        fh.write(b"\x00" * 256)
+    with pytest.raises((IOError, OSError)):
+        FfmpegPipeReader(bogus)
+
+
+def test_zscale_chain_still_gets_downscale(synth, fake_ffmpeg):
+    # 'zscale=' contains the substring 'scale=': the downscale-append
+    # guard must match only a standalone scale FILTER
+    import re
+
+    chain = ("zscale=transfer=linear:npl=100,tonemap=mobius:desat=0.5,"
+             "zscale=transfer=bt709:matrix=bt709")
+    r = FfmpegPipeReader(synth.path, max_w=32, tonemap_vf=chain)
+    assert re.search(r"(^|,)scale=32:", r._vf), r._vf
+    r.release()
+    # and a chain that already scales is left alone
+    r2 = FfmpegPipeReader(synth.path, max_w=32,
+                          tonemap_vf="scale=32:24:flags=area")
+    assert r2._vf.count("scale=") == 1
+    r2.release()
+
+
+def test_prefetch_skip_reports_eof_shortfall(synth, fake_ffmpeg):
+    r = StridedPrefetchReader(FfmpegPipeReader(synth.path), stride=4)
+    for i in range(28):                    # samples 0, 4, ..., 108
+        f = r.read()
+        assert _val(f) == i * 4
+        assert r.skip(3) == 3
+    assert r.pos == 112
+    got = r.skip(20)                       # crosses EOF at 120
+    assert got == 8
+    assert r.pos == 120
+    assert r.read() is None
+    r.release()
+
+
+def test_prefetch_eof_sentinel_seek_no_deadlock(synth, fake_ffmpeg):
+    # worker reaches EOF while the queue is full: the sentinel put must
+    # not block while holding the worker lock (a consumer seek would
+    # deadlock against it)
+    import threading
+    import time
+
+    r = StridedPrefetchReader(FfmpegPipeReader(synth.path), stride=1,
+                              depth=2)
+    r.seek(TOTAL - 2)
+    time.sleep(0.8)                        # worker fills queue + hits EOF
+    got = []
+
+    def do_seek():
+        r.seek(10)
+        got.append(_val(r.read()))
+
+    t = threading.Thread(target=do_seek, daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive(), "seek deadlocked against the EOF sentinel put"
+    assert got and got[0] == 10
+    r.release()
