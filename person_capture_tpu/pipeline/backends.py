@@ -24,6 +24,27 @@ from typing import Dict, Optional, Protocol
 import numpy as np
 
 
+def pad_batch(frames, batch: int, idxs=None):
+    """Stack a partial batch and pad it to the fixed program shape by
+    repeating the last frame (and index) with a valid=False tail — the one
+    padding contract every pipeline call site shares.
+
+    Returns ``(arr [batch, ...], idxs [batch] | None, valid [batch], n)``.
+    """
+    n = len(frames)
+    arr = np.stack(frames)
+    if n < batch:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], batch - n, axis=0)],
+                             axis=0)
+    valid = np.zeros((batch,), bool)
+    valid[:n] = True
+    out_idxs = None
+    if idxs is not None:
+        idxs = list(idxs)
+        out_idxs = np.asarray(idxs + [idxs[-1]] * (batch - n))
+    return arr, out_idxs, valid, n
+
+
 def extract_single_image(backend, img: np.ndarray, canvas: int = 0):
     """Run a face backend on ONE arbitrary-size image using a fixed
     [1, canvas, canvas, 3] device shape (avoids a recompile per image

@@ -35,6 +35,10 @@ _PRESCAN_KEYS = (
     "prescan_diversity_dedup_cos", "prescan_replace_margin",
     "prescan_fd9_skip", "prescan_fd9_grace", "prescan_fd9_probe_period",
     "prescan_weights", "face_quality_min", "face_model",
+    # the embedding family defines the bank's vector space: a cached CLIP
+    # bank replayed into an ArcFace run is dimension/semantics-poison
+    # (reference keys these too, gui_app.py:820-824)
+    "use_arcface", "clip_face_backbone", "clip_face_pretrained",
 )
 
 
@@ -120,7 +124,9 @@ def get_or_run(cfg: SessionConfig, video_path: str, ref_paths: List[str],
         return run_fn(), False
     key = cache_key(cfg, video_path, ref_paths, fps, total_frames)
     path = cache_path(cfg, key)
-    if mode == "auto":
+    if mode in ("auto", "reuse"):
+        # the reference accepts "reuse" as a load-enabled mode
+        # (gui_app.py:853-854); only "refresh" skips the load
         hit = load_cache(path, key, cfg)
         if hit is not None:
             return hit, True

@@ -412,11 +412,10 @@ class Engine:
                                    on_preview=self._on_preview,
                                    should_stop=self._should_stop,
                                    seek_request=self._poll_seek,
-                                   preview_hdr_source=preview_p010)
+                                   preview_hdr_source=preview_p010,
+                                   on_hit=self._on_hit)
             self._report_reader_health(main_reader, "main pass")
             self._release_run_resources()
-            for h in mp.hits:
-                self._on_hit(h)
             if cfg.curate_enable and mp.hits:
                 self._run_curator(bank)
             return EngineResult(True, list(spans), pres, mp)

@@ -37,6 +37,7 @@ from ..core.compose import choose_best_ratio, enforce_scale_and_margins
 from ..core.geometry import (box_iou, crop_img, detect_black_borders,
                              parse_ratio_list)
 from ..core.scoring import calc_sharpness, combine_scores
+from .backends import pad_batch
 from .saver import AsyncSaver, SaveItem
 
 
@@ -150,7 +151,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                   on_preview: Optional[Callable[[np.ndarray, int], None]] = None,
                   should_stop: Optional[Callable[[], bool]] = None,
                   seek_request: Optional[Callable[[], Optional[int]]] = None,
-                  preview_hdr_source=None) -> MainPassResult:
+                  preview_hdr_source=None,
+                  on_hit: Optional[Callable] = None) -> MainPassResult:
     t0 = time.perf_counter()
     meta = meta or reader.meta()
     fps = meta.fps or 30.0
@@ -166,18 +168,23 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     crops_dir = os.path.join(cfg.out_dir, "crops")
     os.makedirs(crops_dir, exist_ok=True)
 
-    use_reid = (reid_backend is not None and ref_reid_feat is not None
+    # match_mode/disable_reid are LIVE keys (engine.update_cfg): evaluate
+    # per use instead of snapshotting at entry, or mid-run changes no-op
+    def _use_reid() -> bool:
+        return (reid_backend is not None and ref_reid_feat is not None
                 and not cfg.disable_reid and cfg.match_mode != "face_only")
-    use_person = person_backend is not None and (
-        cfg.match_mode != "face_only" or not cfg.skip_yolo_when_faceonly
-        or cfg.compose_detect_person_for_face)
+
+    def _use_person() -> bool:
+        return person_backend is not None and (
+            cfg.match_mode != "face_only" or not cfg.skip_yolo_when_faceonly
+            or cfg.compose_detect_person_for_face)
+
     if ref_reid_feat is not None:
         ref_reid_feat = np.asarray(ref_reid_feat, np.float32)
         ref_reid_feat = ref_reid_feat / max(np.linalg.norm(ref_reid_feat), 1e-6)
 
     lock = LockState()
     last_save_t = -1e9
-    min_gap = float(cfg.min_gap_sec)
     bank_mat = bank.matrix()
     # hard-negative face embeddings (suppress_negatives/neg_tolerance/
     # max_negatives: the reference exposes these as LIVE GUI knobs,
@@ -193,19 +200,21 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     prev_frame: List[Optional[np.ndarray]] = [None]
     preview_state = {"count": 0, "last_t": -1e9}
 
-    debug_fh = None
-    if cfg.debug_dump:
+    # debug_dump is a LIVE key: decide per record and open the file on
+    # first need, so toggling it mid-run takes effect
+    debug_state: Dict = {"fh": None}
+
+    def _dump(rec: Dict) -> None:
+        if not cfg.debug_dump:
+            return
         import json as _json
 
-        debug_dir = os.path.join(cfg.out_dir, cfg.debug_dir or "debug")
-        os.makedirs(debug_dir, exist_ok=True)
-        debug_fh = open(os.path.join(debug_dir, "debug.jsonl"), "w")
-
-        def _dump(rec: Dict) -> None:
-            debug_fh.write(_json.dumps(rec) + "\n")
-    else:
-        def _dump(rec: Dict) -> None:
-            pass
+        if debug_state["fh"] is None:
+            debug_dir = os.path.join(cfg.out_dir, cfg.debug_dir or "debug")
+            os.makedirs(debug_dir, exist_ok=True)
+            debug_state["fh"] = open(
+                os.path.join(debug_dir, "debug.jsonl"), "w")
+        debug_state["fh"].write(_json.dumps(rec) + "\n")
 
     def _downscaled(img: np.ndarray) -> np.ndarray:
         md = int(cfg.preview_max_dim or 0)
@@ -334,16 +343,9 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         while ff_queue:
             items = ff_queue[:ff_batch]
             del ff_queue[:ff_batch]
-            frames = np.stack([f for (_, f) in items])
-            n = len(items)
-            valid = np.ones((n,), bool)
-            idxs = np.asarray([i for (i, _) in items]
-                              + [items[-1][0]] * (ff_batch - n))
-            if n < ff_batch:
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], ff_batch - n, axis=0)],
-                    0)
-                valid = np.concatenate([valid, np.zeros(ff_batch - n, bool)])
+            frames, idxs, valid, n = pad_batch(
+                [f for (_, f) in items], ff_batch,
+                idxs=[i for (i, _) in items])
             out = fullframe_backend.extract_batch(frames, valid, idxs)
             for slot, (frame_idx, frame) in enumerate(items):
                 mask = out["mask"][slot]
@@ -366,7 +368,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     lock.register_hit(fb, frame_idx, cfg.lock_after_hits,
                                       det_box=cand.det_box)
                 t = frame_idx / fps
-                if t - last_save_t >= min_gap:
+                if t - last_save_t >= float(cfg.min_gap_sec):
                     if _compose_and_save(frame_idx, frame, cand, t):
                         last_save_t = t
 
@@ -414,12 +416,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             cv2.resize(frame[ry1:ry2, rx1:rx2], (tw, th),
                        interpolation=cv2.INTER_LINEAR)
             for _, frame in items])
-        n = len(items)
-        valid = np.ones((n,), bool)
-        if n < batch:
-            crops = np.concatenate(
-                [crops, np.repeat(crops[-1:], batch - n, axis=0)], 0)
-            valid = np.concatenate([valid, np.zeros(batch - n, bool)])
+        crops, _, valid, n = pad_batch(list(crops), batch)
         out = backend.extract_batch(crops, valid)
         for slot, (frame_idx, frame) in enumerate(items):
             mask = out["mask"][slot]
@@ -443,7 +440,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 lock.register_hit(face_box, frame_idx, cfg.lock_after_hits,
                                   det_box=cand.det_box)
             t = frame_idx / fps
-            if t - last_save_t >= min_gap:
+            if t - last_save_t >= float(cfg.min_gap_sec):
                 if _compose_and_save(frame_idx, frame, cand, t):
                     last_save_t = t
 
@@ -467,7 +464,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 person_out["boxes"] = (np.asarray(person_out["boxes"])
                                        * box_s)
         reid_map: Dict[Tuple[int, int], np.ndarray] = {}
-        if use_reid and person_out is not None:
+        if _use_reid() and person_out is not None:
             crops, keys = [], []
             for slot in range(n):
                 for k in np.flatnonzero(person_out["mask"][slot]):
@@ -512,20 +509,22 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                           for f in frames])
         return small, (w / float(aw), h / float(ah))
 
+    conf0 = float(getattr(cfg, "face_det_conf", 0.0) or 0.0)
+
     def flush(drain: bool = True):
+        # face_det_conf is LIVE: propagate a mid-run change to the backend
+        # threshold (only when actually changed — tests construct backends
+        # with explicit thresholds that must not be clobbered)
+        conf = float(getattr(cfg, "face_det_conf", 0.0) or 0.0)
+        if conf != conf0 and conf > 0.0 \
+                and getattr(backend, "score_thresh", None) is not None:
+            backend.score_thresh = conf
         if pend:
-            n = len(pend)
-            frames = np.stack([f for (_, f) in pend])
-            idxs = np.asarray([i for (i, _) in pend])
-            valid = np.ones((n,), bool)
-            if n < batch:
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], batch - n, axis=0)], 0)
-                idxs = np.concatenate([idxs, np.repeat(idxs[-1:], batch - n)])
-                valid = np.concatenate([valid, np.zeros(batch - n, bool)])
+            frames, idxs, valid, n = pad_batch(
+                [f for (_, f) in pend], batch, idxs=[i for (i, _) in pend])
             a_frames, a_scale = _analysis_frames(frames)
             person_fetch = None
-            if (use_person and hasattr(backend, "upload_shared")
+            if (_use_person() and hasattr(backend, "upload_shared")
                     and hasattr(person_backend, "submit_device")):
                 # shared-upload: ONE host→device transfer (i420 wire) feeds
                 # both the face and person programs
@@ -539,7 +538,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 else:
                     out_now = backend.extract_batch(a_frames, valid, idxs)
                     fetch = lambda out_now=out_now: out_now
-                if use_person:
+                if _use_person():
                     # dispatch the person program immediately after the
                     # face program: both execute before either download
                     psubmit = getattr(person_backend, "submit_batch", None)
@@ -573,13 +572,16 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 and lock.last_face_box is not None):
             rescue_queue.append((frame_idx, frame))
         elif (decision == "no_candidate" and fullframe_backend is not None
-              and cfg.face_fullframe_when_missed
-              and not out["mask"][slot].any()):
-            # high-res re-probe at cadence (face_fullframe_cadence)
+              and cfg.face_fullframe_when_missed):
+            # high-res re-probe at cadence (face_fullframe_cadence). The
+            # reference probes every cadence frame that produced no
+            # candidate (gui_app.py:6038-6046) — including frames where a
+            # face WAS detected but embedded/matched badly at the main det
+            # size, the prime small-blurry-face recall case
             ff_counter[0] += 1
             if ff_counter[0] % max(1, int(cfg.face_fullframe_cadence)) == 0:
                 ff_queue.append((frame_idx, frame))
-        if debug_fh is not None:
+        if cfg.debug_dump:
             n_faces = int(out["mask"][slot].sum())
             n_persons = int(person_out["mask"][slot].sum()) \
                 if person_out is not None else 0
@@ -642,7 +644,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         eff_mode = mode
         if bank_mat is None and eff_mode in ("both", "face_only"):
             eff_mode = "reid_only"
-        if (not use_reid or ref_reid_feat is None) \
+        if (not _use_reid() or ref_reid_feat is None) \
                 and eff_mode in ("both", "reid_only"):
             eff_mode = "face_only"
         persons = []
@@ -889,7 +891,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 _refresh_bank_mat()
 
         t = frame_idx / fps
-        if t - last_save_t < min_gap:
+        if t - last_save_t < float(cfg.min_gap_sec):
             return "min_gap"
 
         saved = _compose_and_save(frame_idx, frame, best, t)
@@ -1021,9 +1023,17 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         if cfg.save_annot:
             _save_annot(frame_idx, frame, best, (x1 + off_x, y1 + off_y,
                                                  x2 + off_x, y2 + off_y))
-        res.hits.append(Hit(frame_idx, t, best.score, best.fd, best.rd,
-                            (x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y),
-                            path, sharp, ratio))
+        hit = Hit(frame_idx, t, best.score, best.fd, best.rd,
+                  (x1 + off_x, y1 + off_y, x2 + off_x, y2 + off_y),
+                  path, sharp, ratio)
+        res.hits.append(hit)
+        if on_hit is not None:
+            # live hit feed (reference emits each hit as it saves,
+            # gui_app.py:7983-7993 hit_q relay) — not a burst at the end
+            try:
+                on_hit(hit)
+            except Exception:  # noqa: BLE001 — a UI callback must not kill the run
+                pass
         return True
 
     def _save_annot(frame_idx: int, frame: np.ndarray, best: Candidate,
@@ -1121,6 +1131,14 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     flush(drain=False)
                     if progress is not None and meta.total_frames > 0:
                         progress(min(1.0, idx / meta.total_frames))
+                # frame_stride is LIVE (engine.update_cfg): re-read per
+                # iteration and keep a prefetch wrapper's speculation in
+                # step (a mismatch costs one resync, then it realigns)
+                new_stride = max(1, int(cfg.frame_stride))
+                if new_stride != stride:
+                    stride = new_stride
+                    if getattr(reader, "stride", None) is not None:
+                        reader.stride = stride
                 skipped = reader.skip(stride - 1)
                 idx += 1 + skipped
                 if skipped < stride - 1:
@@ -1136,8 +1154,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         # EVERY exit path (a device error mid-run otherwise
         # leaves an orphaned thread racing a closed pipe)
         _stop_preview_pump()
-        if debug_fh is not None:
-            debug_fh.close()
+        if debug_state["fh"] is not None:
+            debug_state["fh"].close()
     res.wall_s = time.perf_counter() - t0
     return res
 

@@ -145,14 +145,10 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
         nonlocal pend_idxs, pend_frames, order
         fetch = None
         if pend_frames:
-            n = len(pend_frames)
-            frames = np.stack(pend_frames)
-            valid = np.ones((n,), bool)
-            if n < batch:
-                framepad = np.repeat(frames[-1:], batch - n, axis=0)
-                frames = np.concatenate([frames, framepad], 0)
-                valid = np.concatenate([valid, np.zeros(batch - n, bool)])
-            idxs = np.asarray(pend_idxs + [pend_idxs[-1]] * (batch - n))
+            from .backends import pad_batch
+
+            frames, idxs, valid, n = pad_batch(pend_frames, batch,
+                                               idxs=pend_idxs)
             if submit is not None:
                 fetch = submit(frames, valid, idxs)
             else:
@@ -209,6 +205,10 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
 
     while total <= 0 or idx < total:
         if should_stop is not None and should_stop():
+            # an aborted scan covers only a prefix: its spans must never be
+            # cached as complete (reference refuses the save on abort,
+            # gui_app.py:893) — perturbed makes get_or_run skip the save
+            res.perturbed = True
             break
         # interactive commands inside the pre-scan (reference drains the
         # command queue twice per iteration, gui_app.py:1230-1415): seek
@@ -341,42 +341,46 @@ def refine_span_edges(spans, reopen_reader, backend, cfg: SessionConfig,
     t0 = time.perf_counter()
     enter = float(cfg.prescan_fd_enter)
     out = []
-    for (s, e) in spans:
-        if budget > 1e-3 and (time.perf_counter() - t0) > budget:
-            out.append((s, e))
-            continue
-        if cfg.prescan_skip_trailing_refine and e >= total - 1:
-            trailing = True
-        else:
-            trailing = False
-        new_s, new_e = s, e
-        for edge, is_start in (((s), True), ((e), False)):
-            if not is_start and trailing:
+    # ONE decoder for every edge window (edges are visited in ascending
+    # order and _sample_fds seeks per sample): a reopen per edge spawned
+    # two processes per span, whose open/seek/preroll overhead can
+    # dominate the refine budget on short windows
+    reader = reopen_reader()
+    try:
+        for (s, e) in spans:
+            if budget > 1e-3 and (time.perf_counter() - t0) > budget:
+                out.append((s, e))
                 continue
-            lo = max(0, edge - search)
-            hi = min(total - 1, edge + search)
-            idxs = list(range(lo, hi + 1, stride_ref))
-            if not idxs:
-                continue
-            reader = reopen_reader()
-            try:
-                fds = _sample_fds(reader, backend, cfg, bank, idxs)
-            finally:
-                reader.release()
-            matched = [i for i, fd in zip(idxs, fds) if fd <= enter]
-            if is_start:
-                if matched:
-                    # trim_pad: tighten to just before the first match;
-                    # otherwise only ever move the start EARLIER
-                    new_s = max(0, matched[0] - stride_ref) \
-                        if cfg.prescan_trim_pad else min(edge, matched[0])
+            if cfg.prescan_skip_trailing_refine and e >= total - 1:
+                trailing = True
             else:
-                if matched:
-                    new_e = min(total - 1, matched[-1] + stride_ref) \
-                        if cfg.prescan_trim_pad else max(edge, matched[-1])
-        if new_e < new_s:
+                trailing = False
             new_s, new_e = s, e
-        out.append((new_s, new_e))
+            for edge, is_start in (((s), True), ((e), False)):
+                if not is_start and trailing:
+                    continue
+                lo = max(0, edge - search)
+                hi = min(total - 1, edge + search)
+                idxs = list(range(lo, hi + 1, stride_ref))
+                if not idxs:
+                    continue
+                fds = _sample_fds(reader, backend, cfg, bank, idxs)
+                matched = [i for i, fd in zip(idxs, fds) if fd <= enter]
+                if is_start:
+                    if matched:
+                        # trim_pad: tighten to just before the first match;
+                        # otherwise only ever move the start EARLIER
+                        new_s = max(0, matched[0] - stride_ref) \
+                            if cfg.prescan_trim_pad else min(edge, matched[0])
+                else:
+                    if matched:
+                        new_e = min(total - 1, matched[-1] + stride_ref) \
+                            if cfg.prescan_trim_pad else max(edge, matched[-1])
+            if new_e < new_s:
+                new_s, new_e = s, e
+            out.append((new_s, new_e))
+    finally:
+        reader.release()
     # keep spans sorted/merged after edge moves
     out.sort()
     merged = []
@@ -415,17 +419,12 @@ def _sample_fds(reader, backend, cfg: SessionConfig, bank: RefBank, idxs):
     batch = max(1, int(cfg.tpu_batch_frames))
     bank_mat = bank.matrix()
     fds = []
+    from .backends import pad_batch
+
     for c0 in range(0, len(frames), batch):
         chunk = frames[c0:c0 + batch]
         cidx = got[c0:c0 + batch]
-        n = len(chunk)
-        arr = np.stack(chunk)
-        valid = np.ones(batch, bool)
-        if n < batch:
-            arr = np.concatenate(
-                [arr, np.repeat(arr[-1:], batch - n, axis=0)], 0)
-            valid[n:] = False
-        pidx = np.asarray(list(cidx) + [cidx[-1]] * (batch - n))
+        arr, pidx, valid, n = pad_batch(chunk, batch, idxs=cidx)
         out = backend.extract_batch(arr, valid, pidx)
         for slot in range(n):
             best = FD_NONE

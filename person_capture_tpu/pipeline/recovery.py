@@ -327,6 +327,13 @@ class RecoveringFaceBackend:
         self.max_extra_batches = int(max_extra_batches)
         self.nms_iou = float(nms_iou)
         self.recovered_faces = 0    # observability: hits found by the ladder
+        # shared-upload capability mirrors the INNER backend: the mainpass
+        # selects its dispatch path with hasattr(backend, "upload_shared"),
+        # so exposing the facade methods over an inner without them (e.g.
+        # the sharded backend) would select a crashing path
+        if hasattr(inner, "upload_shared"):
+            self.upload_shared = self._upload_shared
+            self.submit_device = self._submit_device
 
     # facade passthroughs
     @property
@@ -371,16 +378,18 @@ class RecoveringFaceBackend:
 
         return fetch
 
-    # shared-upload path passthrough: the ladder still needs the HOST
-    # frames (variants are built on host), so upload_shared retains them
-    # for the matching submit_device (single-threaded driver contract)
-    def upload_shared(self, frames):
-        if not hasattr(self.inner, "upload_shared"):
-            raise AttributeError("inner backend has no upload_shared")
-        self._shared_host = np.asarray(frames).copy()
+    # shared-upload path passthrough (bound as instance attributes in
+    # __init__ only when the inner backend has the capability): the ladder
+    # still needs the HOST frames (variants are built on host), so
+    # upload_shared retains them for the matching submit_device
+    # (single-threaded driver contract). No defensive copy — the drivers
+    # stack a fresh batch per submit and never mutate it (same contract as
+    # submit_batch above; a copy cost a full-batch memcpy per submit).
+    def _upload_shared(self, frames):
+        self._shared_host = np.asarray(frames)
         return self.inner.upload_shared(frames)
 
-    def submit_device(self, bgr_dev, valid, frame_idxs=None):
+    def _submit_device(self, bgr_dev, valid, frame_idxs=None):
         kept = getattr(self, "_shared_host", None)
         self._shared_host = None
         fetch0 = self.inner.submit_device(bgr_dev, valid, frame_idxs)
@@ -425,17 +434,14 @@ class RecoveringFaceBackend:
         cand: Dict[int, List[dict]] = {}
         for start in range(0, len(tasks), b):
             chunk = tasks[start:start + b]
-            vframes = np.zeros_like(frames[: len(chunk)])
-            remaps = []
-            for vi, (slot, kind, param) in enumerate(chunk):
+            imgs, remaps = [], []
+            for (slot, kind, param) in chunk:
                 img, m = _make_variant(frames[slot], kind, param)
-                vframes[vi] = img
+                imgs.append(img)
                 remaps.append(m)
-            if len(chunk) < b:  # fixed shape: pad with the last variant
-                vframes = np.concatenate(
-                    [vframes, np.repeat(vframes[-1:], b - len(chunk), 0)], 0)
-            vvalid = np.zeros(b, bool)
-            vvalid[: len(chunk)] = True
+            from .backends import pad_batch
+
+            vframes, _, vvalid, _ = pad_batch(imgs, b)
             vout = self.inner.extract_batch(vframes, vvalid)
             for vi, (slot, kind, param) in enumerate(chunk):
                 m = remaps[vi]
@@ -493,14 +499,10 @@ class RecoveringFaceBackend:
         if not tasks:
             return
         tasks = tasks[:b]
-        vframes = np.zeros_like(frames[: len(tasks)])
-        for vi, (_, (img, _m)) in enumerate(tasks):
-            vframes[vi] = img
-        if len(tasks) < b:
-            vframes = np.concatenate(
-                [vframes, np.repeat(vframes[-1:], b - len(tasks), 0)], 0)
-        vvalid = np.zeros(b, bool)
-        vvalid[: len(tasks)] = True
+        from .backends import pad_batch
+
+        vframes, _, vvalid, _ = pad_batch(
+            [img for (_, (img, _m)) in tasks], b)
         vout = self.inner.extract_batch(vframes, vvalid)
         for vi, (slot, (_img, m)) in enumerate(tasks):
             js = np.flatnonzero(vout["mask"][vi])

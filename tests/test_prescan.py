@@ -341,3 +341,54 @@ def test_prescan_gate_probes_use_microbatch(tmp_path):
     assert 1 in backend.batch_sizes  # probes dispatched alone
     # the first few probes still ride the already-compiled full batch
     assert backend.batch_sizes.count(1) >= 5
+
+
+def test_prescan_abort_marks_perturbed(tmp_path):
+    """A stop() mid-scan must flag the result so the cache wrapper never
+    saves the truncated spans (reference refuses the save on abort)."""
+    vid = str(tmp_path / "v.mp4")
+    sv = generate_video(vid, total_frames=300, segments=[(0, 299, 0)],
+                        moving=False)
+    backend = OracleBackend(sv)
+    calls = [0]
+
+    def should_stop():
+        calls[0] += 1
+        return calls[0] > 10
+
+    reader = Cv2Reader(vid)
+    res = run_prescan(reader, backend, _cfg(prescan_fd9_skip=False),
+                      _bank(backend), should_stop=should_stop)
+    reader.release()
+    assert res.perturbed  # truncated scan -> never cached
+
+
+def test_cache_mode_reuse_loads(tmp_path):
+    from person_capture_tpu.pipeline import cache as C
+
+    cfg = _cfg(prescan_cache_mode="auto")
+    cfg.out_dir = str(tmp_path)
+    calls = []
+
+    def run_fn():
+        calls.append(1)
+        b = RefBank(cap=4)
+        b.seed([np.eye(8, dtype=np.float32)[0]])
+        return [(3, 9)], b
+
+    C.get_or_run(cfg, str(tmp_path / "x.mp4"), [], 30.0, 100, run_fn)
+    cfg.prescan_cache_mode = "reuse"   # reference-accepted load mode
+    (spans, _), hit = C.get_or_run(cfg, str(tmp_path / "x.mp4"), [], 30.0,
+                                   100, run_fn)
+    assert hit and spans == [(3, 9)] and len(calls) == 1
+
+
+def test_cache_key_covers_embedding_family(tmp_path):
+    from person_capture_tpu.pipeline import cache as C
+
+    cfg = _cfg()
+    cfg.out_dir = str(tmp_path)
+    k1 = C.cache_key(cfg, "v.mp4", [], 30.0, 100)
+    cfg.use_arcface = False
+    k2 = C.cache_key(cfg, "v.mp4", [], 30.0, 100)
+    assert k1 != k2  # a CLIP bank must never replay into an ArcFace run

@@ -216,3 +216,30 @@ def test_policy_affine_probes_gated_to_yolo_backend():
     p2 = RecoveryPolicy(rot_adaptive=True, rot_every_n=1,
                         use_scale_tta=False, use_edge_pad=False)
     assert not [x for x in p2.variants_for_empty() if x[0] == "affine"]
+
+
+def test_shared_upload_capability_mirrors_inner():
+    # mainpass selects its dispatch path with hasattr(backend,
+    # "upload_shared"): a facade exposing it over an inner without it
+    # (e.g. the sharded backend) would select a crashing path
+    from person_capture_tpu.pipeline.recovery import RecoveringFaceBackend
+
+    class NoShared:
+        max_faces = 4
+        embed_dim = 8
+
+        def extract_batch(self, frames, valid, frame_idxs=None):
+            raise NotImplementedError
+
+    class WithShared(NoShared):
+        def upload_shared(self, frames):
+            return "dev"
+
+        def submit_device(self, bgr_dev, valid, frame_idxs=None):
+            return lambda: "out"
+
+    assert not hasattr(RecoveringFaceBackend(NoShared()), "upload_shared")
+    assert not hasattr(RecoveringFaceBackend(NoShared()), "submit_device")
+    wrapped = RecoveringFaceBackend(WithShared())
+    assert hasattr(wrapped, "upload_shared")
+    assert wrapped.upload_shared(np.zeros((1, 4, 4, 3))) == "dev"
