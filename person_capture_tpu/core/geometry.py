@@ -153,22 +153,40 @@ def detect_black_borders(
     if bgr is None or bgr.size == 0:
         return (0, 0, 0, 0)
     H, W = bgr.shape[:2]
-    gray = bgr_to_gray(bgr) if bgr.ndim == 3 else bgr
     if max_scan is None:
         max_scan = max(64, min(H, W) // 8)
+    n_row = min(H, max_scan)
+    n_col = min(W, max_scan)
 
-    row_mean = gray.mean(axis=1, dtype=np.float64)
-    col_mean = gray.mean(axis=0, dtype=np.float64)
+    # gray-convert ONLY the four scanned bands (this runs per saved frame
+    # on a 1-core host; a full-frame conversion allocated ~3 float planes
+    # of a 4K frame to inspect max_scan-deep edges), via SIMD cv2 when
+    # present — the reference's own implementation converts with cv2
+    def _gray(a: np.ndarray) -> np.ndarray:
+        if a.ndim != 3:
+            return a
+        try:
+            import cv2
+
+            return cv2.cvtColor(np.ascontiguousarray(a),
+                                cv2.COLOR_BGR2GRAY)
+        except ImportError:
+            return bgr_to_gray(a)
 
     def _leading_run(means: np.ndarray, n_scan: int) -> int:
         scan = means[:n_scan] > thr
         idx = np.argmax(scan) if scan.any() else n_scan
         return int(idx)
 
-    top = _leading_run(row_mean, min(H, max_scan))
-    left = _leading_run(col_mean, min(W, max_scan))
-    bot_run = _leading_run(row_mean[::-1], min(H, max_scan))
-    right_run = _leading_run(col_mean[::-1], min(W, max_scan))
+    top = _leading_run(
+        _gray(bgr[:n_row]).mean(axis=1, dtype=np.float64), n_row)
+    bot_run = _leading_run(
+        _gray(bgr[H - n_row:]).mean(axis=1, dtype=np.float64)[::-1], n_row)
+    left = _leading_run(
+        _gray(bgr[:, :n_col]).mean(axis=0, dtype=np.float64), n_col)
+    right_run = _leading_run(
+        _gray(bgr[:, W - n_col:]).mean(axis=0, dtype=np.float64)[::-1],
+        n_col)
     bottom = H - bot_run
     right = W - right_run
 

@@ -55,12 +55,7 @@ def phash_bits(img: np.ndarray, hash_size: int = 8) -> int:
         gray = _area_resize_32(gray)
     block = dct2(np.float32(gray))[:hash_size, :hash_size]
     median = float(np.median(block))
-    flat = block.reshape(-1) > median
-    bits = 0
-    for i, b in enumerate(flat):
-        if b:
-            bits |= 1 << i
-    return int(bits)
+    return pack_bits(block.reshape(-1) > median)
 
 
 def phash_similarity(h1: int, h2: int, nbits: int = 64) -> float:

@@ -37,6 +37,10 @@ def smart_crop_box(frame: np.ndarray, crop_xyxy: Sequence[int],
     crop_w = x2 - x1
     if crop_w <= 0 or y2 - y1 <= 0 or not use_grad:
         return x1, y1, x2, y2
+    # the integral-image sums index y directly: out-of-frame y would wrap
+    # (negative indexing) or raise — clamp like x is clamped below
+    y1 = max(0, min(H - 1, y1))
+    y2 = max(y1 + 1, min(H, y2))
 
     gray = bgr_to_gray(frame) if frame.ndim == 3 else frame
     sal = gradient_saliency(gray)

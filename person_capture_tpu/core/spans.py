@@ -62,7 +62,12 @@ class SpanBuilder:
 
     def _commit(self, end_idx: int) -> None:
         s = max(0, self.start - self._pad)
-        e = min(self.cfg.total_frames - 1, end_idx + self._pad)
+        e = end_idx + self._pad
+        if self.cfg.total_frames > 0:
+            # total_frames <= 0 means UNKNOWN length (cv2 can't always
+            # report frame counts): no upper clamp then — clamping to -1
+            # would silently drop every span of the whole scan
+            e = min(self.cfg.total_frames - 1, e)
         if e - s + 1 >= self._min_len:
             # merge only on genuine touch/overlap with the previous span —
             # after a backward seek the new span can lie entirely BEFORE it
@@ -74,8 +79,10 @@ class SpanBuilder:
             else:
                 self.spans.append((s, e))
 
-    def update(self, frame_idx: int, best_fd: float) -> None:
-        """Feed one sample (in frame order)."""
+    def update(self, frame_idx: int, best_fd: float) -> bool:
+        """Feed one sample (in frame order). Returns True when this sample
+        CLOSED a span (the prescan driver resets its fd9 gate streak then,
+        like the reference's span-close branch)."""
         if best_fd <= self.cfg.enter:
             if not self.active:
                 self.active = True
@@ -88,6 +95,8 @@ class SpanBuilder:
                 self._commit(frame_idx)
                 self.active = False
                 self.neg_run = 0
+                return True
+        return False
 
     def update_batch(self, frame_idxs: Sequence[int],
                      best_fds: Sequence[float]) -> None:
@@ -104,18 +113,18 @@ class SpanBuilder:
             self.active = False
             self.neg_run = 0
 
-    def finish(self) -> List[Span]:
-        """Close any open span at EOF, bridge gaps, return the final spans."""
+    def finish(self, last_idx: Optional[int] = None) -> List[Span]:
+        """Close any open span at EOF, bridge gaps, return the final spans.
+
+        ``last_idx``: last scanned frame index — the open-span end for
+        unknown-length streams (total_frames <= 0); with a known total the
+        span closes at total_frames - 1 as before."""
         if self.active:
-            s = max(0, self.start - self._pad)
-            e = self.cfg.total_frames - 1
-            if e - s + 1 >= self._min_len:
-                if (self.spans and s <= self.spans[-1][1] + 1
-                        and e >= self.spans[-1][0] - 1):
-                    prev_s, prev_e = self.spans[-1]
-                    self.spans[-1] = (min(prev_s, s), max(prev_e, e))
-                else:
-                    self.spans.append((s, e))
+            if self.cfg.total_frames > 0:
+                end = self.cfg.total_frames - 1 - self._pad  # _commit re-pads
+            else:
+                end = (last_idx if last_idx is not None else self.start)
+            self._commit(max(self.start, end))
             self.active = False
         # backward seeks feed samples out of global order: _commit only
         # merges with the immediately previous span, so normalize (sort +

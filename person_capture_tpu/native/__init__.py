@@ -70,9 +70,6 @@ def available() -> bool:
 def p010_repack(y_strided: np.ndarray, uv_strided: np.ndarray):
     """Strided P010 planes (uint16, possibly padded rows) → contiguous
     (y, uv) uint16 arrays with codes shifted to the low 10 bits."""
-    y_strided = np.ascontiguousarray(y_strided, np.uint16) \
-        if y_strided.base is None and not y_strided.flags.c_contiguous \
-        else y_strided
     h, w = y_strided.shape[:2]
     handle = lib()
     if handle is None:

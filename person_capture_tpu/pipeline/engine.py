@@ -156,7 +156,8 @@ class Engine:
             return
         if recoveries:
             self._status_cb(f"{phase}: decoder recovered {recoveries}x "
-                            f"mid-stream (last failure: {reason})")
+                            f"mid-stream (last failure: {reason})",
+                            key="phase")
         elif failed and reason and reason != "eof":
             tail = ""
             try:
@@ -164,7 +165,8 @@ class Engine:
             except Exception:
                 pass
             self._status_cb(f"{phase}: decoder died: {reason}"
-                            + (f" | {tail}" if tail else ""))
+                            + (f" | {tail}" if tail else ""),
+                            key="phase")
 
     def seed_bank(self, ref_paths: List[str]) -> RefBank:
         """Embed the reference photos (plus horizontal flips, as the
@@ -258,11 +260,11 @@ class Engine:
                     meta.total_frames = r_total
                 self._status_cb(
                     f"repaired stream metadata: fps={meta.fps} "
-                    f"total_frames={meta.total_frames}")
+                    f"total_frames={meta.total_frames}", key="phase")
             self._fps = float(meta.fps or 0.0)
             pres: Optional[PrescanResult] = None
             if cfg.prescan_enable:
-                self._status_cb("pre-scan")
+                self._status_cb("pre-scan", key="phase")
 
                 def _reopen():
                     return _open_analysis(max_w=cfg.prescan_decode_max_w)
@@ -304,7 +306,8 @@ class Engine:
                         False)))
                 bank = bank2
                 pres = getattr(self, "_last_prescan", None) if not cached else None
-                self._status_cb(f"pre-scan spans: {spans} (cached={cached})")
+                self._status_cb(f"pre-scan spans: {spans} (cached={cached})",
+                                key="prescan_cache")
             else:
                 spans = [(0, max(0, meta.total_frames - 1))]
 
@@ -354,7 +357,7 @@ class Engine:
                         display_compat=cfg.hdr_avif_wic_display_compat)
                     self._status_cb(
                         f"HDR source ({', '.join(hdr_info.reasons)}); "
-                        f"full-res SDR stills enabled")
+                        f"full-res SDR stills enabled", key="hdr_state")
                     if self._on_preview is not None:
                         # dedicated P010 stream for the preview pump — the
                         # exporter's pipe belongs to the saver thread
@@ -373,8 +376,9 @@ class Engine:
                         except RuntimeError:
                             preview_p010 = None
                 except RuntimeError as e:
-                    self._status_cb(f"HDR stills unavailable: {e}")
-            self._status_cb(f"main pass (keyframes: {len(keyframes)})")
+                    self._status_cb(f"HDR stills unavailable: {e}", key="hdr_state")
+            self._status_cb(f"main pass (keyframes: {len(keyframes)})",
+                            key="phase")
             from ..video.reader import ResilientReader, StridedPrefetchReader
 
             main_reader = ResilientReader(main_reader, _open_analysis,
@@ -490,7 +494,7 @@ class Engine:
         out = out or os.path.join(cfg.out_dir, "dataset_out")
         if not os.path.isdir(pool):
             return
-        self._status_cb("curating")
+        self._status_cb("curating", key="phase")
         canvas = int(getattr(self.backend, "det_size", 0) or 640)
         from ..curator.core import phash_sim_to_hamm
 
@@ -504,4 +508,5 @@ class Engine:
                       bucket_quota=cfg.curate_bucket_quota,
                       use_yaw_quota=cfg.curate_use_yaw_quota)
         self._status_cb(
-            f"curated {res['metrics']['selected']}/{res['metrics']['pool']}")
+            f"curated {res['metrics']['selected']}/{res['metrics']['pool']}",
+            key="curate_done")

@@ -185,7 +185,11 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
             res.per_sample_fd[frame_idx] = best
             if not gate_observed:
                 gate.observe(best)
-            sb.update(frame_idx, best)
+            if sb.update(frame_idx, best):
+                # span just closed: drop the fd9 streak like the reference
+                # (its span-close branch zeroes fd9_streak) so the very next
+                # sample is probed, not skipped on the closing miss run
+                gate.reset()
             res.samples += 1
             sample_idx += 1
 
@@ -295,7 +299,7 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
         if not _advance_after_read():
             break
     flush()
-    res.spans = sb.finish()
+    res.spans = sb.finish(last_seen_idx if last_seen_idx >= 0 else None)
     if cfg.prescan_boundary_refine_sec > 0 and res.spans and reopen_reader:
         res.spans = refine_span_edges(res.spans, reopen_reader, backend, cfg,
                                       res.bank, fps, total)

@@ -246,3 +246,31 @@ def test_bank_matrix_cache_invalidation():
     assert action == "replaced"
     assert b.fd(v) == pytest.approx(0.0, abs=1e-6)
     assert b.fd(e[1]) > 0.5  # the replaced row is really gone from matrix()
+
+
+def test_spans_unknown_stream_length():
+    # total_frames <= 0 = unknown length (cv2 can't always count frames):
+    # spans must still form — the old total-1 clamp dropped every span
+    sb = SpanBuilder(_cfg(stride=1, exit_cooldown_sec=0.05, total_frames=0,
+                          min_segment_sec=0.1))
+    for i in range(100, 140):
+        sb.update(i, 0.2)
+    for i in range(140, 146):
+        sb.update(i, 9.0)
+    spans = sb.finish(last_idx=145)
+    assert len(spans) == 1
+    s, e = spans[0]
+    assert s == 100 and 139 <= e <= 145
+    # open span at EOF closes at the last scanned index
+    sb2 = SpanBuilder(_cfg(stride=1, total_frames=0, min_segment_sec=0.1))
+    for i in range(50, 90):
+        sb2.update(i, 0.2)
+    assert sb2.finish(last_idx=89) == [(50, 89)]
+
+
+def test_span_close_reports_event():
+    sb = SpanBuilder(_cfg(stride=24, exit_cooldown_sec=0.5))
+    assert not sb.update(0, 0.2)      # open
+    assert not sb.update(24, 0.2)
+    assert sb.update(48, 9.0)         # one miss covers the cooldown: close
+    assert not sb.update(72, 9.0)     # already closed

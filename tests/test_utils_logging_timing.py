@@ -36,12 +36,17 @@ def test_status_logger_interval_elapses():
     assert len(out) == 2
 
 
-def test_status_logger_message_is_default_key():
+def test_status_logger_unkeyed_shares_global_channel():
+    # reference maps key=None to ONE "_global" bucket (gui_app.py:8496):
+    # unkeyed hot-loop messages with changing text still throttle
     out = []
     log = StatusLogger(out.append, default_interval=10.0)
     assert log("same")
     assert not log("same")
-    assert log("other")
+    assert not log("other")          # same channel, inside the interval
+    assert log("milestone", key="phase")
+    assert log("milestone 2", key="phase")   # phase: immediate on change
+    assert not log("milestone 2", key="phase")  # unchanged text throttles
 
 
 def test_step_timer_accumulates():
