@@ -177,13 +177,26 @@ class Item:
 
 
 def ratio_label(w: int, h: int) -> str:
+    """Normalized aspect bucket, reference-exact (``norm_ratio``,
+    dataset_curator.py:730-744): categorize() consumes these labels, so an
+    extra label like "16:9" would fall through to the portrait bucket
+    where the reference buckets >1.70 aspects as "wide"."""
     if h <= 0 or w <= 0:
         return ""
-    a = w / h
-    table = [("1:1", 1.0), ("2:3", 2 / 3), ("3:4", 3 / 4), ("3:2", 1.5),
-             ("16:9", 16 / 9), ("4:3", 4 / 3)]
-    best = min(table, key=lambda t: abs(a - t[1]))
-    return best[0] if abs(a - best[1]) < 0.08 else ("wide" if a > 1.2 else "")
+    a = w / float(h)
+    if 0.60 <= a <= 0.70:
+        return "2:3"
+    if 0.70 < a <= 0.82:
+        return "3:4"
+    if 0.95 <= a <= 1.05:
+        return "1:1"
+    if 1.40 <= a <= 1.70:
+        return "3:2"
+    if a < 0.60:
+        return "narrow"
+    if a > 1.70:
+        return "wide"
+    return "other"
 
 
 def categorize(it: Item) -> str:
@@ -237,12 +250,12 @@ def cluster_scenes(items: List[Item], sim_thresh: float = 0.92,
         assigned = False
         start = max(0, len(clusters) - max(1, nn_window))
         for cidx in range(len(clusters) - 1, start - 1, -1):
-            last = clusters[cidx][-1]
-            dt = abs(it.ts - items[last].ts)
-            ss = same_scene(idx, medoids[cidx])   # pHash + CLIP: eval once
-            if dt > time_gap and not ss:
-                continue
-            if ss:
+            # assignment is similarity-only: the reference computes a
+            # dt>time_gap guard here too, but it is a provable no-op (the
+            # same same_scene test decides either way,
+            # dataset_curator.py:543-547) — time_gap only gates the
+            # stitch pass below
+            if same_scene(idx, medoids[cidx]):
                 clusters[cidx].append(idx)
                 if items[idx].quality_score() > items[medoids[cidx]].quality_score():
                     medoids[cidx] = idx
@@ -483,39 +496,15 @@ class Curator:
 
     def describe(self, paths: Sequence[str],
                  fps_hint: float = 30.0) -> List[Item]:
-        items: List[Item] = []
-        imgs: List[np.ndarray] = []
-        metas: List[Item] = []
-        for p in paths:
-            img = cv2.imread(p, cv2.IMREAD_COLOR) if cv2 else None
-            if img is None:
-                continue
-            it = Item(path=p, ts=timestamp_from_name(p, fps_hint),
-                      ratio=ratio_label(img.shape[1], img.shape[0]))
-            it.sharpness = sharpness_norm(img)
-            it.exposure = exposure_score(img)
-            it.wmark = textlike_corners_score(img)
-            from ..core.geometry import detect_black_borders
-            x1, y1, x2, y2 = detect_black_borders(img)
-            h, w = img.shape[:2]
-            bb_frac = 1.0 - ((x2 - x1) * (y2 - y1)) / max(1, w * h)
-            it.meta["black_border_frac"] = float(max(0.0, bb_frac))
-            imgs.append(img)
-            metas.append(it)
-
-        # pHash: native batched DCT when the C++ hostops built, else per-image
+        """Streamed describe: images decode PER CHUNK (host metrics +
+        pHash + the fixed-canvas device batch), with depth-1 pipelining —
+        peak memory is O(batch), not O(pool) (10k decoded 1080p crops
+        would hold ~60 GB; 4K pools exceeded this host's RAM)."""
         from .. import native as hostops
+        from ..core.geometry import detect_black_borders
 
-        if imgs and hostops.available() and cv2 is not None:
-            gray32 = np.stack([
-                cv2.resize(cv2.cvtColor(im, cv2.COLOR_BGR2GRAY), (32, 32),
-                           interpolation=cv2.INTER_AREA).astype(np.float32)
-                for im in imgs])
-            for it, hsh in zip(metas, hostops.phash64_batch(gray32)):
-                it.phash = int(hsh)
-        else:
-            for it, im in zip(metas, imgs):
-                it.phash = phash64(im)
+        metas: List[Item] = []
+        use_native_phash = hostops.available() and cv2 is not None
 
         # batched device features on a fixed canvas (single compilation),
         # depth-1 pipelined: chunk i+1's program is submitted before chunk
@@ -551,9 +540,24 @@ class Curator:
 
         pending = None
         done = 0
-        for start in range(0, len(imgs), self.batch):
-            chunk = imgs[start:start + self.batch]
-            mchunk = metas[start:start + self.batch]
+        chunk: List[np.ndarray] = []
+        mchunk: List[Item] = []
+
+        def _flush_chunk():
+            nonlocal pending, done, chunk, mchunk
+            if not chunk:
+                return
+            # pHash per chunk: native batched DCT when hostops built
+            if use_native_phash:
+                gray32 = np.stack([
+                    cv2.resize(cv2.cvtColor(im, cv2.COLOR_BGR2GRAY),
+                               (32, 32), interpolation=cv2.INTER_AREA)
+                    .astype(np.float32) for im in chunk])
+                for it, hsh in zip(mchunk, hostops.phash64_batch(gray32)):
+                    it.phash = int(hsh)
+            else:
+                for it, im in zip(mchunk, chunk):
+                    it.phash = phash64(im)
             n = len(chunk)
             batch_arr = np.zeros((self.batch, cvs, cvs, 3), np.uint8)
             scales = np.ones(n, np.float32)
@@ -575,14 +579,34 @@ class Curator:
             if pending is not None:
                 _consume(pending)
                 done += len(pending[1])
-                self.progress("describe", done, len(imgs))
+                self.progress("describe", done, len(paths))
             pending = (fetch, chunk, mchunk, scales)
+            chunk, mchunk = [], []
+
+        for p in paths:
+            img = cv2.imread(p, cv2.IMREAD_COLOR) if cv2 else None
+            if img is None:
+                continue
+            it = Item(path=p, ts=timestamp_from_name(p, fps_hint),
+                      ratio=ratio_label(img.shape[1], img.shape[0]))
+            it.sharpness = sharpness_norm(img)
+            it.exposure = exposure_score(img)
+            it.wmark = textlike_corners_score(img)
+            x1, y1, x2, y2 = detect_black_borders(img)
+            h, w = img.shape[:2]
+            bb_frac = 1.0 - ((x2 - x1) * (y2 - y1)) / max(1, w * h)
+            it.meta["black_border_frac"] = float(max(0.0, bb_frac))
+            metas.append(it)
+            chunk.append(img)
+            mchunk.append(it)
+            if len(chunk) == self.batch:
+                _flush_chunk()
+        _flush_chunk()
         if pending is not None:
             _consume(pending)
             done += len(pending[1])
-            self.progress("describe", done, len(imgs))
-        items.extend(metas)
-        return items
+            self.progress("describe", done, len(paths))
+        return metas
 
     def run(self, pool_dir: str, out_dir: str, max_images: int = 200,
             fd_gate: float = 0.45, lam: float = 0.70,

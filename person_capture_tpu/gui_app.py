@@ -118,15 +118,25 @@ class MainWindow(QtWidgets.QMainWindow):
         self.bridge = None
         self._build_ui()
         self._restore_settings()
+        # baseline for edited-since-last-sync detection in _collect_cfg
+        self._snapshot_quick()
 
     # ------------------------------------------------------------------
     def _default_backend(self):
-        from .models.zoo import resolve_weights
+        from .models import arcface as AF
+        from .models.zoo import bundled_weights_path, resolve_weights
         from .pipeline.backends import ScrfdArcFaceBackend
         from .pipeline.recovery import RecoveringFaceBackend, RecoveryPolicy
 
+        # resolve BOTH model families like main.py does: a random-init
+        # ArcFace detects faces fine but every identity distance is noise,
+        # so a default GUI run would silently never match the reference
+        arc_name = ("arcface_synth" if bundled_weights_path("arcface_synth")
+                    else "w600k_r50")
         backend = ScrfdArcFaceBackend(
             scrfd_weights=resolve_weights("auto", "scrfd_2.5g"),
+            arcface_cfg=AF.CONFIGS.get(arc_name, AF.W600K_R50),
+            arcface_weights=resolve_weights("auto", arc_name),
             max_faces=self.cfg.tpu_max_faces)
         return RecoveringFaceBackend(backend,
                                      RecoveryPolicy.from_config(self.cfg))
@@ -484,6 +494,45 @@ class MainWindow(QtWidgets.QMainWindow):
         for p in ps:
             self.ref_list.addItem(p)
 
+    def _quick_controls(self):
+        """Capture-tab quick controls that DUPLICATE generated-tab fields:
+        name -> (getter, setter)."""
+        return {
+            "ratio": (lambda: self.ratio_edit.text() or self.cfg.ratio,
+                      self.ratio_edit.setText),
+            "face_thresh": (self.face_thresh.value,
+                            self.face_thresh.setValue),
+            "match_mode": (self.match_mode.currentText,
+                           self._set_match_mode),
+            "frame_stride": (self.frame_stride.value,
+                             self.frame_stride.setValue),
+            "min_gap_sec": (self.min_gap.value, self.min_gap.setValue),
+            "prescan_enable": (self.prescan_enable.isChecked,
+                               self.prescan_enable.setChecked),
+            "curate_enable": (self.curate_enable.isChecked,
+                              self.curate_enable.setChecked),
+        }
+
+    def _set_match_mode(self, value) -> None:
+        idx = self.match_mode.findText(str(value))
+        if idx >= 0:
+            self.match_mode.setCurrentIndex(idx)
+
+    def _snapshot_quick(self) -> None:
+        self._quick_last = {k: get()
+                            for k, (get, _set) in
+                            self._quick_controls().items()}
+
+    def _sync_quick_from_cfg(self) -> None:
+        """Push cfg values back into the quick controls and re-snapshot
+        (after presets/collect, both tabs must show the same state)."""
+        for name, (_get, set_) in self._quick_controls().items():
+            try:
+                set_(getattr(self.cfg, name))
+            except (TypeError, ValueError):
+                pass
+        self._snapshot_quick()
+
     def _collect_cfg(self) -> SessionConfig:
         cfg = self.cfg
         # the generated settings tab binds every remaining field
@@ -496,16 +545,26 @@ class MainWindow(QtWidgets.QMainWindow):
         cfg.ref = ";".join(self.ref_list.item(i).text()
                            for i in range(self.ref_list.count()))
         cfg.out_dir = self.out_edit.text() or "output"
-        cfg.ratio = self.ratio_edit.text() or cfg.ratio
-        cfg.face_thresh = self.face_thresh.value()
-        cfg.match_mode = self.match_mode.currentText()
-        cfg.frame_stride = self.frame_stride.value()
-        cfg.min_gap_sec = self.min_gap.value()
-        cfg.prescan_enable = self.prescan_enable.isChecked()
-        cfg.curate_enable = self.curate_enable.isChecked()
+        # a quick control overrides the generated twin only when the USER
+        # edited it since the last sync — an untouched stale widget must
+        # not clobber a value changed in the All-settings tab
+        last = getattr(self, "_quick_last", {})
+        for name, (get, _set) in self._quick_controls().items():
+            value = get()
+            if name not in last or last[name] != value:
+                setattr(cfg, name, value)
+        self._sync_quick_from_cfg()
         return cfg
 
     def on_start(self):
+        if (self.bridge is not None
+                and getattr(self.bridge, "_thread", None) is not None
+                and self.bridge._thread.is_alive()):
+            # a second Start while running would orphan the first engine
+            # (its thread lives only in the replaced bridge) and race two
+            # writers on the same out_dir
+            self._log("a run is already active — Stop it first")
+            return
         cfg = self._collect_cfg()
         if not cfg.video or not cfg.ref:
             self._log("select a video and at least one reference photo")
@@ -570,6 +629,7 @@ class MainWindow(QtWidgets.QMainWindow):
             # overwrite the loaded preset at Start (reference _apply_cfg,
             # gui_app.py:16592)
             self._apply_cfg_to_widgets()
+            self._snapshot_quick()
 
     def _apply_cfg_to_widgets(self):
         for name, (w, default, kind) in getattr(self, "_field_widgets",

@@ -98,6 +98,10 @@ def build_config(args, ap):
     flag("combine", "combine")
     flag("match_mode", "match_mode")
     flag("device", "device")
+    # the prescan cache keys on cfg.face_model (the bank's embedding space
+    # follows the detector/embedder family) — without this, runs with
+    # different --face-model values collided on the same cache entry
+    flag("face_model", "face_model")
     flag("save_annot", "save_annot")
     flag("yolo", "yolo_model")
     flag("min_sharpness", "min_sharpness")
@@ -171,7 +175,12 @@ def main(argv=None) -> int:
     ap = build_parser()
     args = ap.parse_args(argv)
 
-    if str(getattr(args, "device", "tpu")).lower() == "cpu":
+    # build the config BEFORE the platform pin so device=cpu from a preset
+    # or --set (not just the CLI flag) takes effect; build_config touches
+    # no jax backend
+    cfg = build_config(args, ap)
+
+    if str(getattr(cfg, "device", "tpu")).lower() == "cpu":
         # pin BEFORE any backend is touched: env vars are not enough when a
         # PJRT plugin (axon) forces the default platform from sitecustomize.
         # "tpu" keeps the environment default; "cuda" is accepted for
@@ -182,8 +191,6 @@ def main(argv=None) -> int:
 
     from .pipeline.backends import ScrfdArcFaceBackend
     from .pipeline.engine import Engine
-
-    cfg = build_config(args, ap)
 
     from .models import arcface as AF
     from .models import scrfd as SD

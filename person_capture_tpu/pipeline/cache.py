@@ -51,7 +51,7 @@ def _file_identity(path: str) -> Tuple[str, float, int]:
 
 
 def cache_key(cfg: SessionConfig, video_path: str, ref_paths: List[str],
-              fps: float, total_frames: int) -> str:
+              fps: float, total_frames: int, extra: str = "") -> str:
     payload = {
         "video": _file_identity(video_path),
         "refs": sorted(_file_identity(p) for p in ref_paths),
@@ -59,6 +59,10 @@ def cache_key(cfg: SessionConfig, video_path: str, ref_paths: List[str],
         "total": int(total_frames),
         "settings": {k: getattr(cfg, k) for k in _PRESCAN_KEYS
                      if hasattr(cfg, k)},
+        # backend identity (class/det size/embed dim) — catches model
+        # swaps the config fields alone can't see (e.g. different
+        # --arcface-weights checkpoints changing the embedding space)
+        "extra": str(extra or ""),
     }
     blob = json.dumps(payload, sort_keys=True, default=str).encode()
     return hashlib.sha256(blob).hexdigest()
@@ -112,7 +116,8 @@ def load_cache(path: str, key: str,
 
 
 def get_or_run(cfg: SessionConfig, video_path: str, ref_paths: List[str],
-               fps: float, total_frames: int, run_fn, skip_save=None):
+               fps: float, total_frames: int, run_fn, skip_save=None,
+               extra: str = ""):
     """Cache wrapper: ``run_fn()`` must return (spans, bank).
 
     ``skip_save``: optional zero-arg callable checked after the run; True
@@ -122,7 +127,8 @@ def get_or_run(cfg: SessionConfig, video_path: str, ref_paths: List[str],
     mode = (cfg.prescan_cache_mode or "auto").lower()
     if mode == "off":
         return run_fn(), False
-    key = cache_key(cfg, video_path, ref_paths, fps, total_frames)
+    key = cache_key(cfg, video_path, ref_paths, fps, total_frames,
+                    extra=extra)
     path = cache_path(cfg, key)
     if mode in ("auto", "reuse"):
         # the reference accepts "reuse" as a load-enabled mode

@@ -298,12 +298,16 @@ class Engine:
                     self._last_prescan = p
                     return p.spans, p.bank
 
+                backend_id = (f"{type(self.backend).__name__}:"
+                              f"{getattr(self.backend, 'det_size', 0)}:"
+                              f"{getattr(self.backend, 'embed_dim', 0)}")
                 (spans, bank2), cached = prescan_cache.get_or_run(
                     cfg, cfg.video, ref_paths, meta.fps, meta.total_frames,
                     _run,
                     skip_save=lambda: bool(getattr(
                         getattr(self, "_last_prescan", None), "perturbed",
-                        False)))
+                        False)),
+                    extra=backend_id)
                 bank = bank2
                 pres = getattr(self, "_last_prescan", None) if not cached else None
                 self._status_cb(f"pre-scan spans: {spans} (cached={cached})",

@@ -382,6 +382,15 @@ class UpdateManager:
             dok, ddetail = pip_install_requirements(self.repo_dir,
                                                     self.pip_runner)
             self.status(f"dependencies: {ddetail}")
-            detail = f"{detail};{ddetail}" if dok else f"{detail};{ddetail}"
+            if dok:
+                detail = f"{detail};{ddetail}"
+            else:
+                # the code tree was replaced but its dependencies were NOT
+                # installed: surface a machine-readable marker so callers
+                # can warn instead of restarting into a broken install
+                detail = f"{detail};DEPS_FAILED:{ddetail}"
+                self.status("update applied but dependency install FAILED; "
+                            "run pip install -r requirements.txt manually")
+                return True, detail
         self.status("update applied; restart recommended")
         return True, detail

@@ -260,3 +260,15 @@ def test_curator_cli_resolves_real_weights(monkeypatch, tmp_path):
     assert rc == 1   # unreadable ref exits after backend construction
     assert captured.get("scrfd_weights") is not None
     assert captured.get("arcface_weights") is not None
+
+
+def test_ratio_label_reference_buckets():
+    # reference norm_ratio semantics (dataset_curator.py:730-744): >1.70
+    # aspect is "wide" (16:9 crops were mislabeled and fell into the
+    # portrait quota), <0.60 "narrow", unmatched "other"
+    assert CU.ratio_label(1920, 1080) == "wide"
+    assert CU.ratio_label(400, 800) == "narrow"
+    assert CU.ratio_label(400, 300) == "other"   # 4:3
+    assert CU.ratio_label(300, 200) == "3:2"
+    it = CU.Item(path="x", ratio=CU.ratio_label(1920, 1080), face_frac=0.1)
+    assert CU.categorize(it) == "wide"

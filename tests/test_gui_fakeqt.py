@@ -192,3 +192,17 @@ def test_bridge_commands_before_engine_ready(gui):
     bridge.seek(10)
     bridge._thread.join(timeout=30)
     assert done and done[0][0] is False
+
+
+def test_generated_tab_edit_survives_collect(gui):
+    # editing a field in the generated All-settings tab must not be
+    # clobbered by the untouched Capture-tab twin at Start
+    win = gui.MainWindow(backend_factory=lambda: None)
+    w, default, kind = win._field_widgets["face_thresh"]
+    w.setValue(0.123)
+    cfg = win._collect_cfg()
+    assert cfg.face_thresh == pytest.approx(0.123)
+    # and an edited quick control wins over a stale generated widget
+    win.face_thresh.setValue(0.321)
+    cfg = win._collect_cfg()
+    assert cfg.face_thresh == pytest.approx(0.321)

@@ -392,3 +392,14 @@ def test_cache_key_covers_embedding_family(tmp_path):
     cfg.use_arcface = False
     k2 = C.cache_key(cfg, "v.mp4", [], 30.0, 100)
     assert k1 != k2  # a CLIP bank must never replay into an ArcFace run
+
+
+def test_cache_extra_key_discriminates(tmp_path):
+    from person_capture_tpu.pipeline import cache as C
+
+    cfg = _cfg()
+    cfg.out_dir = str(tmp_path)
+    k1 = C.cache_key(cfg, "v.mp4", [], 30.0, 100, extra="Scrfd:640:512")
+    k2 = C.cache_key(cfg, "v.mp4", [], 30.0, 100, extra="Scrfd:320:512")
+    k3 = C.cache_key(cfg, "v.mp4", [], 30.0, 100, extra="Scrfd:640:256")
+    assert len({k1, k2, k3}) == 3
