@@ -35,6 +35,9 @@ class SessionConfig:
     min_det_conf: float = 0.35
     face_thresh: float = 0.45
     ff_hwaccel: str = "cuda"  # ignored on TPU hosts (no NVDEC); kept for presets
+    # external-ffmpeg pipe wire format: bgr24 | nv12 (nv12 halves the pipe
+    # bytes; reference env PC_PIPE_PIXFMT, video_io.py:1225, made explicit)
+    ff_pipe_pixfmt: str = "bgr24"
     reid_thresh: float = 0.42
     combine: str = "min"  # min | avg | face_priority
     match_mode: str = "face_only"  # either | both | face_only | reid_only

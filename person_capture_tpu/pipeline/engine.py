@@ -232,7 +232,8 @@ class Engine:
                     # (vaapi, auto, …) pass through to the decoder
                     hwaccel="" if cfg.ff_hwaccel in ("", "none", "cuda")
                     else cfg.ff_hwaccel,
-                    status=self._status_cb)
+                    status=self._status_cb,
+                    pix_fmt=getattr(cfg, "ff_pipe_pixfmt", "bgr24"))
 
             # resources that must be released on BOTH success and failure
             # paths (decoder processes, prefetch threads, P010 pipes) —

@@ -274,7 +274,8 @@ class FfmpegPipeReader:
 
     def __init__(self, path: str, max_w: int = 0, fps: float = 0.0,
                  width: int = 0, height: int = 0, start_sec: float = 0.0,
-                 tonemap_vf: str = "", hwaccel: str = ""):
+                 tonemap_vf: str = "", hwaccel: str = "",
+                 pix_fmt: str = "bgr24"):
         exe = find_ffmpeg()
         if exe is None:
             raise RuntimeError("ffmpeg binary not found")
@@ -322,7 +323,17 @@ class FfmpegPipeReader:
                 if fps <= 0:
                     self.fps = float(cap.get(cv2.CAP_PROP_FPS) or 0) or 30.0
             cap.release()
-        self.frame_bytes = self.w * self.h * 3
+        # nv12 halves the pipe bytes (1.5 B/px vs 3) — the reference's
+        # PC_PIPE_PIXFMT option (video_io.py:1225), explicit-config here.
+        # Needs even dims (4:2:0) and cv2 for the NV12→BGR conversion.
+        pf = (pix_fmt or "bgr24").lower()
+        if pf == "nv12" and (self.w % 2 or self.h % 2 or cv2 is None):
+            pf = "bgr24"
+        self.pix_fmt = pf
+        if pf == "nv12":
+            self.frame_bytes = self.w * self.h * 3 // 2
+        else:
+            self.frame_bytes = self.w * self.h * 3
         self._exe = exe
         self._hwaccel = hwaccel
         vf = tonemap_vf
@@ -362,7 +373,7 @@ class FfmpegPipeReader:
         cmd += ["-i", self.path]
         if self._vf:
             cmd += ["-vf", self._vf]
-        cmd += ["-f", "rawvideo", "-pix_fmt", "bgr24", "-"]
+        cmd += ["-f", "rawvideo", "-pix_fmt", self.pix_fmt, "-"]
         self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                      stderr=subprocess.PIPE,
                                      bufsize=self.frame_bytes * 4)
@@ -417,6 +428,10 @@ class FfmpegPipeReader:
             self._on_short_read()
             return None
         self.pos += 1
+        if self.pix_fmt == "nv12":
+            planes = np.frombuffer(data, np.uint8).reshape(
+                self.h * 3 // 2, self.w)
+            return cv2.cvtColor(planes, cv2.COLOR_YUV2BGR_NV12)
         return np.frombuffer(data, np.uint8).reshape(self.h, self.w, 3)
 
     def skip(self, count: int) -> int:
@@ -597,13 +612,14 @@ class ResilientReader:
         return getattr(self.reader, name)
 
 
-def open_reader(path: str, max_w: int = 0, prefer_ffmpeg: bool = False):
+def open_reader(path: str, max_w: int = 0, prefer_ffmpeg: bool = False,
+                pix_fmt: str = "bgr24"):
     """Open the best available reader. ffmpeg pipes are preferred for
     decode-level downscale (area filter beats cv2 retrieve+resize) when the
     binary exists."""
     if prefer_ffmpeg and find_ffmpeg() is not None:
         try:
-            return FfmpegPipeReader(path, max_w=max_w)
+            return FfmpegPipeReader(path, max_w=max_w, pix_fmt=pix_fmt)
         except Exception:
             pass
     return Cv2Reader(path, max_w=max_w)
@@ -616,7 +632,7 @@ def open_analysis_reader(path: str, max_w: int = 0,
                          tonemap_algo: str = "bt.2390",
                          allow_inaccurate: bool = True,
                          hwaccel: str = "",
-                         status=None):
+                         status=None, pix_fmt: str = "bgr24"):
     """Reader for the ANALYSIS stream (detection/embedding input).
 
     Equivalent of the reference's ``open_video_with_tonemap`` selection
@@ -634,7 +650,8 @@ def open_analysis_reader(path: str, max_w: int = 0,
         except Exception:
             hdr = False
     if not hdr:
-        return open_reader(path, max_w=max_w, prefer_ffmpeg=prefer_ffmpeg)
+        return open_reader(path, max_w=max_w, prefer_ffmpeg=prefer_ffmpeg,
+                           pix_fmt=pix_fmt)
     if find_ffmpeg() is not None:
         # fallback ladder (essence of the reference's try_fallback_chain,
         # video_io.py:1774-2126): each candidate chain must actually
@@ -652,7 +669,8 @@ def open_analysis_reader(path: str, max_w: int = 0,
             tried.add(backend)
             try:
                 r = _probe_first_frame(FfmpegPipeReader(
-                    path, max_w=max_w, tonemap_vf=chain, hwaccel=hwaccel))
+                    path, max_w=max_w, tonemap_vf=chain, hwaccel=hwaccel,
+                    pix_fmt=pix_fmt))
             except Exception:
                 r = None
             if r is not None:

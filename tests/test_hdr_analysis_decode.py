@@ -85,7 +85,8 @@ def test_open_analysis_reader_hdr_builds_tonemap_pipe(tmp_path,
     class FakePipe:
         pos = 0
 
-        def __init__(self, path, max_w=0, tonemap_vf="", hwaccel=""):
+        def __init__(self, path, max_w=0, tonemap_vf="", hwaccel="",
+                     **kw):
             captured["vf"] = tonemap_vf
 
         def read(self):
@@ -122,7 +123,8 @@ def test_open_analysis_reader_chain_rotation(tmp_path, monkeypatch):
     built = []
 
     class DeadThenAlivePipe:
-        def __init__(self, path, max_w=0, tonemap_vf="", hwaccel=""):
+        def __init__(self, path, max_w=0, tonemap_vf="", hwaccel="",
+                     **kw):
             built.append(tonemap_vf)
             self.dead = "libplacebo" in tonemap_vf
             self.pos = 0

@@ -27,9 +27,12 @@ FAKE_FFMPEG = f"""#!{sys.executable}
 import math, os, sys
 args = sys.argv[1:]
 ss = 0.0
+pix = "bgr24"
 for i, a in enumerate(args):
     if a == "-ss":
         ss = float(args[i + 1])
+    if a == "-pix_fmt":
+        pix = args[i + 1]
 fps, W, H, total = {FPS}, {W}, {H}, {TOTAL}
 sys.stderr.write("fake-ffmpeg: opened input\\n")
 sys.stderr.flush()
@@ -42,8 +45,9 @@ for k in range(start, total):
         sys.stderr.write("fake-ffmpeg: corrupt packet at frame %d\\n" % k)
         sys.stderr.flush()
         sys.exit(3)
+    nbytes = W * H * 3 if pix == "bgr24" else W * H * 3 // 2
     try:
-        out.write(bytes([k % 256]) * (W * H * 3))
+        out.write(bytes([k % 256]) * nbytes)
         out.flush()
     except BrokenPipeError:
         sys.exit(0)
@@ -540,4 +544,20 @@ def test_prefetch_eof_sentinel_seek_no_deadlock(synth, fake_ffmpeg):
     t.join(timeout=10)
     assert not t.is_alive(), "seek deadlocked against the EOF sentinel put"
     assert got and got[0] == 10
+    r.release()
+
+
+def test_pipe_nv12_mode(synth, fake_ffmpeg):
+    # nv12 halves the pipe bytes; frames decode through cv2's NV12->BGR
+    r = FfmpegPipeReader(synth.path, pix_fmt="nv12")
+    assert r.pix_fmt == "nv12"
+    assert r.frame_bytes == W * H * 3 // 2
+    f = r.read()
+    assert f is not None and f.shape == (H, W, 3)
+    assert r.skip(5) == 5
+    f2 = r.read()
+    assert f2 is not None and r.pos == 7
+    r.seek(TOTAL - 1)
+    assert r.read() is not None
+    assert r.read() is None and r.eof_reason == "eof"
     r.release()
