@@ -604,8 +604,10 @@ class Curator:
         _flush_chunk()
         if pending is not None:
             _consume(pending)
-            done += len(pending[1])
-            self.progress("describe", done, len(paths))
+        # final tick pins done == total even when some paths failed to
+        # decode (consumers treating done==total as completion would
+        # otherwise hang at 9x%)
+        self.progress("describe", len(paths), len(paths))
         return metas
 
     def run(self, pool_dir: str, out_dir: str, max_images: int = 200,

@@ -299,9 +299,12 @@ class Engine:
                     self._last_prescan = p
                     return p.spans, p.bank
 
-                backend_id = (f"{type(self.backend).__name__}:"
-                              f"{getattr(self.backend, 'det_size', 0)}:"
-                              f"{getattr(self.backend, 'embed_dim', 0)}")
+                # model identity WITHOUT the wrapper class name: the same
+                # weights behind LazyBackend (GUI) and
+                # RecoveringFaceBackend (CLI) must share a cache entry
+                backend_id = (f"{getattr(self.backend, 'det_size', 0)}:"
+                              f"{getattr(self.backend, 'embed_dim', 0)}:"
+                              f"{getattr(self.backend, 'max_faces', 0)}")
                 (spans, bank2), cached = prescan_cache.get_or_run(
                     cfg, cfg.video, ref_paths, meta.fps, meta.total_frames,
                     _run,

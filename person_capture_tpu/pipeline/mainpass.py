@@ -509,16 +509,20 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                           for f in frames])
         return small, (w / float(aw), h / float(ah))
 
-    conf0 = float(getattr(cfg, "face_det_conf", 0.0) or 0.0)
+    # last face_det_conf pushed to the backend — the run-start value until
+    # the user live-edits it (comparing against the START value would make
+    # a revert back to the initial threshold stick at the intermediate one)
+    conf_state = [float(getattr(cfg, "face_det_conf", 0.0) or 0.0)]
 
     def flush(drain: bool = True):
         # face_det_conf is LIVE: propagate a mid-run change to the backend
         # threshold (only when actually changed — tests construct backends
         # with explicit thresholds that must not be clobbered)
         conf = float(getattr(cfg, "face_det_conf", 0.0) or 0.0)
-        if conf != conf0 and conf > 0.0 \
+        if conf != conf_state[0] and conf > 0.0 \
                 and getattr(backend, "score_thresh", None) is not None:
             backend.score_thresh = conf
+            conf_state[0] = conf
         if pend:
             frames, idxs, valid, n = pad_batch(
                 [f for (_, f) in pend], batch, idxs=[i for (i, _) in pend])

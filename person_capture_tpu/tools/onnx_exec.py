@@ -749,9 +749,16 @@ def _resize(node, vals):
         sizes = None
         if len(vals) == 2 and vals[1] is not None:
             # opset-10 Resize signature: (X, scales) — later opsets move
-            # scales to input 2 (input 1 becomes roi)
+            # scales to input 2 (input 1 becomes roi). Opset-10 had NO
+            # coordinate/nearest attributes and fixed asymmetric+floor
+            # semantics (same as Upsample); keeping the opset-11 defaults
+            # would shift every resample half a pixel
             scales = [float(s) for s in np.asarray(
                 _require_host(node, vals[1], "scales")).reshape(-1)]
+            if "coordinate_transformation_mode" not in node.attrs:
+                coord_mode = "asymmetric"
+            if "nearest_mode" not in node.attrs:
+                nearest_mode = "floor"
         if len(vals) > 2 and vals[2] is not None and np.size(
                 _require_host(node, vals[2], "scales")):
             scales = [float(s) for s in np.asarray(vals[2]).reshape(-1)]

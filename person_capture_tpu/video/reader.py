@@ -279,13 +279,19 @@ class FfmpegPipeReader:
         exe = find_ffmpeg()
         if exe is None:
             raise RuntimeError("ffmpeg binary not found")
-        if not (width and height):
-            if cv2 is None:
-                raise RuntimeError("need cv2 to probe dimensions")
+        # ONE container probe fills everything cv2 can report (dims, fps,
+        # frame count) — a second open per construction added a full
+        # container parse to every reopen on the 1-core host
+        self.total_frames = 0
+        if cv2 is not None and (not (width and height) or fps <= 0):
             cap = cv2.VideoCapture(path)
-            width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-            height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-            fps = fps or float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
+            if cap.isOpened():
+                if not (width and height):
+                    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                fps = fps or float(cap.get(cv2.CAP_PROP_FPS) or 0.0)
+                self.total_frames = int(
+                    cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
             cap.release()
         if not (width > 0 and height > 0):
             # try the ffprobe chain before giving up (cv2 can fail on
@@ -314,15 +320,6 @@ class FfmpegPipeReader:
         else:
             self.w, self.h = width, height
         self.fps = fps or 30.0
-        self.total_frames = 0
-        if cv2 is not None:
-            cap = cv2.VideoCapture(path)
-            if cap.isOpened():
-                self.total_frames = int(
-                    cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
-                if fps <= 0:
-                    self.fps = float(cap.get(cv2.CAP_PROP_FPS) or 0) or 30.0
-            cap.release()
         # nv12 halves the pipe bytes (1.5 B/px vs 3) — the reference's
         # PC_PIPE_PIXFMT option (video_io.py:1225), explicit-config here.
         # Needs even dims (4:2:0) and cv2 for the NV12→BGR conversion.
@@ -347,6 +344,14 @@ class FfmpegPipeReader:
         if (self.w, self.h) != (width, height) and not has_scale:
             vf = (vf + "," if vf else "") \
                 + f"scale={self.w}:{self.h}:flags=area"
+        if pf == "nv12":
+            # cv2's NV12→BGR conversion assumes BT.601 limited range:
+            # force the pipe output to that matrix/range or BT.709 /
+            # full-range sources come back hue-shifted and level-crushed
+            # (the reference forces the colorspace for its nv12 pipes,
+            # video_io.py:1680-1704)
+            vf = (vf + "," if vf else "") \
+                + "scale=out_color_matrix=bt601:out_range=tv"
         self._vf = vf
         self.proc = None
         self._stderr_lines = None

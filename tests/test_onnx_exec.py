@@ -490,3 +490,29 @@ def test_resize_opset10_scales_at_input_1(tmp_path):
     want = F.interpolate(torch.from_numpy(x), scale_factor=2,
                          mode="nearest").numpy()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_opset10_defaults_are_asymmetric(tmp_path):
+    # opset-10 Resize has NO coordinate attributes: semantics are fixed
+    # asymmetric+floor (like Upsample), not the opset-11 half_pixel default
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(1, 1, 3, 4)).astype(np.float32)
+    nodes = [OnnxNode("Resize", ["x", "scales"], ["y"],
+                      attrs={"mode": "linear"})]
+    inits = {"scales": np.asarray([1, 1, 2, 2], np.float32)}
+    got = _run_graph(tmp_path, nodes, inits, {"x": x.shape}, ["y"], [x])
+    # torch upsample_bilinear with align_corners=False+asymmetric == the
+    # legacy (pre-1.0) behavior: compare against direct asymmetric math
+    want = np.zeros((1, 1, 6, 8), np.float32)
+    for i in range(6):
+        for j in range(8):
+            sy, sx_ = i / 2.0, j / 2.0
+            y0, x0 = int(sy), int(sx_)
+            y1, x1 = min(y0 + 1, 2), min(x0 + 1, 3)
+            fy, fx = sy - y0, sx_ - x0
+            want[0, 0, i, j] = (
+                x[0, 0, y0, x0] * (1 - fy) * (1 - fx)
+                + x[0, 0, y0, x1] * (1 - fy) * fx
+                + x[0, 0, y1, x0] * fy * (1 - fx)
+                + x[0, 0, y1, x1] * fy * fx)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

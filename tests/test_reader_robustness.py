@@ -561,3 +561,15 @@ def test_pipe_nv12_mode(synth, fake_ffmpeg):
     assert r.read() is not None
     assert r.read() is None and r.eof_reason == "eof"
     r.release()
+
+
+def test_pipe_nv12_forces_bt601_limited(synth, fake_ffmpeg):
+    # cv2's NV12->BGR assumes BT.601 limited: the chain must force the
+    # matrix/range so 709/full-range sources aren't hue-shifted
+    r = FfmpegPipeReader(synth.path, pix_fmt="nv12")
+    assert "out_color_matrix=bt601" in r._vf
+    assert "out_range=tv" in r._vf
+    r.release()
+    r2 = FfmpegPipeReader(synth.path)  # bgr24: no forced conversion
+    assert "out_color_matrix" not in r2._vf
+    r2.release()
