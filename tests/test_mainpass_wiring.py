@@ -223,3 +223,43 @@ def test_async_save_wait_blocks_until_written(tmp_path):
         for h in mp.hits:
             assert os.path.isfile(h.path)
     reader.release()
+
+
+def test_live_min_gap_takes_effect_mid_run(tmp_path):
+    """LIVE keys must be re-read per use: with min_gap_sec huge a run
+    yields one hit; dropping it to 0 mid-run (as Engine.update_cfg does)
+    must let later frames save too. The old entry-time snapshot kept the
+    initial value for the whole run."""
+    import numpy as np
+
+    from person_capture_tpu.core.bank import RefBank
+    from person_capture_tpu.pipeline.backends import OracleBackend
+    from person_capture_tpu.pipeline.mainpass import run_main_pass
+    from person_capture_tpu.pipeline.saver import AsyncSaver
+    from person_capture_tpu.video.reader import Cv2Reader
+    from person_capture_tpu.video.synthetic import generate_video
+
+    vid = str(tmp_path / "lg.mp4")
+    sv = generate_video(vid, total_frames=120, segments=[(0, 119, 0)],
+                        moving=False)
+    cfg = _cfg(tmp_path)
+    cfg.min_gap_sec = 1e9
+    bank = RefBank(cap=8)
+    v = np.zeros(64, np.float32)
+    v[0] = 1.0
+    bank.seed([v])
+    calls = [0]
+
+    def should_stop():
+        calls[0] += 1
+        if calls[0] == 3:
+            cfg.min_gap_sec = 0.0   # what Engine.update_cfg does
+        return False
+
+    reader = Cv2Reader(vid)
+    with AsyncSaver(cfg.out_dir) as saver:
+        res = run_main_pass(reader, OracleBackend(sv), cfg, bank,
+                            [(0, 119)], saver, batch_size=8,
+                            should_stop=should_stop)
+    reader.release()
+    assert len(res.hits) > 1, "mid-run min_gap change was ignored"
