@@ -114,3 +114,68 @@ def test_curator_feature_parity(ref_curator):
         ref_yr = ref_curator["yaw_roll_from_5pts"](pts)
         our_yr = yaw_roll_from_5pts(pts)
         assert ref_yr == pytest.approx(our_yr, abs=1e-5)
+
+def _extract_nested_function(path, name, extra_ns=None):
+    """Extract a FunctionDef found ANYWHERE in the module (the reference
+    nests helpers inside methods); it must be self-contained."""
+    src = open(path).read()
+    tree = ast.parse(src)
+    ns = {"np": np, "math": math}
+    if extra_ns:
+        ns.update(extra_ns)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == name:
+            exec(compile(textwrap.dedent(ast.get_source_segment(src, node)),
+                         f"<ref:{name}>", "exec"), ns)
+            return ns[name]
+    raise AssertionError(f"{name} not found in {path}")
+
+
+def _ref_gains_from_lut(lut):
+    """Recover (pos_gain, neg_gain) from the reference's 256-entry chroma
+    LUT (lut = 128 + axis*gain, rounded/clipped). Read at axis ±50 so the
+    max gain 2.25 stays inside the uint8 clip (128 + 50*2.25 < 255)."""
+    pos = (float(lut[178]) - 128.0) / 50.0
+    neg = (float(lut[78]) - 128.0) / -50.0
+    return pos, neg
+
+
+@pytest.mark.parametrize("seed,cast", [(0, 1.0), (1, 1.6), (2, 0.55),
+                                       (3, 1.0)])
+def test_chroma_side_gain_parity_reference(seed, cast):
+    """fit_chroma_side_gains vs the reference's _neutral_chroma_gain_lut
+    (gui_app.py:9641-9692) executed directly: same per-side p75 gains
+    (deviation-union selection, 256-px side minimum, all-pixel fallback,
+    [0.40, 2.25] clip)."""
+    from typing import Optional
+
+    import jax.numpy as jnp
+
+    from person_capture_tpu.kernels.colormatch import fit_chroma_side_gains
+
+    ref_fn = _extract_nested_function(
+        os.path.join(REF_ROOT, "person_capture", "gui_app.py"),
+        "_neutral_chroma_gain_lut", extra_ns={"Optional": Optional})
+
+    rng = np.random.default_rng(seed)
+    src = np.clip(rng.normal(128, 22, (120, 160)), 0, 255).astype(np.uint8)
+    if seed == 3:
+        # sparse positive side: only ~4% of pixels excursion positive
+        src = np.clip(rng.normal(118, 6, (120, 160)), 0, 255) \
+            .astype(np.uint8)
+        src[:5] = 180
+    dev = src.astype(np.float32) - 128.0
+    dst = np.clip(128.0 + np.where(dev > 0, dev * cast, dev), 0,
+                  255).astype(np.uint8)
+    mask = np.ones(src.shape, bool)
+
+    lut = ref_fn(src, dst, mask)
+    assert lut is not None
+    want_pos, want_neg = _ref_gains_from_lut(lut)
+
+    clean_n = (src.astype(np.float32) - 128.0) / 255.0
+    ref_n = (dst.astype(np.float32) - 128.0) / 255.0
+    pos, neg = fit_chroma_side_gains(jnp.asarray(clean_n),
+                                     jnp.asarray(ref_n))
+    assert float(pos) == pytest.approx(want_pos, abs=0.03)
+    assert float(neg) == pytest.approx(want_neg, abs=0.03)
