@@ -179,3 +179,27 @@ def test_chroma_side_gain_parity_reference(seed, cast):
                                      jnp.asarray(ref_n))
     assert float(pos) == pytest.approx(want_pos, abs=0.03)
     assert float(neg) == pytest.approx(want_neg, abs=0.03)
+
+
+def test_ratio_and_categorize_parity_reference():
+    """ratio_label/categorize vs the reference's nested norm_ratio /
+    _categorize executed directly (dataset_curator.py:587-607, 730-744)."""
+    from types import SimpleNamespace
+
+    from person_capture_tpu.curator.core import categorize, ratio_label
+
+    path = os.path.join(REF_ROOT, "person_capture", "dataset_curator.py")
+    ref_norm = _extract_nested_function(path, "norm_ratio")
+    ref_cat = _extract_nested_function(path, "_categorize",
+                                       extra_ns={"Item": SimpleNamespace})
+
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        w = int(rng.integers(50, 2000))
+        h = int(rng.integers(50, 2000))
+        assert ratio_label(w, h) == ref_norm(w, h), (w, h)
+        f = float(rng.uniform(0.0, 0.6))
+        ours = categorize(SimpleNamespace(ratio=ratio_label(w, h),
+                                          face_frac=f))
+        want = ref_cat(SimpleNamespace(ratio=ref_norm(w, h), face_frac=f))
+        assert ours == want, (w, h, f)
