@@ -233,6 +233,36 @@ def _bench_mainpass_e2e(video: str, bank_mat: np.ndarray):
     return src_fps / FPS, src_fps
 
 
+def _wait_for_device(deadline_s: float = 600.0) -> None:
+    """The tunneled chip enters transient bad states where even a trivial
+    matmul hangs (CLAUDE.md). Probe it in a SUBPROCESS — a hung in-process
+    backend init cannot be interrupted — and retry until the deadline, so
+    a driver bench run launched during a recovering relay still completes
+    instead of hanging in its first compile."""
+    import subprocess
+    import time as _t
+
+    t0 = _t.time()
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))")
+    while True:
+        budget = min(240.0, max(5.0, deadline_s - (_t.time() - t0)))
+        try:
+            cp = subprocess.run([sys.executable, "-c", code],
+                                timeout=budget, capture_output=True)
+            if cp.returncode == 0:
+                _phase("device probe ok")
+                return
+        except subprocess.SubprocessError:
+            pass
+        if _t.time() - t0 > deadline_s:
+            _phase(f"device probe failed for {deadline_s:.0f}s; "
+                   "proceeding anyway (expect a hang or backend error)")
+            return
+        _phase("device probe failed; retrying in 20s")
+        _t.sleep(20)
+
+
 def main() -> None:
     import jax
 
@@ -241,6 +271,7 @@ def main() -> None:
     from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
 
     target_realtime_x = 30.0           # BASELINE.json north star
+    _wait_for_device()
 
     rng = np.random.default_rng(0)
     bank = RefBank(cap=64)
