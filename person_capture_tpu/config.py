@@ -38,6 +38,10 @@ class SessionConfig:
     # external-ffmpeg pipe wire format: bgr24 | nv12 (nv12 halves the pipe
     # bytes; reference env PC_PIPE_PIXFMT, video_io.py:1225, made explicit)
     ff_pipe_pixfmt: str = "bgr24"
+    # per-stage wall-time profile (decode/device/replay/save) surfaced in
+    # the status stream at run end — the reference has no profiler
+    # (SURVEY.md §5); TPU-extra observability knob
+    tpu_profile: bool = False
     reid_thresh: float = 0.42
     combine: str = "min"  # min | avg | face_priority
     match_mode: str = "face_only"  # either | both | face_only | reid_only

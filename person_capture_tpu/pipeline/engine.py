@@ -206,6 +206,12 @@ class Engine:
     def run(self, bank: Optional[RefBank] = None) -> EngineResult:
         cfg = self.cfg
         self._last_frame_t = 0.0
+        # per-stage wall-time profile (tpu_profile): decode / device fetch /
+        # host replay per phase, reported in the status stream at run end
+        from ..utils.timing import StepTimer
+
+        self._timer = StepTimer() if getattr(cfg, "tpu_profile", False) \
+            else None
         try:
             ref_paths = [p for p in str(cfg.ref).split(";") if p] if cfg.ref else []
             if bank is None:
@@ -292,7 +298,8 @@ class Engine:
                                         should_stop=self._should_stop,
                                         seek_request=self._poll_seek,
                                         on_preview=self._on_preview,
-                                        source_is_hdr=src_is_hdr)
+                                        source_is_hdr=src_is_hdr,
+                                        timer=self._timer)
                     finally:
                         self._report_reader_health(r, "pre-scan")
                         r.release()
@@ -425,9 +432,13 @@ class Engine:
                                    should_stop=self._should_stop,
                                    seek_request=self._poll_seek,
                                    preview_hdr_source=preview_p010,
-                                   on_hit=self._on_hit)
+                                   on_hit=self._on_hit,
+                                   timer=self._timer)
             self._report_reader_health(main_reader, "main pass")
             self._release_run_resources()
+            if self._timer is not None:
+                self._status_cb("profile:\n" + self._timer.report(),
+                                key="phase", force=True)
             if cfg.curate_enable and mp.hits:
                 self._run_curator(bank)
             return EngineResult(True, list(spans), pres, mp)

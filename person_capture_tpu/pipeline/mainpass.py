@@ -152,7 +152,11 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                   should_stop: Optional[Callable[[], bool]] = None,
                   seek_request: Optional[Callable[[], Optional[int]]] = None,
                   preview_hdr_source=None,
-                  on_hit: Optional[Callable] = None) -> MainPassResult:
+                  on_hit: Optional[Callable] = None,
+                  timer=None) -> MainPassResult:
+    from ..utils.timing import NULL_TIMER
+
+    timer = timer or NULL_TIMER
     t0 = time.perf_counter()
     meta = meta or reader.meta()
     fps = meta.fps or 30.0
@@ -446,8 +450,9 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
 
     def _resolve(entry):
         fetch, person_fetch, frames, idxs, valid, n, a_scale = entry
-        out = fetch()
-        person_out = person_fetch() if person_fetch is not None else None
+        with timer("main.device_fetch"):
+            out = fetch()
+            person_out = person_fetch() if person_fetch is not None else None
         if a_scale != (1.0, 1.0):
             # analysis ran on host-downscaled frames: map detector coords
             # back to full reader resolution (crops/locks/compose all work
@@ -480,9 +485,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             if crops:
                 feats = reid_backend.extract(crops)
                 reid_map = {k: feats[i] for i, k in enumerate(keys)}
-        for slot in range(n):
-            _process_frame(int(idxs[slot]), frames[slot], out, person_out,
-                           reid_map, slot)
+        with timer("main.host_replay"):
+            for slot in range(n):
+                _process_frame(int(idxs[slot]), frames[slot], out,
+                               person_out, reid_map, slot)
         if cfg.lock_face_roi_enable:
             _roi_rescue()
         _fullframe_rescue()
@@ -1126,7 +1132,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                         start_override = int(seek_to)
                     seek_jump = True
                     break
-                frame = reader.read()
+                with timer("main.decode"):
+                    frame = reader.read()
                 if frame is None:
                     break
                 res.frames_decoded += 1

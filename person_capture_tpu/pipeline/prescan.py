@@ -50,7 +50,7 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
                 should_stop: Optional[Callable[[], bool]] = None,
                 seek_request: Optional[Callable[[], Optional[int]]] = None,
                 on_preview: Optional[Callable] = None,
-                source_is_hdr: bool = False) -> PrescanResult:
+                source_is_hdr: bool = False, timer=None) -> PrescanResult:
     """Run the batched pre-scan over ``reader`` using ``backend``.
 
     Args:
@@ -87,7 +87,7 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
         return _run_prescan_inner(reader, backend, cfg, bank, meta, batch,
                                   reopen_reader, progress, should_stop,
                                   seek_request, t0, fps, total, stride,
-                                  on_preview)
+                                  on_preview, timer)
     finally:
         if hasattr(backend, "set_prescan_fast"):
             backend.set_prescan_fast(False)
@@ -98,7 +98,10 @@ def run_prescan(reader, backend, cfg: SessionConfig, bank: RefBank,
 def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
                        meta, batch, reopen_reader, progress, should_stop,
                        seek_request, t0, fps, total, stride,
-                       on_preview=None) -> PrescanResult:
+                       on_preview=None, timer=None) -> PrescanResult:
+    from ..utils.timing import NULL_TIMER
+
+    timer = timer or NULL_TIMER
 
     sb = SpanBuilder(SpanBuilderConfig(
         fps=fps, stride=stride, enter=cfg.prescan_fd_enter,
@@ -135,8 +138,10 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
     def _resolve(entry):
         nonlocal last_add_sample, sample_idx
         fetch, entry_order = entry
-        out = fetch() if fetch is not None else None
-        _replay(out, entry_order)
+        with timer("prescan.device_fetch"):
+            out = fetch() if fetch is not None else None
+        with timer("prescan.host_replay"):
+            _replay(out, entry_order)
 
     def flush(drain: bool = True):
         """Submit the pending batch; resolve earlier work. With drain=False
@@ -263,7 +268,8 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
                 break
             idx += stride
             continue
-        frame = reader.read()
+        with timer("prescan.decode"):
+            frame = reader.read()
         if frame is None:
             break
         frame = _cap_width(frame, cfg.prescan_max_width)

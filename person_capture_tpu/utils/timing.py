@@ -55,6 +55,26 @@ class StepTimer:
             f"mean={v['mean_ms']:.2f}ms" for k, v in rows)
 
 
+class _NullTimer:
+    """No-op StepTimer stand-in so hot loops can time unconditionally."""
+
+    @contextlib.contextmanager
+    def __call__(self, stage: str) -> Iterator[None]:
+        yield
+
+    def add(self, stage: str, seconds: float) -> None:
+        pass
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {}
+
+    def report(self) -> str:
+        return ""
+
+
+NULL_TIMER = _NullTimer()
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: Optional[str]) -> Iterator[None]:
     """jax.profiler trace scope; no-op when log_dir is falsy."""

@@ -247,3 +247,20 @@ def test_engine_reusable_after_stop(tmp_path):
     assert res2.ok, res2.error
     assert res2.mainpass.frames_decoded >= 190
     assert len(res2.mainpass.hits) > 0
+
+
+def test_engine_profile_reports_stage_timings(tmp_path):
+    sv, backend, cfg, bank = _setup(tmp_path, total=120)
+    cfg.tpu_profile = True
+    cfg.prescan_enable = True
+    cfg.prescan_cache_mode = "off"
+    cfg.prescan_boundary_refine_sec = 0.0
+    msgs = []
+    eng = Engine(cfg, backend, status=msgs.append)
+    res = eng.run(bank=bank)
+    assert res.ok, res.error
+    prof = [m for m in msgs if m.startswith("profile:")]
+    assert prof, msgs
+    for stage in ("main.decode", "main.device_fetch", "main.host_replay",
+                  "prescan.device_fetch"):
+        assert stage in prof[0], prof[0]
