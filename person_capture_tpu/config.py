@@ -42,6 +42,12 @@ class SessionConfig:
     # the status stream at run end — the reference has no profiler
     # (SURVEY.md §5); TPU-extra observability knob
     tpu_profile: bool = False
+    # embed only the K highest-score face slots per frame (0 = all slots).
+    # The ArcFace embedder dominates step FLOPs (~6 GFLOP/slot for r50)
+    # and most slots are empty in real footage; decision-equivalence is
+    # CI-tested (tests/test_embed_slots.py). Opt-in FLOP cut for
+    # co-located production hosts.
+    tpu_embed_slots: int = 0
     reid_thresh: float = 0.42
     combine: str = "min"  # min | avg | face_priority
     match_mode: str = "face_only"  # either | both | face_only | reid_only

@@ -270,6 +270,7 @@ def main(argv=None) -> int:
             max_faces=cfg.tpu_max_faces,
             use_arcface=cfg.use_arcface,
             clip_face_cfg=clip_face_cfg,
+            embed_slots=int(getattr(cfg, "tpu_embed_slots", 0) or 0),
             dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
 
     # batched recovery ladder (rotations / scale-TTA / edge-pad) around the
