@@ -80,13 +80,19 @@ def replicated(mesh: Mesh):
 def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
                                det_size: int = 640, max_faces: int = 8,
                                dtype=None, seed: int = 0,
-                               scrfd_vars=None, arcface_vars=None):
+                               scrfd_vars=None, arcface_vars=None,
+                               replicate_outputs: Optional[bool] = None):
     """Create the fused pre-scan step jitted over a mesh.
 
     Step signature: ``(frames_u8 [B,H,W,3], bank [K,D], bank_mask [K],
     score_thresh) -> (best_fd [B], per-face outputs)``. Frames shard over
     ``data``; the bank replicates; ArcFace wide kernels shard over ``model``
     when that axis exists.
+
+    ``replicate_outputs`` gathers every output to all devices at the
+    program edge (an XLA all-gather of the small per-frame results).
+    Defaults to on exactly when the mesh spans multiple processes, where
+    the host replay needs full results on every host (parallel/multihost).
     """
     from ..core.bank import fd_min_batch_jnp
     from ..models import arcface as AF
@@ -150,6 +156,11 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
 
     data_sh = shard_batch(mesh)
     repl = replicated(mesh)
+    if replicate_outputs is None:
+        from .multihost import is_multiprocess
+
+        replicate_outputs = is_multiprocess()
+    out_sh = repl if replicate_outputs else data_sh
 
     def step(scrfd_vars_, arc_vars_, frames_u8, bank, bank_mask, score_thresh):
         frames = frames_u8.astype(jnp.float32)
@@ -172,12 +183,19 @@ def build_sharded_prescan_step(mesh: Mesh, scrfd_cfg=None, arcface_cfg=None,
     jit_step = jax.jit(
         step,
         in_shardings=(None, None, data_sh, repl, repl, repl),
-        out_shardings={"best_fd": data_sh, "per_face_fd": data_sh,
-                       "boxes": data_sh, "kps": data_sh, "scores": data_sh,
-                       "mask": data_sh, "feats": data_sh, "quality": data_sh},
+        out_shardings={"best_fd": out_sh, "per_face_fd": out_sh,
+                       "boxes": out_sh, "kps": out_sh, "scores": out_sh,
+                       "mask": out_sh, "feats": out_sh, "quality": out_sh},
     )
 
+    from .multihost import make_global_batch, make_replicated
+
     def run(frames_u8, bank, bank_mask, score_thresh=0.5):
+        # multi-process: each host uploads only the frame rows its devices
+        # own; the bank replicates. Single-process: pass-throughs.
+        frames_u8 = make_global_batch(mesh, frames_u8)
+        bank = make_replicated(mesh, bank)
+        bank_mask = make_replicated(mesh, bank_mask)
         return jit_step(sv, av, frames_u8, bank, bank_mask,
                         jnp.float32(score_thresh))
 
@@ -222,6 +240,9 @@ def build_sharded_fullframe_detect(mesh: Mesh, scrfd_cfg=None,
     frames_sh = NamedSharding(mesh, frames_spec)
     data_sh = shard_batch(mesh)
     repl = replicated(mesh)
+    from .multihost import is_multiprocess, make_global_batch
+
+    out_sh = repl if is_multiprocess() else data_sh
 
     def step(vars_, padded, scales, score_thresh):
         return SD.detect_faces(model, vars_, padded, scales, score_thresh,
@@ -230,10 +251,15 @@ def build_sharded_fullframe_detect(mesh: Mesh, scrfd_cfg=None,
     jit_step = jax.jit(
         step,
         in_shardings=(None, frames_sh, data_sh, repl),
-        out_shardings={"boxes": data_sh, "kps": data_sh,
-                       "scores": data_sh, "mask": data_sh})
+        out_shardings={"boxes": out_sh, "kps": out_sh,
+                       "scores": out_sh, "mask": out_sh})
 
     def run(padded, scales, score_thresh=0.5):
+        if is_multiprocess():
+            arr = np.asarray(padded)
+            padded = jax.make_array_from_callback(
+                arr.shape, frames_sh, lambda idx: arr[idx])
+            scales = make_global_batch(mesh, scales)
         return jit_step(sv, padded, scales, jnp.float32(score_thresh))
 
     run.scrfd_vars = sv
