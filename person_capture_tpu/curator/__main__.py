@@ -46,7 +46,15 @@ def main(argv=None) -> int:
         det_size=args.det_size,
         scrfd_weights=resolve_weights(args.scrfd_weights, "scrfd_2.5g"),
         arcface_weights=resolve_weights(args.arcface_weights, arc_name))
-    clip_backend = None if args.no_clip else ClipReidBackend()
+    if args.no_clip:
+        clip_backend = None
+    else:
+        # bundled trained tower via the shared zoo resolution — a
+        # random-init ViT-L made CLIP scene clustering noise
+        from ..main import resolve_reid
+
+        reid_cfg, reid_w = resolve_reid("ViT-L-14", "auto")
+        clip_backend = ClipReidBackend(cfg=reid_cfg, weights=reid_w)
 
     bank = RefBank(cap=16)
     import cv2

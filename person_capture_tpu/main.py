@@ -55,8 +55,23 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--arcface-model", default="auto",
                     help="w600k_r50 | glintr100 | arcface_synth | auto "
                          "(bundled trained embedder when present)")
+    ap.add_argument("--reid-weights", default="auto",
+                    help="ReID tower checkpoint: .npz | open_clip .pt | "
+                         "auto (bundled trained clip_reid_s) | random")
     ap.add_argument("--mesh", default="",
                     help="device mesh spec, e.g. 'data:4,model:2'; ''=1 chip")
+    # multi-host: run the same command on every host. On TPU pods the
+    # coordinator/topology auto-discover (pass --multihost alone); manual
+    # clusters pass all three (parallel/multihost.py)
+    ap.add_argument("--multihost", action="store_true", default=False,
+                    help="join the jax.distributed runtime (TPU pod "
+                         "auto-discovery when the address flags are unset)")
+    ap.add_argument("--coordinator", default="",
+                    help="coordinator address host:port (multi-host)")
+    ap.add_argument("--num-processes", type=int, default=0,
+                    help="total process count (multi-host)")
+    ap.add_argument("--process-id", type=int, default=-1,
+                    help="this process's index (multi-host)")
     ap.add_argument("--compute-dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--preset", default="",
@@ -171,6 +186,42 @@ def resolve_yolo(yolo_model: str, dtype=None):
     return yolo_cfg, resolve_weights("auto", yolo_name)
 
 
+def resolve_reid(backbone: str, weights_spec: str = "auto"):
+    """Resolve the ReID tower to ``(clip_cfg, variables|None)``.
+
+    "auto" prefers the bundled synthetic-trained compact tower (swapping
+    the arch to ``clip_reid_s`` exactly like arcface "auto" swaps to the
+    bundled embedder — no egress exists here for open_clip checkpoints,
+    reference reid_embedder.py:10-57 downloads ViT-L-14/laion2b at first
+    use). An explicit checkpoint loads the REQUESTED backbone: open_clip
+    torch state dicts via models/loaders.load_clip_torch, flax .npz via
+    the zoo. "random" keeps the requested arch at random init."""
+    from .models import clip_vit as CV
+    from .models.zoo import resolve_weights
+
+    spec = (weights_spec or "auto").strip()
+    cfg = CV.CONFIGS.get(backbone, CV.VIT_L_14)
+    if spec.lower() in ("random", "none"):
+        return cfg, None
+    if os.path.isfile(spec):
+        if spec.lower().endswith((".pt", ".pth", ".bin")):
+            import jax as _jax
+
+            from .models.loaders import load_clip_torch
+            from .tools.convert_weights import torch_param_dict
+
+            _m, _v = CV.init_clip(_jax.random.PRNGKey(0), cfg)
+            return cfg, load_clip_torch(_v, cfg, torch_param_dict(spec))
+        return cfg, resolve_weights(spec, cfg.name)
+    if spec.lower() not in ("auto", ""):
+        raise FileNotFoundError(
+            f"--reid-weights {spec!r}: not a file and not auto/random")
+    w = resolve_weights("auto", "clip_reid_s")
+    if w is not None:
+        return CV.REID_S, w
+    return cfg, None
+
+
 def main(argv=None) -> int:
     ap = build_parser()
     args = ap.parse_args(argv)
@@ -188,6 +239,24 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.multihost or args.coordinator:
+        # join the global runtime BEFORE the first backend touch (the
+        # device list must already span all processes when the mesh builds)
+        from .parallel import multihost as MH
+
+        MH.initialize(
+            coordinator=args.coordinator or None,
+            num_processes=args.num_processes if args.num_processes > 0
+            else None,
+            process_id=args.process_id if args.process_id >= 0 else None)
+        if not MH.is_primary():
+            # SPMD: every process runs the identical pipeline; only the
+            # primary writes user-visible outputs. Secondary hosts keep
+            # their (deterministic, identical) artifacts in a scratch
+            # subdir so shared filesystems never see write races.
+            cfg.out_dir = os.path.join(cfg.out_dir,
+                                       f".proc{MH.process_index()}")
 
     from .pipeline.backends import ScrfdArcFaceBackend
     from .pipeline.engine import Engine
@@ -335,15 +404,18 @@ def main(argv=None) -> int:
         person_backend = YoloPersonBackend(
             cfg=yolo_cfg, conf=cfg.min_det_conf, weights=yolo_w)
     if cfg.match_mode in ("either", "both", "reid_only"):
-        from .models import clip_vit as CV
         from .pipeline.backends import ClipReidBackend
 
         cfg.disable_reid = False
         # reid_backbone selects the OpenCLIP tower (reference
         # reid_embedder.py:10-57 default ViT-L-14/laion2b);
-        # reid_pretrained names the checkpoint family for loaders
-        reid_backend = ClipReidBackend(
-            cfg=CV.CONFIGS.get(cfg.reid_backbone, CV.VIT_L_14))
+        # --reid-weights resolves bundled/user checkpoints (resolve_reid)
+        try:
+            reid_cfg, reid_w = resolve_reid(cfg.reid_backbone,
+                                            args.reid_weights)
+        except FileNotFoundError as e:
+            ap.error(str(e))
+        reid_backend = ClipReidBackend(cfg=reid_cfg, weights=reid_w)
 
     eng = Engine(cfg, backend, person_backend=person_backend,
                  reid_backend=reid_backend,

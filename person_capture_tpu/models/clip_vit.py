@@ -33,11 +33,16 @@ class ClipVitConfig:
 
 TINY = ClipVitConfig(name="clip_tiny", image_size=32, patch=8, width=32,
                      layers=2, heads=2, embed_dim=16)
+# compact tower for the bundled synthetic-trained ReID embedder — this
+# image has no egress for open_clip checkpoints, so "auto" resolution
+# ships this instead (train/clip_reid_synth.py), like the face models
+REID_S = ClipVitConfig(name="clip_reid_s", image_size=96, patch=8,
+                       width=128, layers=5, heads=4, embed_dim=128)
 VIT_B_32 = ClipVitConfig(name="ViT-B-32", patch=32, width=768, layers=12,
                          heads=12, embed_dim=512)
 VIT_L_14 = ClipVitConfig(name="ViT-L-14")
 
-CONFIGS = {c.name: c for c in (TINY, VIT_B_32, VIT_L_14)}
+CONFIGS = {c.name: c for c in (TINY, REID_S, VIT_B_32, VIT_L_14)}
 
 
 class MHA(nn.Module):

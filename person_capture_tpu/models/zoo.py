@@ -28,6 +28,7 @@ BUNDLED = {
     "yolov8n_face": "yolov8n_face_synth.npz",
     "yolo_face_tiny": "yolo_face_tiny_synth.npz",
     "arcface_synth": "arcface_synth.npz",
+    "clip_reid_s": "clip_reid_s_synth.npz",
 }
 
 

@@ -19,12 +19,21 @@ class ReIDEmbedder:
         self.device = device
         if backend is not None:
             self._backend = backend
-        else:
+        elif weights is not None:
             from .models import clip_vit as CV
             from .pipeline.backends import ClipReidBackend
 
             self._backend = ClipReidBackend(
                 cfg=CV.CONFIGS.get(model_name, CV.VIT_L_14), weights=weights)
+        else:
+            # no explicit weights: zoo resolution (bundled trained compact
+            # tower when present — main.resolve_reid), never a silent
+            # random-init ViT-L
+            from .main import resolve_reid
+            from .pipeline.backends import ClipReidBackend
+
+            reid_cfg, reid_w = resolve_reid(model_name, "auto")
+            self._backend = ClipReidBackend(cfg=reid_cfg, weights=reid_w)
 
     def extract(self, bgr_list) -> List[np.ndarray]:
         if not bgr_list:
