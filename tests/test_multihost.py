@@ -83,6 +83,65 @@ def test_two_process_cluster_matches_single_process():
         np.testing.assert_allclose(got, ref[k], atol=2e-4, rtol=1e-3)
 
 
+def test_two_process_cli_end_to_end(tmp_path):
+    """The REAL CLI entry under --multihost: a 2-process cluster runs the
+    whole pipeline over a global data:4 mesh. The primary writes the real
+    out dir; the secondary's scratch replay must produce the IDENTICAL
+    hit list (deterministic host replay over replicated step outputs)."""
+    import csv
+
+    import cv2
+    import pytest
+
+    from person_capture_tpu.models.zoo import bundled_weights_path
+    from person_capture_tpu.video.synthetic import (FacePlacement,
+                                                    draw_face,
+                                                    generate_video)
+
+    if bundled_weights_path("scrfd_tiny") is None:
+        pytest.skip("bundled tiny weights not present")
+
+    vid = str(tmp_path / "m.mp4")
+    generate_video(vid, width=128, height=128, fps=30.0, total_frames=40,
+                   segments=[(8, 28, 0)], moving=False)
+    ref = np.full((128, 128, 3), 60, np.uint8)
+    draw_face(ref, FacePlacement(0, 0, (34, 30, 94, 90)))
+    ref_path = str(tmp_path / "ref.png")
+    cv2.imwrite(ref_path, ref)
+    out_dir = str(tmp_path / "out")
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_cli_worker.py")
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), "2", str(port),
+                          vid, ref_path, out_dir],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            so, se = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"CLI worker failed:\n{so[-4000:]}\n{se[-4000:]}"
+        assert "CLIRC 0" in so
+
+    def hit_frames(index_path):
+        with open(index_path) as fh:
+            return sorted(int(r["frame"]) for r in csv.DictReader(fh))
+
+    primary = hit_frames(os.path.join(out_dir, "index.csv"))
+    secondary = hit_frames(os.path.join(out_dir, ".proc1", "index.csv"))
+    assert primary, "multihost CLI produced no hits"
+    in_span = [f for f in primary if 8 <= f <= 28]
+    assert len(in_span) >= max(2, len(primary) // 2)
+    assert primary == secondary
+
+
 def test_helpers_single_process_passthrough():
     """Single-process: every multihost helper degrades to the local path."""
     import jax
