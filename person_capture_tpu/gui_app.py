@@ -43,10 +43,14 @@ class EngineBridge(QtCore.QObject):
     hit = QtCore.Signal(object)
     finished = QtCore.Signal(bool, str)
 
-    def __init__(self, cfg: SessionConfig, backend_factory):
+    def __init__(self, cfg: SessionConfig, backend_factory,
+                 aux_factories=None):
         super().__init__()
         self.cfg = cfg
         self._backend_factory = backend_factory
+        # optional zero-arg factories: {"person", "reid", "fullframe"} —
+        # wired lazily so a face_only run never pays their build
+        self._aux_factories = dict(aux_factories or {})
         self._engine = None
         self._thread = None
 
@@ -59,8 +63,15 @@ class EngineBridge(QtCore.QObject):
         # worker thread via LazyBackend (first extract triggers the factory)
         from .pipeline.backends import LazyBackend
 
+        def lazy(name):
+            f = self._aux_factories.get(name)
+            return LazyBackend(f) if f is not None else None
+
         self._engine = Engine(
             self.cfg, LazyBackend(self._backend_factory),
+            person_backend=lazy("person"),
+            reid_backend=lazy("reid"),
+            fullframe_backend=lazy("fullframe"),
             status=self.status.emit,
             progress=self.progress.emit,
             on_hit=self.hit.emit,
@@ -110,11 +121,12 @@ def _bgr_to_qimage(bgr: np.ndarray) -> QtGui.QImage:
 
 
 class MainWindow(QtWidgets.QMainWindow):
-    def __init__(self, backend_factory=None):
+    def __init__(self, backend_factory=None, aux_factories=None):
         super().__init__()
         self.setWindowTitle("PersonCapture (TPU)")
         self.cfg = SessionConfig()
         self.backend_factory = backend_factory or self._default_backend
+        self.aux_factories = aux_factories
         self.bridge = None
         self._build_ui()
         self._restore_settings()
@@ -140,6 +152,59 @@ class MainWindow(QtWidgets.QMainWindow):
             max_faces=self.cfg.tpu_max_faces)
         return RecoveringFaceBackend(backend,
                                      RecoveryPolicy.from_config(self.cfg))
+
+    # ------------------------------------------------------------------
+    def _aux_factories(self, cfg: SessionConfig):
+        """Person / ReID / full-frame-rescue factories the run's config
+        actually needs (mirrors main.py's conditional construction; the
+        reference GUI always has all models available, gui_app.py:4490-
+        4515). Each is LazyBackend-wrapped by the bridge, so nothing
+        builds until the pipeline first touches it."""
+        aux = {}
+        if (cfg.match_mode != "face_only"
+                or not cfg.skip_yolo_when_faceonly):
+            def person():
+                from .main import resolve_yolo
+                from .pipeline.backends import YoloPersonBackend
+
+                yolo_cfg, yolo_w = resolve_yolo(cfg.yolo_model)
+                return YoloPersonBackend(cfg=yolo_cfg,
+                                         conf=cfg.min_det_conf,
+                                         weights=yolo_w)
+
+            aux["person"] = person
+        if cfg.match_mode in ("either", "both", "reid_only"):
+            cfg.disable_reid = False
+
+            def reid():
+                from .main import resolve_reid
+                from .pipeline.backends import ClipReidBackend
+
+                reid_cfg, reid_w = resolve_reid(cfg.reid_backbone, "auto")
+                return ClipReidBackend(cfg=reid_cfg, weights=reid_w)
+
+            aux["reid"] = reid
+        if (cfg.face_fullframe_when_missed
+                and int(cfg.face_fullframe_imgsz) > 640):
+            def fullframe():
+                from .models import arcface as AF
+                from .models.zoo import (bundled_weights_path,
+                                         resolve_weights)
+                from .pipeline.backends import ScrfdArcFaceBackend
+
+                arc_name = ("arcface_synth"
+                            if bundled_weights_path("arcface_synth")
+                            else "w600k_r50")
+                return ScrfdArcFaceBackend(
+                    scrfd_weights=resolve_weights("auto", "scrfd_2.5g"),
+                    arcface_cfg=AF.CONFIGS.get(arc_name, AF.W600K_R50),
+                    arcface_weights=resolve_weights("auto", arc_name),
+                    det_size=int(cfg.face_fullframe_imgsz),
+                    score_thresh=cfg.face_det_conf,
+                    max_faces=cfg.tpu_max_faces)
+
+            aux["fullframe"] = fullframe
+        return aux
 
     def _build_ui(self):
         central = QtWidgets.QWidget()
@@ -569,7 +634,13 @@ class MainWindow(QtWidgets.QMainWindow):
         if not cfg.video or not cfg.ref:
             self._log("select a video and at least one reference photo")
             return
-        self.bridge = EngineBridge(cfg, self.backend_factory)
+        # default factory only: injected test doubles bring their own
+        # world (an oracle face backend + default-family rescue would
+        # score one RefBank in two incompatible embedding spaces)
+        aux = (self._aux_factories(cfg)
+               if self.backend_factory == self._default_backend else
+               dict(self.aux_factories or {}))
+        self.bridge = EngineBridge(cfg, self.backend_factory, aux)
         self.bridge.status.connect(self._log)
         self.bridge.progress.connect(
             lambda p: self.progress_bar.setValue(int(p * 1000)))

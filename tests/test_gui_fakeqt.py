@@ -194,6 +194,53 @@ def test_bridge_commands_before_engine_ready(gui):
     assert done and done[0][0] is False
 
 
+def test_aux_factories_follow_config(gui):
+    """The Start path builds person/ReID/full-frame factories exactly when
+    the run's config needs them (mirrors main.py's conditional
+    construction; reference gui_app.py:4490-4515 always loads all)."""
+    win = gui.MainWindow(backend_factory=lambda: None)
+
+    cfg = SessionConfig(match_mode="face_only", skip_yolo_when_faceonly=True,
+                        face_fullframe_when_missed=False)
+    assert win._aux_factories(cfg) == {}
+
+    cfg = SessionConfig(match_mode="either",
+                        face_fullframe_when_missed=False)
+    aux = win._aux_factories(cfg)
+    assert set(aux) == {"person", "reid"}
+    assert cfg.disable_reid is False        # main.py:409 parity
+
+    cfg = SessionConfig(match_mode="face_only", skip_yolo_when_faceonly=True,
+                        face_fullframe_when_missed=True,
+                        face_fullframe_imgsz=1408)
+    assert set(win._aux_factories(cfg)) == {"fullframe"}
+    cfg.face_fullframe_imgsz = 640          # no upscale ⇒ no rescue tower
+    assert win._aux_factories(cfg) == {}
+
+
+def test_bridge_wires_aux_backends_lazily(gui):
+    """Aux factories reach the Engine as LazyBackends without being built
+    at Start — a face_only run must never pay a YOLO/CLIP compile."""
+    from person_capture_tpu.pipeline.backends import LazyBackend
+
+    cfg = SessionConfig(video="nonexistent.mp4", ref="nonexistent.png")
+    built = []
+    bridge = gui.EngineBridge(
+        cfg, lambda: None,
+        aux_factories={"person": lambda: built.append("person"),
+                       "reid": lambda: built.append("reid")})
+    done = []
+    bridge.finished.connect(lambda ok, err: done.append(ok))
+    bridge.start()
+    eng = bridge._engine
+    assert isinstance(eng.person_backend, LazyBackend)
+    assert isinstance(eng.reid_backend, LazyBackend)
+    assert eng.fullframe_backend is None
+    bridge._thread.join(timeout=30)
+    assert built == []                      # run failed before first touch
+    assert done == [False]
+
+
 def test_generated_tab_edit_survives_collect(gui):
     # editing a field in the generated All-settings tab must not be
     # clobbered by the untouched Capture-tab twin at Start
