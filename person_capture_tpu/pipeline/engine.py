@@ -239,7 +239,9 @@ class Engine:
                     hwaccel="" if cfg.ff_hwaccel in ("", "none", "cuda")
                     else cfg.ff_hwaccel,
                     status=self._status_cb,
-                    pix_fmt=getattr(cfg, "ff_pipe_pixfmt", "bgr24"))
+                    pix_fmt=getattr(cfg, "ff_pipe_pixfmt", "bgr24"),
+                    transfer=hdr_info.transfer,
+                    sdr_nits=float(cfg.sdr_nits or 200.0))
 
             # resources that must be released on BOTH success and failure
             # paths (decoder processes, prefetch threads, P010 pipes) —

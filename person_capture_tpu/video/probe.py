@@ -108,14 +108,28 @@ class HdrInfo:
 
 def detect_hdr(path: str) -> HdrInfo:
     """Decide HDR-ness with reasons; env overrides win
-    (PERSON_CAPTURE_FORCE_HDR=1 forces HDR, PC_FORCE_SDR=1 forces SDR)."""
+    (PERSON_CAPTURE_FORCE_HDR=1 forces HDR, PC_FORCE_SDR=1 forces SDR).
+
+    Probe ladder: ffprobe JSON when a binary exists (reference
+    video_io.py:537-624), else direct container parsing of the MP4 colr/
+    mdcv/clli boxes or Matroska Colour elements (video/colorinfo.py) —
+    the reference's PyAV-flags fallback (:330-458) re-expressed without
+    any decoder dependency."""
     if os.environ.get("PC_FORCE_SDR") == "1":
         return HdrInfo(False, reasons=["env:PC_FORCE_SDR"])
     if os.environ.get("PERSON_CAPTURE_FORCE_HDR") == "1":
         return HdrInfo(True, reasons=["env:PERSON_CAPTURE_FORCE_HDR"])
     meta = ffprobe_json(path)
     if not meta:
-        return HdrInfo(False, reasons=["no_probe_backend"])
+        from .colorinfo import container_color_info
+
+        info = container_color_info(path)
+        if info is None:
+            return HdrInfo(False, reasons=["no_probe_backend"])
+        return HdrInfo(bool(info.reasons), info.transfer, info.primaries,
+                       pix_fmt=(f"{info.bit_depth}bit"
+                                if info.bit_depth else ""),
+                       reasons=info.reasons or ["container:sdr"])
     vs = _video_stream(meta)
     if not vs:
         return HdrInfo(False, reasons=["no_video_stream"])
@@ -138,7 +152,10 @@ def detect_hdr(path: str) -> HdrInfo:
 def color_range_full(path: str) -> bool:
     meta = ffprobe_json(path)
     if not meta:
-        return False
+        from .colorinfo import container_color_info
+
+        info = container_color_info(path)
+        return bool(info and info.full_range)
     vs = _video_stream(meta)
     return bool(vs and str(vs.get("color_range", "")).lower()
                 in ("pc", "full", "jpeg"))

@@ -637,7 +637,8 @@ def open_analysis_reader(path: str, max_w: int = 0,
                          tonemap_algo: str = "bt.2390",
                          allow_inaccurate: bool = True,
                          hwaccel: str = "",
-                         status=None, pix_fmt: str = "bgr24"):
+                         status=None, pix_fmt: str = "bgr24",
+                         transfer: str = "", sdr_nits: float = 200.0):
     """Reader for the ANALYSIS stream (detection/embedding input).
 
     Equivalent of the reference's ``open_video_with_tonemap`` selection
@@ -645,13 +646,17 @@ def open_analysis_reader(path: str, max_w: int = 0,
     tone-mapped SDR, not as cv2's washed-out default 8-bit conversion.
     When ffmpeg exists the tone-map runs in the decoder (libplacebo →
     zscale → plain scale, per ``tonemap_pref`` = cfg.hdr_tonemap_pref);
-    without it we fall back to cv2 decode with a logged warning.
+    without it, cv2-decoded frames pass through the host Hable tone-map
+    (video/pytonemap.py — the reference's own terminal fallback chain,
+    video_io.py:3239-3291, applied to the transfer-coded 8-bit decode).
     """
     if hdr is None:
         try:
             from .probe import detect_hdr
 
-            hdr = detect_hdr(path).is_hdr
+            info = detect_hdr(path)
+            hdr = info.is_hdr
+            transfer = transfer or info.transfer
         except Exception:
             hdr = False
     if not hdr:
@@ -684,11 +689,14 @@ def open_analysis_reader(path: str, max_w: int = 0,
                 return r
             if status is not None:
                 status(f"HDR analysis chain failed, rotating: {backend}")
+    from .pytonemap import HostTonemapReader
+
     if status is not None:
         status("HDR source but no working ffmpeg chain: analysis frames "
-               "use cv2's default conversion (washed); detection "
-               "thresholds may need loosening")
-    return Cv2Reader(path, max_w=max_w)
+               "tone-mapped on host from cv2's 8-bit decode (approximate "
+               "— reference python-fallback semantics)")
+    return HostTonemapReader(Cv2Reader(path, max_w=max_w),
+                             transfer=transfer, target_nits=sdr_nits)
 
 
 class _BufferedFirstFrame:

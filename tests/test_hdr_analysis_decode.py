@@ -58,6 +58,9 @@ def test_open_analysis_reader_sdr_plain(tmp_path):
 
 def test_open_analysis_reader_hdr_without_ffmpeg_warns(tmp_path,
                                                        monkeypatch):
+    """Terminal branch: no ffmpeg chain ⇒ host tone-map wrapper (the
+    reference's python-fallback analogue), not a raw washed Cv2Reader."""
+    from person_capture_tpu.video.pytonemap import HostTonemapReader
     from person_capture_tpu.video.synthetic import generate_video
 
     vid = str(tmp_path / "v.mp4")
@@ -66,7 +69,7 @@ def test_open_analysis_reader_hdr_without_ffmpeg_warns(tmp_path,
     msgs = []
     r = R.open_analysis_reader(vid, hdr=True, status=msgs.append)
     try:
-        assert isinstance(r, R.Cv2Reader)
+        assert isinstance(r, HostTonemapReader)
         assert any("no working ffmpeg chain" in m for m in msgs)
     finally:
         r.release()
