@@ -333,22 +333,68 @@ def phash_sim_to_hamm(sim: float) -> int:
     return max(0, int(round((1.0 - float(sim)) * 64.0)))
 
 
+def scene_phash_dedup(items: List[Item], hamm: int) -> List[int]:
+    """In-scene pHash dedup BEFORE selection (reference
+    dataset_curator.py:828-849): within each scene, rank by
+    (quality desc, fd, ts, path) and drop items within ``hamm`` of an
+    already-kept item of the same scene. Returns kept indices in
+    original order."""
+    if hamm <= 0:
+        return list(range(len(items)))
+    by_scene: Dict[int, List[int]] = {}
+    for i, it in enumerate(items):
+        by_scene.setdefault(int(it.scene), []).append(i)
+    kept: List[int] = []
+    for sid in sorted(by_scene):
+        idxs = sorted(by_scene[sid],
+                      key=lambda k: (-items[k].quality_score(),
+                                     items[k].face_fd, items[k].ts,
+                                     items[k].path))
+        seen_ph: List[int] = []
+        for k in idxs:
+            ph = items[k].phash
+            if any(hamming64(ph, sph) <= hamm for sph in seen_ph):
+                continue
+            seen_ph.append(ph)
+            kept.append(k)
+    kept.sort()
+    return kept
+
+
 def mmr_select(items: List[Item], max_images: int = 200,
                fd_gate: float = 0.45, lam: float = 0.70,
                dedup_hamm: int = 5, cos_face_dedup: float = 0.985,
                scene_softcap: int = 6, scene_penalty: float = 0.08,
                profile_yaw_thresh: float = 20.0,
-               quotas: Optional[Dict] = None) -> Tuple[List[int], List[Dict]]:
+               quotas: Optional[Dict] = None,
+               sharp_min: float = 0.0,
+               closeup_boost: float = 0.0, closeup_thr: float = 0.33,
+               div_bg: float = 0.6, div_face: float = 0.4
+               ) -> Tuple[List[int], List[Dict]]:
     """Greedy quota-constrained MMR. Returns (selected indices, debug rows).
 
     score = λ·quality − (1−λ)·max-sim-to-selected − scene-overuse penalty;
-    hard gates: identity fd, pHash dedup, face-embedding dedup, per-category
-    and profile caps.
+    hard gates: identity fd, sharpness floor, pHash dedup, face-embedding
+    dedup, per-category and profile caps. ``closeup_boost`` ramps quality
+    up for face fractions past ``closeup_thr`` and ``div_bg``/``div_face``
+    weight the diversity vector mix (reference dataset_curator.py:918-927
+    q_for_mmr and :935-946 _mix_vec; exposed by the reference CLI as
+    --closeup-boost/--closeup-thr/--div-bg/--div-face/--sharp-min).
     """
     quotas = quotas or DEFAULT_QUOTAS
-    pool = [i for i, it in enumerate(items) if it.face_fd <= fd_gate]
+    pool = [i for i, it in enumerate(items)
+            if it.face_fd <= fd_gate and it.sharpness >= sharp_min]
     cats = {i: categorize(items[i]) for i in pool}
-    q = {i: items[i].quality_score() for i in pool}
+
+    def _q_boosted(it: Item) -> float:
+        qv = it.quality_score()
+        if closeup_boost > 1e-6:
+            ramp = min(1.0, max(0.0, it.face_frac - closeup_thr)
+                       / max(1e-6, 1.0 - closeup_thr))
+            qv = min(1.5, qv * (1.0 + closeup_boost * ramp))
+        return qv
+
+    q = {i: _q_boosted(items[i]) for i in pool}
 
     caps = {c: (mn, max(1, int(round(mx * max_images))))
             for c, (mn, mx) in quotas.items()}
@@ -362,12 +408,14 @@ def mmr_select(items: List[Item], max_images: int = 200,
 
     def vec(i):
         it = items[i]
-        if it.bg_clip is not None and it.face_feat is not None:
-            v = np.concatenate([0.6 * it.bg_clip, 0.4 * it.face_feat])
-        elif it.bg_clip is not None:
-            v = it.bg_clip
-        elif it.face_feat is not None:
-            v = it.face_feat
+        bg = it.bg_clip if div_bg > 0 else None
+        ff = it.face_feat if div_face > 0 else None
+        if bg is not None and ff is not None:
+            v = np.concatenate([div_bg * bg, div_face * ff])
+        elif bg is not None:
+            v = bg
+        elif ff is not None:
+            v = ff
         else:
             return None
         n = np.linalg.norm(v)
@@ -616,23 +664,52 @@ class Curator:
             copy: bool = True, weights=None, bucket_quota=None,
             use_yaw_quota: bool = True, scene_softcap: int = 6,
             scene_penalty: float = 0.08,
-            profile_yaw_thresh: float = 20.0) -> Dict:
+            profile_yaw_thresh: float = 20.0,
+            sharp_min: float = 0.0, assume_identity: bool = False,
+            scene_aware: bool = True, scene_sim: float = 0.92,
+            scene_time_gap: float = 4.0, scene_nn_window: int = 64,
+            scene_dedup: int = 0,
+            closeup_boost: float = 0.0, closeup_thr: float = 0.33,
+            div_bg: float = 0.6, div_face: float = 0.4,
+            quotas: Optional[Dict] = None) -> Dict:
         exts = (".jpg", ".jpeg", ".png", ".webp")
         paths = sorted(
             os.path.join(pool_dir, f) for f in os.listdir(pool_dir)
             if f.lower().endswith(exts))
         t0 = time.perf_counter()
         items = self.describe(paths)
+        n_pool_raw = len(items)
+        if assume_identity:
+            # pool already identity-filtered: skip the gate by zeroing fd
+            # (reference --assume-identity, dataset_curator.py:303-309)
+            for it in items:
+                it.face_fd = 0.0
         if weights is not None:
             for it in items:
                 it.qweights = tuple(float(v) for v in weights)
-        scene_ids = cluster_scenes(items)
-        for it, sid in zip(items, scene_ids):
-            it.scene = sid
-        quotas = (quotas_from_bucket_fracs(bucket_quota, use_yaw_quota)
-                  if bucket_quota is not None else
-                  (None if use_yaw_quota else
-                   {**DEFAULT_QUOTAS, "profile": (0, 1.0)}))
+        if scene_aware:
+            # the global dedup hamming doubles as the clustering pHash
+            # threshold, exactly like the reference (dataset_curator.py:820)
+            scene_ids = cluster_scenes(items, sim_thresh=scene_sim,
+                                       hamm_thresh=dedup_hamm,
+                                       time_gap=scene_time_gap,
+                                       nn_window=scene_nn_window)
+            for it, sid in zip(items, scene_ids):
+                it.scene = sid
+            if scene_dedup > 0:
+                items = [items[i]
+                         for i in scene_phash_dedup(items, scene_dedup)]
+        else:
+            scene_ids = [-1] * len(items)
+            for it in items:
+                it.scene = -1
+        if quotas is None:
+            # direct quotas (reference --quotas JSON) win over the
+            # bucket-fraction mapping when supplied
+            quotas = (quotas_from_bucket_fracs(bucket_quota, use_yaw_quota)
+                      if bucket_quota is not None else
+                      (None if use_yaw_quota else
+                       {**DEFAULT_QUOTAS, "profile": (0, 1.0)}))
         chosen, debug = mmr_select(items, max_images=max_images,
                                    fd_gate=fd_gate, lam=lam,
                                    dedup_hamm=dedup_hamm,
@@ -640,7 +717,10 @@ class Curator:
                                    scene_softcap=scene_softcap,
                                    scene_penalty=scene_penalty,
                                    profile_yaw_thresh=profile_yaw_thresh,
-                                   quotas=quotas)
+                                   quotas=quotas, sharp_min=sharp_min,
+                                   closeup_boost=closeup_boost,
+                                   closeup_thr=closeup_thr,
+                                   div_bg=div_bg, div_face=div_face)
         os.makedirs(out_dir, exist_ok=True)
         selected_paths = []
         for i in chosen:
@@ -660,9 +740,10 @@ class Curator:
                 writer.writerow(row)
 
         metrics = {
-            "pool": len(items),
+            "pool": n_pool_raw,
             "selected": len(chosen),
             "scenes": len(set(scene_ids)) if scene_ids else 0,
+            "scene_dedup_kept": len(items),
             "categories": {},
             "mean_quality": float(np.mean([items[i].quality_score()
                                            for i in chosen])) if chosen else 0.0,
@@ -697,6 +778,26 @@ class Curator:
             "scene_spread": {
                 str(s): sum(1 for it in sel_items if it.scene == s)
                 for s in sorted({it.scene for it in sel_items})
+            },
+            # knob echo (reference metrics_v2, dataset_curator.py:1685-1706)
+            "knobs": {
+                "scene_aware": bool(scene_aware),
+                "scene_sim": float(scene_sim),
+                "scene_time_gap": float(scene_time_gap),
+                "scene_nn_window": int(scene_nn_window),
+                "scene_dedup": int(scene_dedup),
+                "dedup_hamm": int(dedup_hamm),
+                "scene_soft_cap": int(scene_softcap),
+                "scene_soft_penalty": float(scene_penalty),
+                "alpha": float(lam),
+                "profile_yaw": float(profile_yaw_thresh),
+                "div_bg": float(div_bg),
+                "div_face": float(div_face),
+                "closeup_boost": float(closeup_boost),
+                "closeup_thr": float(closeup_thr),
+                "fd_max": float(fd_gate),
+                "sharp_min": float(sharp_min),
+                "assume_identity": bool(assume_identity),
             },
         }
         with open(os.path.join(out_dir, "metrics_v2.json"), "w") as fh:

@@ -504,24 +504,28 @@ class MainWindow(QtWidgets.QMainWindow):
         pool = self.cur_pool.text()
         ref = self.cur_ref.text()
         out = self.cur_out.text() or "dataset_out"
-        if not pool or not ref:
-            self.cur_result.appendPlainText("select pool dir and reference")
+        if not pool:
+            self.cur_result.appendPlainText("select pool dir")
             return
 
         # widget values are read on the UI thread; the worker only sees
-        # plain strings
+        # plain strings. Omitting the reference turns on assume-identity
+        # in the CLI, exactly like the reference curator.
         max_images = str(self.cur_max.value())
-        fd_gate = str(self.cur_fd_gate.value())
+        fd_max = str(self.cur_fd_gate.value())
         lam = str(self.cur_lambda.value())
 
         def run():
             try:
                 from .curator.__main__ import main as curate_main
 
-                rc = curate_main(["--pool", pool, "--out", out, "--ref", ref,
-                                  "--max-images", max_images,
-                                  "--fd-gate", fd_gate,
-                                  "--lambda", lam])
+                argv = ["--pool", pool, "--out", out,
+                        "--max", max_images,
+                        "--fd-max", fd_max,
+                        "--mmr-alpha", lam]
+                if ref:
+                    argv += ["--ref", ref]
+                rc = curate_main(argv)
                 QtCore.QMetaObject.invokeMethod(
                     self.cur_result, "appendPlainText",
                     QtCore.Qt.QueuedConnection,
