@@ -492,6 +492,51 @@ class MainWindow(QtWidgets.QMainWindow):
         self.cur_lambda.setSingleStep(0.05)
         self.cur_lambda.setValue(self.cfg.curate_lambda)
         form.addRow("MMR λ", self.cur_lambda)
+        # full reference tunable set (reference CurateTab ~25 controls,
+        # gui_curate_tab.py:26-711); each maps 1:1 to a curator CLI flag,
+        # defaults = the reference CLI defaults (dataset_curator.py:1275+)
+        self.cur_knobs = {}
+        for arg, label, kind, lo, hi, step, dv in (
+                ("sharp-min", "Sharpness min", "f", 0.0, 1.0, 0.01, 0.10),
+                ("scene-sim", "Scene similarity", "f", 0.0, 1.0, 0.01, 0.92),
+                ("scene-time-gap", "Scene time gap (s)", "f", 0.0, 60.0,
+                 0.5, 4.0),
+                ("scene-nn-window", "Scene NN window", "i", 0, 4096, 1, 64),
+                ("dedup-hamm", "Dedup hamming", "i", 0, 64, 1, 7),
+                ("scene-dedup", "In-scene dedup hamming", "i", 0, 64, 1, 8),
+                ("scene-soft-cap", "Scene soft cap (0=off)", "i", 0, 1000,
+                 1, 0),
+                ("scene-soft-penalty", "Scene soft penalty", "f", 0.0, 10.0,
+                 0.01, 0.08),
+                ("profile-yaw", "Profile yaw (deg)", "f", 0.0, 90.0, 1.0,
+                 50.0),
+                ("div-bg", "Diversity weight: background", "f", 0.0, 10.0,
+                 0.05, 1.0),
+                ("div-face", "Diversity weight: face", "f", 0.0, 10.0,
+                 0.05, 0.6),
+                ("closeup-boost", "Close-up boost", "f", 0.0, 5.0, 0.05,
+                 0.25),
+                ("closeup-thr", "Close-up threshold", "f", 0.0, 1.0, 0.01,
+                 0.33)):
+            if kind == "i":
+                sb = QtWidgets.QSpinBox()
+                sb.setRange(int(lo), int(hi))
+                sb.setValue(int(dv))
+            else:
+                sb = QtWidgets.QDoubleSpinBox()
+                sb.setRange(lo, hi)
+                sb.setSingleStep(step)
+                sb.setValue(dv)
+            form.addRow(label, sb)
+            self.cur_knobs[arg] = sb
+        self.cur_scene_aware = QtWidgets.QCheckBox("Scene-aware selection")
+        self.cur_scene_aware.setChecked(True)
+        form.addRow(self.cur_scene_aware)
+        self.cur_assume_id = QtWidgets.QCheckBox(
+            "Assume identity (skip fd gate)")
+        form.addRow(self.cur_assume_id)
+        self.cur_quotas = QtWidgets.QLineEdit()
+        form.addRow("Quotas JSON {cat: [min, max]}", self.cur_quotas)
         run_btn = QtWidgets.QPushButton("Run curation")
         run_btn.clicked.connect(self.on_curate)
         form.addRow(run_btn)
@@ -511,20 +556,26 @@ class MainWindow(QtWidgets.QMainWindow):
         # widget values are read on the UI thread; the worker only sees
         # plain strings. Omitting the reference turns on assume-identity
         # in the CLI, exactly like the reference curator.
-        max_images = str(self.cur_max.value())
-        fd_max = str(self.cur_fd_gate.value())
-        lam = str(self.cur_lambda.value())
+        argv = ["--pool", pool, "--out", out,
+                "--max", str(self.cur_max.value()),
+                "--fd-max", str(self.cur_fd_gate.value()),
+                "--mmr-alpha", str(self.cur_lambda.value()),
+                "--scene-aware",
+                "1" if self.cur_scene_aware.isChecked() else "0"]
+        for arg, sb in self.cur_knobs.items():
+            argv += [f"--{arg}", str(sb.value())]
+        if self.cur_assume_id.isChecked():
+            argv.append("--assume-identity")
+        quotas = self.cur_quotas.text().strip()
+        if quotas:
+            argv += ["--quotas", quotas]
+        if ref:
+            argv += ["--ref", ref]
 
         def run():
             try:
                 from .curator.__main__ import main as curate_main
 
-                argv = ["--pool", pool, "--out", out,
-                        "--max", max_images,
-                        "--fd-max", fd_max,
-                        "--mmr-alpha", lam]
-                if ref:
-                    argv += ["--ref", ref]
                 rc = curate_main(argv)
                 QtCore.QMetaObject.invokeMethod(
                     self.cur_result, "appendPlainText",

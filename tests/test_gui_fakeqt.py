@@ -253,3 +253,49 @@ def test_generated_tab_edit_survives_collect(gui):
     win.face_thresh.setValue(0.321)
     cfg = win._collect_cfg()
     assert cfg.face_thresh == pytest.approx(0.321)
+
+
+def test_curate_tab_full_reference_knob_argv(gui, monkeypatch, tmp_path):
+    """The curate tab exposes the reference CurateTab's tunable set and
+    forwards every knob to the curator CLI with the reference arg names
+    (reference gui_curate_tab.py:26-711)."""
+    import threading
+
+    win = gui.MainWindow(backend_factory=lambda: None)
+    # every reference CLI knob has a widget
+    expected = {"sharp-min", "scene-sim", "scene-time-gap",
+                "scene-nn-window", "dedup-hamm", "scene-dedup",
+                "scene-soft-cap", "scene-soft-penalty", "profile-yaw",
+                "div-bg", "div-face", "closeup-boost", "closeup-thr"}
+    assert set(win.cur_knobs) == expected
+
+    captured = {}
+    done = threading.Event()
+
+    def fake_main(argv):
+        captured["argv"] = list(argv)
+        done.set()
+        return 0
+
+    import person_capture_tpu.curator.__main__ as cm
+
+    monkeypatch.setattr(cm, "main", fake_main)
+    win.cur_pool.setText(str(tmp_path))
+    win.cur_out.setText(str(tmp_path / "o"))
+    win.cur_knobs["sharp-min"].setValue(0.2)
+    win.cur_knobs["scene-dedup"].setValue(3)
+    win.cur_scene_aware.setChecked(False)
+    win.cur_assume_id.setChecked(True)
+    win.cur_quotas.setText('{"closeup": [1, 5]}')
+    win.on_curate()
+    assert done.wait(timeout=30)
+    argv = captured["argv"]
+    # the CLI parser accepts the exact argv the tab built
+    args = cm.build_parser().parse_args(argv)
+    assert args.sharp_min == pytest.approx(0.2)
+    assert args.scene_dedup == 3 and args.scene_aware == 0
+    assert args.assume_identity is True
+    assert args.quotas == '{"closeup": [1, 5]}'
+    assert args.ref == ""              # no ref set -> omit, assume identity
+    # untouched knobs carry the reference defaults
+    assert args.div_bg == 1.0 and args.closeup_boost == 0.25
