@@ -333,6 +333,20 @@ def phash_sim_to_hamm(sim: float) -> int:
     return max(0, int(round((1.0 - float(sim)) * 64.0)))
 
 
+def closeup_boosted_quality(q: float, face_frac: float, boost: float,
+                            thr: float) -> float:
+    """MMR quality with the close-up ramp, reference-exact (the nested
+    ``q_for_mmr``, dataset_curator.py:920-927): linear ramp from ``thr``
+    to face-fraction 1.0, boosted score capped at 1.5."""
+    q = float(max(0.0, min(1.0, q)))
+    if boost <= 1e-6:
+        return q
+    extra = max(0.0, float(face_frac) - float(thr))
+    denom = max(1e-6, 1.0 - float(thr))
+    ramp = min(1.0, extra / denom)
+    return float(min(1.5, max(0.0, q * (1.0 + float(boost) * ramp))))
+
+
 def scene_phash_dedup(items: List[Item], hamm: int) -> List[int]:
     """In-scene pHash dedup BEFORE selection (reference
     dataset_curator.py:828-849): within each scene, rank by
@@ -385,16 +399,10 @@ def mmr_select(items: List[Item], max_images: int = 200,
     pool = [i for i, it in enumerate(items)
             if it.face_fd <= fd_gate and it.sharpness >= sharp_min]
     cats = {i: categorize(items[i]) for i in pool}
-
-    def _q_boosted(it: Item) -> float:
-        qv = it.quality_score()
-        if closeup_boost > 1e-6:
-            ramp = min(1.0, max(0.0, it.face_frac - closeup_thr)
-                       / max(1e-6, 1.0 - closeup_thr))
-            qv = min(1.5, qv * (1.0 + closeup_boost * ramp))
-        return qv
-
-    q = {i: _q_boosted(items[i]) for i in pool}
+    q = {i: closeup_boosted_quality(items[i].quality_score(),
+                                    items[i].face_frac,
+                                    closeup_boost, closeup_thr)
+         for i in pool}
 
     caps = {c: (mn, max(1, int(round(mx * max_images))))
             for c, (mn, mx) in quotas.items()}

@@ -203,3 +203,31 @@ def test_ratio_and_categorize_parity_reference():
                                           face_frac=f))
         want = ref_cat(SimpleNamespace(ratio=ref_norm(w, h), face_frac=f))
         assert ours == want, (w, h, f)
+
+
+def test_closeup_boost_parity_reference():
+    """closeup_boosted_quality vs the reference's nested q_for_mmr
+    (dataset_curator.py:918-927) executed directly with the closure
+    variables supplied as globals."""
+    from types import SimpleNamespace
+
+    from person_capture_tpu.curator.core import closeup_boosted_quality
+
+    path = os.path.join(REF_ROOT, "person_capture", "dataset_curator.py")
+    src = open(path).read()
+    tree = ast.parse(src)
+    node = next(n for n in ast.walk(tree)
+                if isinstance(n, ast.FunctionDef) and n.name == "q_for_mmr")
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        boost = float(rng.choice([0.0, 0.25, 1.0, rng.uniform(0, 3)]))
+        thr = float(rng.choice([0.0, 0.33, 0.9, rng.uniform(0, 1)]))
+        ns = {"np": np, "closeup_boost": boost, "closeup_thr": thr,
+              "Item": SimpleNamespace}
+        exec(compile(textwrap.dedent(ast.get_source_segment(src, node)),
+                     "<ref:q_for_mmr>", "exec"), ns)
+        q = float(rng.uniform(-0.2, 1.2))
+        frac = float(rng.uniform(0, 1.2))
+        it = SimpleNamespace(quality_score=q, face_frac=frac)
+        assert ns["q_for_mmr"](it) == pytest.approx(
+            closeup_boosted_quality(q, frac, boost, thr), abs=1e-12)
