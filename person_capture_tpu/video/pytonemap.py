@@ -148,3 +148,11 @@ class HostTonemapReader:
 
     def release(self) -> None:
         self._reader.release()
+
+    def __getattr__(self, name: str):
+        # decoder-health fields (recoveries/failed/eof_reason/stderr_tail)
+        # and any reader-specific surface pass through to the wrapped
+        # reader, so engine diagnostics survive the wrap
+        if name == "_reader":            # guard pre-__init__ lookups
+            raise AttributeError(name)
+        return getattr(self._reader, name)

@@ -684,6 +684,25 @@ def open_analysis_reader(path: str, max_w: int = 0,
             except Exception:
                 r = None
             if r is not None:
+                if backend == "scale" and tonemap_pref != "scale":
+                    # ffmpeg decoded (and downscaled) but could not
+                    # tone-map: frames are still transfer-coded. The
+                    # reference terminal-falls-back to its pure-Python
+                    # Hable tone-map over a float pipe
+                    # (video_io.py:3276-3291); apply the same math to the
+                    # 8-bit pipe output. An EXPLICIT tonemap_pref="scale"
+                    # is the cheap washed mode (reference
+                    # PC_FORCE_TONEMAP=scale) and stays unwrapped.
+                    from .pytonemap import HostTonemapReader
+
+                    r = HostTonemapReader(r, transfer=transfer,
+                                          target_nits=sdr_nits)
+                    if status is not None:
+                        status("HDR analysis decode: scale chain + host "
+                               "tone-map (no libplacebo/zscale in this "
+                               "ffmpeg — reference python-fallback "
+                               "semantics)")
+                    return r
                 if status is not None:
                     status(f"HDR analysis decode: {backend} chain")
                 return r

@@ -116,6 +116,58 @@ def test_open_analysis_reader_hdr_builds_tonemap_pipe(tmp_path,
     assert any("zscale chain" in m for m in msgs)
 
 
+def test_open_analysis_reader_scale_chain_gets_host_tonemap(tmp_path,
+                                                            monkeypatch):
+    """ffmpeg with only `scale` (no libplacebo/zscale): auto mode wraps the
+    pipe in the host tone-map instead of passing washed transfer-coded
+    frames through (reference python-fallback, video_io.py:3276-3291); an
+    EXPLICIT pref="scale" keeps the cheap washed mode."""
+    from person_capture_tpu.video.pytonemap import HostTonemapReader
+    from person_capture_tpu.video.synthetic import generate_video
+
+    vid = str(tmp_path / "v.mp4")
+    generate_video(vid, total_frames=8)
+
+    class ScaleOnlyPipe:
+        pos = 0
+        failed = False
+        recoveries = 3          # health fields must survive the wrap
+
+        def __init__(self, path, max_w=0, tonemap_vf="", hwaccel="",
+                     **kw):
+            pass
+
+        def read(self):
+            self.pos += 1
+            return np.full((8, 8, 3), 160, np.uint8)
+
+        def skip(self, n):
+            return n
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(R, "find_ffmpeg", lambda: "/bin/true")
+    monkeypatch.setattr(R, "probe_ffmpeg_filters",
+                        lambda: frozenset({"scale"}))
+    monkeypatch.setattr(R, "FfmpegPipeReader", ScaleOnlyPipe)
+    msgs = []
+    r = R.open_analysis_reader(vid, hdr=True, tonemap_pref="auto",
+                               status=msgs.append)
+    assert isinstance(r, HostTonemapReader)
+    frame = r.read()
+    # PQ code 160/255 is dim in linear light: the tone-mapped output must
+    # differ from the washed input (raw passthrough would keep 160)
+    assert frame is not None and not np.array_equal(
+        frame, np.full((8, 8, 3), 160, np.uint8))
+    assert r.recoveries == 3            # __getattr__ delegation
+    assert any("host tone-map" in m for m in msgs)
+
+    r2 = R.open_analysis_reader(vid, hdr=True, tonemap_pref="scale",
+                                status=None)
+    assert not isinstance(r2, HostTonemapReader)
+
+
 def test_open_analysis_reader_chain_rotation(tmp_path, monkeypatch):
     """A chain that dies before producing a frame rotates to the next
     (reference try_fallback_chain, video_io.py:1774-2126)."""
