@@ -16,9 +16,12 @@ import os
 import sys
 
 
-def build_parser() -> argparse.ArgumentParser:
+def build_parser(require_video: bool = True) -> argparse.ArgumentParser:
+    """``require_video=False`` lets corpus frontends (sweep.py) reuse the
+    full flag surface while supplying videos their own way."""
     ap = argparse.ArgumentParser(prog="person_capture_tpu.main")
-    ap.add_argument("--video", required=True, help="path to video file")
+    ap.add_argument("--video", required=require_video, default="",
+                    help="path to video file")
     ap.add_argument("--ref", required=True, action="append",
                     help="reference image(s) of the target person; "
                          "repeatable and/or ';'-separated")
@@ -222,44 +225,50 @@ def resolve_reid(backbone: str, weights_spec: str = "auto"):
     return cfg, None
 
 
-def main(argv=None) -> int:
-    ap = build_parser()
-    args = ap.parse_args(argv)
-
-    # build the config BEFORE the platform pin so device=cpu from a preset
-    # or --set (not just the CLI flag) takes effect; build_config touches
-    # no jax backend
-    cfg = build_config(args, ap)
-
+def maybe_pin_platform(cfg) -> None:
+    """Pin jax to CPU when ``cfg.device == "cpu"``. Must run BEFORE any
+    backend is touched: env vars are not enough when a PJRT plugin (axon)
+    forces the default platform from sitecustomize. "tpu" keeps the
+    environment default; "cuda" is accepted for reference-preset
+    compatibility (no CUDA exists on TPU hosts)."""
     if str(getattr(cfg, "device", "tpu")).lower() == "cpu":
-        # pin BEFORE any backend is touched: env vars are not enough when a
-        # PJRT plugin (axon) forces the default platform from sitecustomize.
-        # "tpu" keeps the environment default; "cuda" is accepted for
-        # reference-preset compatibility (no CUDA exists on TPU hosts).
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    if args.multihost or args.coordinator:
-        # join the global runtime BEFORE the first backend touch (the
-        # device list must already span all processes when the mesh builds)
-        from .parallel import multihost as MH
 
-        MH.initialize(
-            coordinator=args.coordinator or None,
-            num_processes=args.num_processes if args.num_processes > 0
-            else None,
-            process_id=args.process_id if args.process_id >= 0 else None)
-        if not MH.is_primary():
-            # SPMD: every process runs the identical pipeline; only the
-            # primary writes user-visible outputs. Secondary hosts keep
-            # their (deterministic, identical) artifacts in a scratch
-            # subdir so shared filesystems never see write races.
-            cfg.out_dir = os.path.join(cfg.out_dir,
-                                       f".proc{MH.process_index()}")
+def maybe_init_multihost(args, out_dir: str) -> str:
+    """Join the global distributed runtime when requested; returns the
+    output root this process should write under.
 
+    Must run BEFORE the first backend touch (the device list must already
+    span all processes when the mesh builds). SPMD: every process runs the
+    identical pipeline; only the primary writes user-visible outputs —
+    secondary hosts keep their (deterministic, identical) artifacts in a
+    scratch subdir so shared filesystems never see write races."""
+    if not (args.multihost or args.coordinator):
+        return out_dir
+    from .parallel import multihost as MH
+
+    MH.initialize(
+        coordinator=args.coordinator or None,
+        num_processes=args.num_processes if args.num_processes > 0
+        else None,
+        process_id=args.process_id if args.process_id >= 0 else None)
+    if not MH.is_primary():
+        out_dir = os.path.join(out_dir, f".proc{MH.process_index()}")
+    return out_dir
+
+
+def build_runtime(cfg, args, ap) -> dict:
+    """Resolve weights and build every model backend the run needs, ONCE.
+
+    The returned runtime is reusable across videos (sweep.py): weights are
+    device-resident and jit programs shape-keyed inside the backends, so a
+    second video pays no model build or compile. Per-run adaptive state
+    (the recovery ladder's rotation streaks) lives in the wrapper that
+    :func:`make_engine` creates fresh per video."""
     from .pipeline.backends import ScrfdArcFaceBackend
-    from .pipeline.engine import Engine
 
     from .models import arcface as AF
     from .models import scrfd as SD
@@ -342,16 +351,6 @@ def main(argv=None) -> int:
             embed_slots=int(getattr(cfg, "tpu_embed_slots", 0) or 0),
             dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w)
 
-    # batched recovery ladder (rotations / scale-TTA / edge-pad) around the
-    # face backend — reference face_embedder.py:2251-2443 semantics
-    from .pipeline.recovery import RecoveringFaceBackend, RecoveryPolicy
-
-    policy = RecoveryPolicy.from_config(cfg)
-    # ±45/±135° probes only with the YOLO-face backend (reference
-    # face_embedder.py:1935-2036 scopes them to the YOLO path)
-    policy.affine_probes = bool(getattr(face_cfg, "kpt_shape", (0, 0))[0])
-    backend = RecoveringFaceBackend(backend, policy)
-
     # high-imgsz full-frame re-probe backend (reference full-frame face
     # short-circuit, gui_app.py:6030-6219; imgsz 1408): compiled lazily on
     # first rescue batch, shares the arcface weights family. Mesh runs get
@@ -417,11 +416,46 @@ def main(argv=None) -> int:
             ap.error(str(e))
         reid_backend = ClipReidBackend(cfg=reid_cfg, weights=reid_w)
 
-    eng = Engine(cfg, backend, person_backend=person_backend,
-                 reid_backend=reid_backend,
-                 fullframe_backend=fullframe_backend,
-                 status=lambda m: print(f"[pc] {m}"),
-                 progress=lambda p: None)
+    return {"inner_face": backend, "face_cfg": face_cfg,
+            "person": person_backend, "reid": reid_backend,
+            "fullframe": fullframe_backend}
+
+
+def make_engine(cfg, runtime: dict, status=None):
+    """Engine over a shared :func:`build_runtime` — the per-video pieces
+    (recovery ladder state, engine callbacks) are fresh; the heavy model
+    backends are shared."""
+    from .pipeline.engine import Engine
+    from .pipeline.recovery import RecoveringFaceBackend, RecoveryPolicy
+
+    # batched recovery ladder (rotations / scale-TTA / edge-pad) around the
+    # face backend — reference face_embedder.py:2251-2443 semantics
+    policy = RecoveryPolicy.from_config(cfg)
+    # ±45/±135° probes only with the YOLO-face backend (reference
+    # face_embedder.py:1935-2036 scopes them to the YOLO path)
+    policy.affine_probes = bool(
+        getattr(runtime["face_cfg"], "kpt_shape", (0, 0))[0])
+    face = RecoveringFaceBackend(runtime["inner_face"], policy)
+    return Engine(cfg, face, person_backend=runtime["person"],
+                  reid_backend=runtime["reid"],
+                  fullframe_backend=runtime["fullframe"],
+                  status=status or (lambda m: print(f"[pc] {m}")),
+                  progress=lambda p: None)
+
+
+def main(argv=None) -> int:
+    ap = build_parser()
+    args = ap.parse_args(argv)
+
+    # build the config BEFORE the platform pin so device=cpu from a preset
+    # or --set (not just the CLI flag) takes effect; build_config touches
+    # no jax backend
+    cfg = build_config(args, ap)
+    maybe_pin_platform(cfg)
+    cfg.out_dir = maybe_init_multihost(args, cfg.out_dir)
+
+    runtime = build_runtime(cfg, args, ap)
+    eng = make_engine(cfg, runtime)
     result = eng.run()
     if not result.ok:
         print(f"FAILED: {result.error}", file=sys.stderr)

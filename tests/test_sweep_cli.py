@@ -1,0 +1,151 @@
+"""Batch-serving sweep CLI (person_capture_tpu/sweep.py): one runtime,
+many videos. New architecture — the reference processes one video per GUI
+run and rebuilds its sessions each time (gui_app.py:4490-4515)."""
+
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+
+from person_capture_tpu import sweep as SW
+from person_capture_tpu.models.zoo import bundled_weights_path
+from person_capture_tpu.video.synthetic import (FacePlacement, draw_face,
+                                                generate_video)
+
+
+def test_expand_videos_dir_glob_file_dedupe(tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for name in ("b.mp4", "a.mkv", "notes.txt"):
+        (d / name).write_bytes(b"x")
+    single = tmp_path / "solo.webm"
+    single.write_bytes(b"x")
+
+    vids = SW.expand_videos([str(d)])
+    assert [os.path.basename(v) for v in vids] == ["a.mkv", "b.mp4"]
+
+    vids = SW.expand_videos([str(d / "*.mp4"), str(single), str(single)])
+    assert [os.path.basename(v) for v in vids] == ["b.mp4", "solo.webm"]
+
+    # ';'-separated spec, like --ref
+    vids = SW.expand_videos([f"{d / 'b.mp4'};{single}"])
+    assert len(vids) == 2
+
+
+def test_parse_shard():
+    assert SW.parse_shard("") == (0, 1)
+    assert SW.parse_shard("2/5") == (2, 5)
+    with pytest.raises(SystemExit):
+        SW.parse_shard("5/5")
+    with pytest.raises(SystemExit):
+        SW.parse_shard("nope")
+
+
+def test_shard_partitions_are_disjoint_and_complete(tmp_path):
+    d = tmp_path / "c"
+    d.mkdir()
+    for i in range(5):
+        (d / f"v{i}.mp4").write_bytes(b"x")
+    vids = SW.expand_videos([str(d)])
+    parts = [vids[i::3] for i in range(3)]
+    flat = sorted(p for part in parts for p in part)
+    assert flat == sorted(vids)
+    assert len(set(flat)) == len(flat)
+
+
+def test_unique_out_dirs_same_stem(tmp_path):
+    dirs = SW._unique_out_dirs(str(tmp_path), ["a/v.mp4", "b/v.mp4",
+                                               "c/w.mp4"])
+    names = [os.path.basename(p) for p in dirs]
+    assert names == ["v", "v_2", "w"]
+
+
+def _make_corpus(tmp_path):
+    import cv2
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    truths = {}
+    for name, span in (("one.mp4", (6, 22)), ("two.mp4", (10, 26))):
+        generate_video(str(d / name), width=128, height=128, fps=30.0,
+                       total_frames=32, segments=[(*span, 0)], moving=False)
+        truths[name] = span
+    ref = np.full((128, 128, 3), 60, np.uint8)
+    draw_face(ref, FacePlacement(0, 0, (34, 30, 94, 90)))
+    ref_path = str(tmp_path / "ref.png")
+    cv2.imwrite(ref_path, ref)
+    return d, ref_path, truths
+
+
+_TINY_ARGS = [
+    "--face-model", "scrfd_tiny", "--arcface-model", "arcface_tiny",
+    "--det-size", "128", "--batch", "8", "--compute-dtype", "float32",
+    # random-init tiny ArcFace: loose gates (same rationale as
+    # tests/test_e2e_real_models.py)
+    "--face-thresh", "0.9", "--face-det-conf", "0.45",
+    "--set", "prescan_enable=false",
+    "--set", "min_gap_sec=0.0",
+    "--set", "min_box_pixels=400",
+    "--set", "face_quality_min=0.0",
+    "--set", "min_sharpness=0.0",
+    "--set", "curate_enable=false",
+    "--set", "prescan_cache_mode=off",
+    "--set", "compose_crop_enable=false",
+    "--set", "smart_crop_enable=false",
+]
+
+
+def test_sweep_end_to_end_two_videos(tmp_path):
+    if bundled_weights_path("scrfd_tiny") is None:
+        pytest.skip("bundled tiny weights not present")
+    corpus, ref_path, truths = _make_corpus(tmp_path)
+    out_root = str(tmp_path / "out")
+
+    rc = SW.main(["--videos", str(corpus), "--ref", ref_path,
+                  "--out", out_root] + _TINY_ARGS)
+    assert rc == 0
+
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary = json.load(fh)
+    assert summary["corpus"] == 2 and summary["processed"] == 2
+    assert summary["failed"] == 0
+    assert all(r["ok"] and r["hits"] > 0 for r in summary["results"])
+
+    for name, (lo, hi) in truths.items():
+        stem = os.path.splitext(name)[0]
+        index = os.path.join(out_root, stem, "index.csv")
+        assert os.path.isfile(index), index
+        with open(index) as fh:
+            rows = list(csv.DictReader(fh))
+        frames = sorted(int(r["frame"]) for r in rows)
+        assert frames, f"no hits for {name}"
+        in_span = [f for f in frames if lo <= f <= hi]
+        assert len(in_span) >= max(2, len(frames) // 2)
+
+
+def test_sweep_continue_on_error_records_failure(tmp_path):
+    if bundled_weights_path("scrfd_tiny") is None:
+        pytest.skip("bundled tiny weights not present")
+    corpus, ref_path, _ = _make_corpus(tmp_path)
+    bad = corpus / "aaa_broken.mp4"         # sorts first
+    bad.write_bytes(b"this is not a video")
+    out_root = str(tmp_path / "out")
+
+    rc = SW.main(["--videos", str(corpus), "--ref", ref_path,
+                  "--out", out_root, "--continue-on-error",
+                  "--shard", "0/1"] + _TINY_ARGS)
+    assert rc == 1                           # a failure is reported...
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary = json.load(fh)
+    assert summary["processed"] == 3 and summary["failed"] == 1
+    assert summary["results"][0]["ok"] is False
+    assert summary["results"][0]["error"]
+    assert all(r["ok"] for r in summary["results"][1:])  # ...others ran
+
+
+def test_sweep_rejects_video_flag(tmp_path):
+    with pytest.raises(SystemExit):
+        SW.main(["--videos", "x", "--video", "y", "--ref", "r",
+                 "--out", str(tmp_path)])
