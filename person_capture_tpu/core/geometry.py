@@ -130,6 +130,20 @@ def expand_box_to_ratio(
     return int(round(nx1)), int(round(ny1)), int(round(nx2)), int(round(ny2))
 
 
+def to_gray(a: np.ndarray) -> np.ndarray:
+    """BGR→gray via SIMD cv2 when present (the reference converts with
+    cv2, gui_app.py:8118+), :func:`bgr_to_gray` BT.601 fallback (±1 LSB
+    from cv2's fixed-point rounding on rare values)."""
+    if a.ndim != 3:
+        return a
+    try:
+        import cv2
+
+        return cv2.cvtColor(np.ascontiguousarray(a), cv2.COLOR_BGR2GRAY)
+    except ImportError:
+        return bgr_to_gray(a)
+
+
 def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
     """ITU-R BT.601 luma, matching OpenCV's BGR2GRAY coefficients."""
     b = bgr[..., 0].astype(np.float32)

@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .geometry import IntBox, bgr_to_gray
+from .geometry import IntBox, to_gray
 
 
 def gradient_saliency(gray: np.ndarray) -> np.ndarray:
@@ -37,24 +37,35 @@ def smart_crop_box(frame: np.ndarray, crop_xyxy: Sequence[int],
     crop_w = x2 - x1
     if crop_w <= 0 or y2 - y1 <= 0 or not use_grad:
         return x1, y1, x2, y2
-    # the integral-image sums index y directly: out-of-frame y would wrap
+    # the saliency sums index y directly: out-of-frame y would wrap
     # (negative indexing) or raise — clamp like x is clamped below
     y1 = max(0, min(H - 1, y1))
     y2 = max(y1 + 1, min(H, y2))
 
-    gray = bgr_to_gray(frame) if frame.ndim == 3 else frame
-    sal = gradient_saliency(gray)
-    # integral image for O(1) box sums
-    integral = np.zeros((H + 1, W + 1), np.float64)
-    integral[1:, 1:] = np.cumsum(np.cumsum(sal, 0), 1)
-
-    def box_sum(bx1, bx2):
-        return float(integral[y2, bx2] - integral[y2, bx1]
-                     - integral[y1, bx2] + integral[y1, bx1])
-
     max_shift = side_search_frac * crop_w
     n = max(1, int(steps))
     offsets = sorted({int(round(max_shift * k / n)) for k in range(-n, n + 1)})
+
+    # every candidate sum covers rows y1:y2 and columns within
+    # [x1+min_offset, x2+max_offset]: compute the saliency only on that
+    # band (±1 px margin so the centered gradient matches the values a
+    # full-frame pass would produce) and reduce it to a 1-D column prefix
+    # sum. A full-frame float64 2-D integral here cost more than the whole
+    # rest of the save path (~37 ms/save at 1080p, measured).
+    xlo = max(0, min(W, x1 + offsets[0]))
+    xhi = max(xlo, min(W, x2 + offsets[-1]))
+    if xhi <= xlo:
+        return x1, y1, x2, y2
+    mx1, mx2 = max(0, xlo - 1), min(W, xhi + 1)
+    my1, my2 = max(0, y1 - 1), min(H, y2 + 1)
+    band = frame[my1:my2, mx1:mx2]
+    gray = to_gray(band)
+    sal = gradient_saliency(gray)[y1 - my1:y2 - my1, xlo - mx1:xhi - mx1]
+    prefix = np.zeros(xhi - xlo + 1, np.float64)
+    np.cumsum(sal.sum(axis=0, dtype=np.float64), out=prefix[1:])
+
+    def box_sum(bx1, bx2):
+        return float(prefix[bx2 - xlo] - prefix[bx1 - xlo])
 
     # baseline = the finished crop itself, with a mild preference so ties
     # (and zero-saliency frames) never move the crop

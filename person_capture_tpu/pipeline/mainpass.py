@@ -917,6 +917,12 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
 
     def _compose_and_save(frame_idx: int, frame: np.ndarray, best: Candidate,
                           t: float, suffix: str = "") -> bool:
+        with timer("main.compose_save"):
+            return _compose_and_save_inner(frame_idx, frame, best, t, suffix)
+
+    def _compose_and_save_inner(frame_idx: int, frame: np.ndarray,
+                                best: Candidate, t: float,
+                                suffix: str = "") -> bool:
         H, W = frame.shape[:2]
         work = frame
         off_x = off_y = 0
