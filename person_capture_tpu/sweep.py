@@ -86,19 +86,40 @@ def parse_shard(spec: str):
     return i, n
 
 
-def _unique_out_dirs(root: str, videos) -> list:
+def shard_select(videos, shard_i: int, shard_n: int,
+                 stable: bool = False) -> list:
+    """The i-th of N disjoint corpus partitions.
+
+    One-shot sweeps slice the sorted list (`videos[i::N]`, perfectly
+    balanced). Watch mode needs `stable=True`: partition by a hash of the
+    absolute path, so files added later never REASSIGN existing videos
+    between fleet members (slicing parity shifts when a new name sorts
+    early — two watchers would then both think they own some file)."""
+    if shard_n <= 1:
+        return list(videos)
+    if not stable:
+        return list(videos[shard_i::shard_n])
+    import zlib
+
+    return [v for v in videos
+            if zlib.crc32(os.path.abspath(v).encode()) % shard_n == shard_i]
+
+
+def _out_dir_for(root: str, video: str, used: set) -> str:
     """Per-video output subdir from the file stem; same-stem collisions
-    get a numeric suffix (stable because the video list is sorted)."""
-    dirs, used = [], set()
-    for v in videos:
-        stem = os.path.splitext(os.path.basename(v))[0] or "video"
-        cand, k = stem, 2
-        while cand in used:
-            cand = f"{stem}_{k}"
-            k += 1
-        used.add(cand)
-        dirs.append(os.path.join(root, cand))
-    return dirs
+    get a numeric suffix (stable because videos process in sorted order)."""
+    stem = os.path.splitext(os.path.basename(video))[0] or "video"
+    cand, k = stem, 2
+    while cand in used:
+        cand = f"{stem}_{k}"
+        k += 1
+    used.add(cand)
+    return os.path.join(root, cand)
+
+
+def _unique_out_dirs(root: str, videos) -> list:
+    used: set = set()
+    return [_out_dir_for(root, v, used) for v in videos]
 
 
 def build_sweep_parser():
@@ -116,6 +137,17 @@ def build_sweep_parser():
     ap.add_argument("--continue-on-error", action="store_true",
                     help="keep sweeping after a per-video failure "
                          "(recorded in sweep_summary.json)")
+    ap.add_argument("--watch", type=float, default=0.0,
+                    help="serving daemon: after the initial pass, re-scan "
+                         "the corpus every N seconds and process new "
+                         "arrivals (files younger than one poll interval "
+                         "wait a poll so half-copied files are never "
+                         "read). Sharding becomes path-hash based so a "
+                         "growing corpus never reassigns videos between "
+                         "fleet members. 0 = one-shot")
+    ap.add_argument("--watch-max-idle", type=int, default=0,
+                    help="exit after N consecutive empty polls "
+                         "(0 = watch forever)")
     return ap
 
 
@@ -134,29 +166,51 @@ def main(argv=None) -> int:
     out_root = maybe_init_multihost(args, args.out)
 
     shard_i, shard_n = parse_shard(args.shard)
+    watch = max(0.0, float(args.watch))
     videos = expand_videos(args.videos)
-    if not videos:
+    if not videos and not watch:
         print("no videos matched --videos", file=sys.stderr)
         return 1
-    mine = videos[shard_i::shard_n]
-    print(f"[sweep] corpus {len(videos)} video(s); shard {shard_i}/{shard_n}"
-          f" -> {len(mine)} here")
-    if not mine:
-        return 0
 
-    runtime = build_runtime(cfg, args, ap)
+    runtime_box = {}
+
+    def get_runtime():
+        # lazy: a watcher on an initially-empty corpus must not pay the
+        # model build until the first video arrives
+        if "rt" not in runtime_box:
+            runtime_box["rt"] = build_runtime(cfg, args, ap)
+        return runtime_box["rt"]
 
     results = []
+    used_names: set = set()
+    seen: set = set()
     t_sweep = time.perf_counter()
     failed = 0
-    for video, out_dir in zip(mine, _unique_out_dirs(out_root, mine)):
+    corpus_size = 0
+    summary_path = os.path.join(out_root, "sweep_summary.json")
+
+    def write_summary():
+        summary = {
+            "corpus": corpus_size, "shard": f"{shard_i}/{shard_n}",
+            "watch_sec": watch,
+            "processed": len(results), "failed": failed,
+            "wall_s": round(time.perf_counter() - t_sweep, 2),
+            "results": results,
+        }
+        os.makedirs(out_root, exist_ok=True)
+        with open(summary_path, "w") as fh:
+            json.dump(summary, fh, indent=2)
+
+    def process_one(video: str) -> bool:
+        nonlocal failed
+        out_dir = _out_dir_for(out_root, video, used_names)
         cfg_v = copy.deepcopy(cfg)
         cfg_v.video = video
         cfg_v.out_dir = out_dir
         t0 = time.perf_counter()
         print(f"[sweep] {video} -> {out_dir}")
         try:
-            eng = make_engine(cfg_v, runtime,
+            eng = make_engine(cfg_v, get_runtime(),
                               status=lambda m, _v=os.path.basename(video):
                               print(f"[pc:{_v}] {m}"))
             res = eng.run()
@@ -176,21 +230,55 @@ def main(argv=None) -> int:
         else:
             failed += 1
             print(f"[sweep] FAILED ({wall:.1f}s): {err}", file=sys.stderr)
-            if not args.continue_on_error:
-                break
+        write_summary()
+        return bool(ok)
 
-    summary = {
-        "corpus": len(videos), "shard": f"{shard_i}/{shard_n}",
-        "processed": len(results), "failed": failed,
-        "wall_s": round(time.perf_counter() - t_sweep, 2),
-        "results": results,
-    }
-    os.makedirs(out_root, exist_ok=True)
-    with open(os.path.join(out_root, "sweep_summary.json"), "w") as fh:
-        json.dump(summary, fh, indent=2)
+    idle_polls = 0
+    first_pass = True
+    while True:
+        videos = expand_videos(args.videos)
+        corpus_size = len(videos)
+        mine = shard_select(videos, shard_i, shard_n, stable=watch > 0)
+        if watch > 0:
+            # settle guard: a file younger than one poll interval may
+            # still be mid-copy — it gets picked up on the next poll
+            now = time.time()
+
+            def settled(v: str) -> bool:
+                try:
+                    return now - os.path.getmtime(v) >= watch
+                except OSError:      # deleted between scan and stat
+                    return False
+
+            mine = [v for v in mine if settled(v)]
+        fresh = [v for v in mine if os.path.abspath(v) not in seen]
+        if first_pass:
+            print(f"[sweep] corpus {len(videos)} video(s); shard "
+                  f"{shard_i}/{shard_n} -> {len(mine)} here"
+                  + (f"; watching every {watch:g}s" if watch else ""))
+            first_pass = False
+        aborted = False
+        for video in fresh:
+            seen.add(os.path.abspath(video))
+            if not process_one(video) and not args.continue_on_error:
+                aborted = True
+                break
+        if aborted or not watch:
+            break
+        idle_polls = 0 if fresh else idle_polls + 1
+        if args.watch_max_idle and idle_polls >= int(args.watch_max_idle):
+            print(f"[sweep] {idle_polls} idle poll(s) — exiting watch")
+            break
+        try:
+            time.sleep(watch)
+        except KeyboardInterrupt:
+            break
+
+    write_summary()
     done = len(results) - failed
-    print(f"[sweep] {done}/{len(mine)} ok in {summary['wall_s']}s; "
-          f"summary: {os.path.join(out_root, 'sweep_summary.json')}")
+    print(f"[sweep] {done}/{len(results)} ok in "
+          f"{round(time.perf_counter() - t_sweep, 2)}s; "
+          f"summary: {summary_path}")
     return 0 if failed == 0 else 1
 
 

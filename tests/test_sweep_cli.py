@@ -5,6 +5,7 @@ run and rebuilds its sessions each time (gui_app.py:4490-4515)."""
 import csv
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -149,3 +150,102 @@ def test_sweep_rejects_video_flag(tmp_path):
     with pytest.raises(SystemExit):
         SW.main(["--videos", "x", "--video", "y", "--ref", "r",
                  "--out", str(tmp_path)])
+
+
+def test_shard_select_stable_hash_disjoint_complete(tmp_path):
+    vids = [str(tmp_path / f"v{i}.mp4") for i in range(17)]
+    parts = [SW.shard_select(vids, i, 4, stable=True) for i in range(4)]
+    flat = sorted(p for part in parts for p in part)
+    assert flat == sorted(vids)
+    # stability under growth: adding files never reassigns existing ones
+    grown = vids + [str(tmp_path / "aaa_new.mp4")]
+    for i in range(4):
+        before = set(SW.shard_select(vids, i, 4, stable=True))
+        after = set(SW.shard_select(grown, i, 4, stable=True))
+        assert before <= after
+    # plain slicing DOES reshuffle (why watch mode needs the hash)
+    slice_before = set(SW.shard_select(vids, 1, 4, stable=False))
+    slice_after = set(SW.shard_select(grown, 1, 4, stable=False))
+    assert slice_before != slice_after
+
+
+def _stub_engines(monkeypatch, processed_log):
+    """Replace the model runtime with instant stubs: watch-mode tests
+    exercise the polling/sharding/settle mechanics, not the models."""
+    from types import SimpleNamespace
+
+    import person_capture_tpu.main as M
+
+    monkeypatch.setattr(M, "build_runtime",
+                        lambda cfg, args, ap: {"stub": True})
+
+    def fake_make_engine(cfg_v, runtime, status=None):
+        def run():
+            processed_log.append(cfg_v.video)
+            return SimpleNamespace(
+                ok=True, error=None, spans=[(0, 1)],
+                mainpass=SimpleNamespace(hits=[1, 2]))
+
+        return SimpleNamespace(run=run)
+
+    monkeypatch.setattr(M, "make_engine", fake_make_engine)
+
+
+def test_watch_mode_picks_up_new_files(tmp_path, monkeypatch):
+    import threading
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    old = time.time() - 60
+    a = corpus / "a.mp4"
+    a.write_bytes(b"x")
+    os.utime(a, (old, old))
+    ref = tmp_path / "ref.png"
+    ref.write_bytes(b"x")
+    out_root = str(tmp_path / "out")
+
+    log = []
+    _stub_engines(monkeypatch, log)
+
+    rc_holder = {}
+
+    def run():
+        rc_holder["rc"] = SW.main([
+            "--videos", str(corpus), "--ref", str(ref), "--out", out_root,
+            "--watch", "0.2", "--watch-max-idle", "6"])
+
+    th = threading.Thread(target=run)
+    th.start()
+    # wait for the first video, then drop a new (already-settled) file in
+    deadline = time.time() + 30
+    while len(log) < 1 and time.time() < deadline:
+        time.sleep(0.05)
+    b = corpus / "b.mp4"
+    b.write_bytes(b"x")
+    os.utime(b, (old, old))
+    th.join(timeout=30)
+    assert not th.is_alive(), "watcher did not exit on idle"
+    assert rc_holder["rc"] == 0
+    assert [os.path.basename(p) for p in sorted(log)] == ["a.mp4", "b.mp4"]
+
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary = json.load(fh)
+    assert summary["processed"] == 2 and summary["failed"] == 0
+
+
+def test_watch_settle_guard_defers_fresh_files(tmp_path, monkeypatch):
+    """A file younger than one poll interval is not read on that poll
+    (mid-copy protection) but is processed once it settles."""
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    f = corpus / "fresh.mp4"
+    f.write_bytes(b"x")          # mtime = now, poll = 0.5s -> deferred
+    ref = tmp_path / "ref.png"
+    ref.write_bytes(b"x")
+    log = []
+    _stub_engines(monkeypatch, log)
+    rc = SW.main(["--videos", str(corpus), "--ref", str(ref),
+                  "--out", str(tmp_path / "out"),
+                  "--watch", "0.5", "--watch-max-idle", "3"])
+    assert rc == 0
+    assert len(log) == 1         # deferred at poll 0, processed later
