@@ -17,13 +17,16 @@ DECODED by this script (no pre-staged tensors for the end-to-end numbers):
    cv2 1080p decode tops out ~150 src f/s, so this number is decode-bound
    (environmental), which is why it is reported alongside rather than as
    the headline — see BASELINE.md.
-3. ``mainpass_realtime_x`` (detail): full main-pass analysis path at
-   reference ``frame_stride=2`` — decode every frame, retrieve every 2nd at
-   full 1080p, host-downscale to the default ``tpu_mainpass_analysis_max_w``
-   (832), run the fused face program at det 640 (the CLI default), depth-2
-   pipelined. Decode is inside the timed loop; ≥1.0 means the main pass
-   keeps up with the video in real time over the tunneled link
-   (BASELINE.json: "pre-scan + main pass").
+3. ``mainpass_realtime_x`` (detail): the REAL main-pass driver
+   (``Engine.run`` → ``pipeline/mainpass.py``) at reference
+   ``frame_stride=2`` — decode + prefetch, analysis downscale to the
+   default ``tpu_mainpass_analysis_max_w`` (832), fused face program at
+   det 640 (the CLI default), depth-2 pipelining, locks, crop composition,
+   smart-crop, and async JPEG saves at ``min_gap_sec=0.5``, saver drain
+   included. The backend compiles outside the timed region (a sweep's
+   steady state). ≥1.0 means the full main pass keeps up with the video
+   in real time over the tunneled link (BASELINE.json: "pre-scan + main
+   pass").
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
@@ -54,14 +57,22 @@ MAIN_STRIDE = 2
 MAIN_ANALYSIS_W, MAIN_ANALYSIS_H = 832, 468    # tpu_mainpass_analysis_max_w
 
 
-def _make_video(path: str) -> None:
+def _make_video(path: str, ref_png: str) -> None:
     """Synthetic 1080p clip with moving faces (same generator the CLI smoke
-    uses), encoded through cv2 — the only decoder in this image."""
-    from person_capture_tpu.video.synthetic import generate_video
+    uses), encoded through cv2 — the only decoder in this image — plus a
+    rendered reference photo of the clip's identity so the main-pass bench
+    exercises real matches/saves."""
+    import cv2
+
+    from person_capture_tpu.video.synthetic import (FacePlacement, draw_face,
+                                                    generate_video)
 
     generate_video(path, width=1920, height=1080, fps=int(FPS),
                    total_frames=TOTAL_FRAMES,
                    segments=[(0, TOTAL_FRAMES - 1, 0)], moving=True, seed=3)
+    ref = np.full((400, 400, 3), 60, np.uint8)
+    draw_face(ref, FacePlacement(0, 0, (80, 80, 320, 320)))
+    cv2.imwrite(ref_png, ref)
 
 
 def _decode_all_resized(path: str, w: int, h: int) -> np.ndarray:
@@ -158,79 +169,73 @@ def _bench_prescan_e2e(backend, video: str, bank_mat: np.ndarray,
     return decode_fps / FPS, decode_fps
 
 
-def _bench_mainpass_e2e(video: str, bank_mat: np.ndarray):
-    """Main-pass analysis path, decode inside the timed loop: grab every
-    source frame, retrieve every ``MAIN_STRIDE``-th at full 1080p,
-    host-downscale to the default analysis cap (per-axis coord factors as
-    pipeline/mainpass.py applies), fused face program at the CLI-default
-    det 640, depth-2 pipelined. Warmup pass compiles the program first."""
+def _bench_mainpass_e2e(video: str, ref_png: str):
+    """Main pass through the REAL product driver: ``Engine.run`` over the
+    1080p mp4 with the production defaults — decode + prefetch inside the
+    timed region, analysis downscale to ``tpu_mainpass_analysis_max_w``
+    (832), fused face program at the CLI-default det 640, depth-2
+    pipelining, locks/compose/smart-crop/async JPEG saves at
+    ``min_gap_sec=0.5``, saver drain included. The backend (and its
+    compiles) builds OUTSIDE the timed region, exactly like a sweep's
+    second video (sweep.py runtime reuse).
+
+    Returns (x_realtime, src_fps, hits)."""
+    import tempfile
+
     import cv2
 
+    from person_capture_tpu.config import SessionConfig
+    from person_capture_tpu.core.bank import RefBank
     from person_capture_tpu.models.zoo import resolve_weights
     from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
+    from person_capture_tpu.pipeline.engine import Engine
 
     batch = 16
-    backend = ScrfdArcFaceBackend(det_size=640, score_thresh=0.5,
+    backend = ScrfdArcFaceBackend(det_size=640, score_thresh=0.3,
                                   max_faces=8, host_align=False,
                                   scrfd_weights=resolve_weights(
                                       "auto", "scrfd_2.5g"))
 
-    def downscale(f):
-        return cv2.resize(f, (MAIN_ANALYSIS_W, MAIN_ANALYSIS_H),
-                          interpolation=cv2.INTER_AREA)
+    # seed the identity bank through the batch program at the EXACT
+    # analysis shape the main pass uses (832x468) — this doubles as the
+    # warmup compile; a different-shaped seeding extract would trigger a
+    # second ~2-min compile over the tunnel for no measurement value
+    ref = cv2.imread(ref_png, cv2.IMREAD_COLOR)
+    side = MAIN_ANALYSIS_H                  # ref face at video-like scale
+    ref_s = cv2.resize(ref, (side, side), interpolation=cv2.INTER_AREA)
+    canvas = np.full((MAIN_ANALYSIS_H, MAIN_ANALYSIS_W, 3), 60, np.uint8)
+    x0 = (MAIN_ANALYSIS_W - side) // 2
+    canvas[:, x0:x0 + side] = ref_s
+    frames = np.repeat(canvas[None], batch, axis=0)
+    out = backend.extract_batch(frames, np.ones(batch, bool))  # + compile
+    mask = np.asarray(out["mask"][0])
+    bank = RefBank(cap=64)
+    if mask.any():
+        j = int(np.argmax(np.where(mask, np.asarray(out["quality"][0]),
+                                   -1.0)))
+        bank.seed(np.asarray(out["feats"][0][j])[None])
+    else:
+        _phase("WARNING: no face detected in the bench ref — "
+               "mainpass metric will report 0")
 
-    # warmup: one batch through the program (compile)
-    cap = cv2.VideoCapture(video)
-    warm = []
-    while len(warm) < batch:
-        if not cap.grab():
-            break
-        ok, f = cap.retrieve()
-        if ok:
-            warm.append(downscale(f))
-    cap.release()
-    wf = np.stack(warm[:batch])
-    if len(wf) < batch:
-        wf = np.concatenate([wf, np.repeat(wf[-1:], batch - len(wf), 0)], 0)
-    backend.extract_batch(wf, np.ones(batch, bool))
-
-    def consume(o):
-        feats = np.asarray(o["feats"])[np.asarray(o["mask"])]
-        if feats.size:
-            _ = 1.0 - (feats @ bank_mat.T).max(axis=1)
-
-    from collections import deque
-
-    t0 = time.perf_counter()
-    cap = cv2.VideoCapture(video)
-    buf, src_covered, n_batches = [], 0, 0
-    q = deque()
-    depth = 2                  # production tpu_pipeline_depth default
-    i = 0
-    while True:
-        if not cap.grab():
-            break
-        if i % MAIN_STRIDE == 0:
-            ok, f = cap.retrieve()       # full-res 1080p (crops save from it)
-            if ok:
-                buf.append(downscale(f))
-        i += 1
-        if len(buf) == batch:
-            frames = np.stack(buf)
-            buf.clear()
-            q.append(backend.submit_batch(frames, np.ones(batch, bool)))
-            if len(q) > depth:
-                consume(q.popleft()())
-            n_batches += 1
-            src_covered = i
-    while q:
-        consume(q.popleft()())
-    cap.release()
-    dt = time.perf_counter() - t0
-    if not n_batches:
-        return 0.0, 0.0
-    src_fps = src_covered / dt
-    return src_fps / FPS, src_fps
+    with tempfile.TemporaryDirectory() as out_dir:
+        cfg = SessionConfig(video=video, ref="", out_dir=out_dir)
+        cfg.prescan_enable = False          # measure the main pass alone
+        cfg.curate_enable = False
+        cfg.tpu_batch_frames = batch
+        cfg.min_gap_sec = 0.5               # reference solidpreset band
+        cfg.face_det_conf = 0.3             # synthetic-face fixture values
+        cfg.face_thresh = 0.9               # (verify-recipe thresholds)
+        cfg.prescan_cache_mode = "off"
+        eng = Engine(cfg, backend, status=lambda m: None,
+                     progress=lambda p: None)
+        t0 = time.perf_counter()
+        res = eng.run(bank=bank)
+        dt = time.perf_counter() - t0
+    if not res.ok or res.mainpass is None:
+        return 0.0, 0.0, 0
+    src_fps = TOTAL_FRAMES / dt
+    return src_fps / FPS, src_fps, len(res.mainpass.hits)
 
 
 def _wait_for_device(deadline_s: float = 600.0) -> None:
@@ -280,8 +285,9 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as td:
         video = os.path.join(td, "bench1080.mp4")
+        ref_png = os.path.join(td, "ref.png")
         _phase("encoding synthetic 1080p mp4")
-        _make_video(video)
+        _make_video(video, ref_png)
         _phase("decoding prescan frames")
         frames_384 = _decode_all_resized(video, PRESCAN_DECODE_W,
                                          PRESCAN_DECODE_H)
@@ -296,8 +302,8 @@ def main() -> None:
         _phase(f"prescan device path done ({device_x:.0f}x)")
         e2e_x, decode_fps = _bench_prescan_e2e(backend, video, bank_mat)
         _phase(f"prescan e2e done ({e2e_x:.1f}x)")
-        main_x, main_src_fps = _bench_mainpass_e2e(video, bank_mat)
-        _phase(f"mainpass done ({main_x:.2f}x)")
+        main_x, main_src_fps, main_hits = _bench_mainpass_e2e(video, ref_png)
+        _phase(f"mainpass done ({main_x:.2f}x, {main_hits} hits)")
     hdr_rate = _bench_hdr_exports()
     _phase(f"hdr exports done ({hdr_rate}/s)")
 
@@ -314,8 +320,11 @@ def main() -> None:
                                  "in this image)"),
             "mainpass_realtime_x": round(main_x, 2),
             "mainpass_src_fps": round(main_src_fps, 1),
-            "mainpass_config": ("stride 2, analysis_max_w 832 (default), "
-                                "det 640, batch 16, decode in loop"),
+            "mainpass_hits": main_hits,
+            "mainpass_config": ("REAL Engine.run: stride 2, analysis cap "
+                                "832 (default), det 640, batch 16, locks+"
+                                "compose+smartcrop+saves @min_gap 0.5, "
+                                "decode+saver drain in the timed region"),
             "faces_per_batch": n_faces,
             "prescan_batch": 128, "prescan_det_size": 416,
             "prescan_stride": PRESCAN_STRIDE, "assumed_fps": FPS,
