@@ -231,3 +231,65 @@ def test_closeup_boost_parity_reference():
         it = SimpleNamespace(quality_score=q, face_frac=frac)
         assert ns["q_for_mmr"](it) == pytest.approx(
             closeup_boosted_quality(q, frac, boost, thr), abs=1e-12)
+
+
+def _extract_methods(path, class_name, names):
+    """Extract named (static)methods from a class body; decorators are not
+    part of the FunctionDef source segment, so they exec as plain
+    functions."""
+    import textwrap as _tw
+    from typing import Optional
+
+    src = open(path).read()
+    tree = ast.parse(src)
+    ns = {"np": np, "math": math, "Optional": Optional}
+    found = set()
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name == class_name:
+            for sub in node.body:
+                if isinstance(sub, ast.FunctionDef) and sub.name in names:
+                    seg = " " * sub.col_offset + ast.get_source_segment(
+                        src, sub)
+                    exec(compile(_tw.dedent(seg), f"<ref:{sub.name}>",
+                                 "exec"), ns)
+                    found.add(sub.name)
+    missing = set(names) - found
+    assert not missing, missing
+    return ns
+
+
+def test_canon_5pts_parity_reference():
+    """Landmark canonicalization drives every ArcFace alignment: the repo's
+    canon_5pts must accept/reject and order EXACTLY like the reference's
+    FaceEmbedder._canon_5pts (face_embedder.py:1430-1463) on random point
+    sets, valid synthetic faces, and the documented rejection geometries."""
+    from person_capture_tpu.ops.align import canon_5pts
+
+    ref = _extract_methods(
+        os.path.join(REF_ROOT, "person_capture", "face_embedder.py"),
+        "FaceEmbedder", ["_canon_5pts"])["_canon_5pts"]
+
+    rng = np.random.default_rng(11)
+    n_valid = 0
+    for trial in range(400):
+        if trial % 4 == 0:
+            # face-like: eyes above nose above mouth, jittered
+            base = np.array([[30, 40], [80, 40], [55, 65],
+                             [38, 90], [72, 90]], np.float32)
+            pts = base + rng.normal(0, 12, (5, 2)).astype(np.float32)
+        else:
+            pts = rng.uniform(0, 112, (5, 2)).astype(np.float32)
+        a = ref(pts.copy())
+        b = canon_5pts(pts.copy())
+        assert (a is None) == (b is None), (trial, pts, a, b)
+        if a is not None:
+            n_valid += 1
+            np.testing.assert_array_equal(a, b)
+    assert n_valid >= 40          # the valid branch was actually exercised
+
+    # shape / NaN / None gates
+    assert ref(None) is None and canon_5pts(None) is None
+    nan = np.full((5, 2), np.nan, np.float32)
+    assert ref(nan.copy()) is None and canon_5pts(nan.copy()) is None
+    four = np.zeros((4, 2), np.float32)
+    assert ref(four) is None and canon_5pts(four) is None
