@@ -188,6 +188,13 @@ class SessionConfig:
 
     # ---- compose profiles ----
     compose_crop_enable: bool = True
+    # body-aware composition: bind matched faces to an OWNING person box
+    # (scored pick, core/geometry.find_person_box_for_face) so crops
+    # anchor to the body, not just a face-derived proxy. Gates like the
+    # reference (gui_app.py:5920-5938): face height ≤ assoc_max always
+    # associates, cadence frames always associate. With this on (default)
+    # the CLI builds the person detector even in face_only mode — its
+    # program rides the submit pipeline, hidden behind host decode/replay
     compose_detect_person_for_face: bool = True
     compose_close_face_h_frac: float = 0.34
     compose_portrait_close_face_h_frac: float = 0.43

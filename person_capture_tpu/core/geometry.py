@@ -130,6 +130,61 @@ def expand_box_to_ratio(
     return int(round(nx1)), int(round(ny1)), int(round(nx2)), int(round(ny2))
 
 
+def find_person_box_for_face(face_xyxy, persons, frame_w: int,
+                             frame_h: int):
+    """The person box most likely to OWN a matched face — scored, not
+    first-containment: containment of the face center dominates, then
+    face-inside-with-slack, normalized center distance, a top-band bias
+    (faces live in the upper 42% of a body box) and a mild big-box area
+    penalty; None when even the best score is implausible (≥5).
+    Decision-identical to the reference ``_find_person_box_for_face``
+    (gui_app.py:2303-2350, differential-tested). ``persons`` may hold
+    xyxy tuples or dicts with an ``"xyxy"`` key."""
+    try:
+        fx1, fy1, fx2, fy2 = [float(v) for v in face_xyxy]
+    except Exception:
+        return None
+    fcx = 0.5 * (fx1 + fx2)
+    fcy = 0.5 * (fy1 + fy2)
+    fw = max(1.0, fx2 - fx1)
+    fh = max(1.0, fy2 - fy1)
+    best = None
+    best_score = 1.0e18
+    for p in persons or []:
+        try:
+            px1, py1, px2, py2 = [
+                float(v) for v in (p.get("xyxy", p)
+                                   if isinstance(p, dict) else p)]
+        except Exception:
+            continue
+        px1 = max(0.0, min(float(frame_w), px1))
+        py1 = max(0.0, min(float(frame_h), py1))
+        px2 = max(px1 + 1.0, min(float(frame_w), px2))
+        py2 = max(py1 + 1.0, min(float(frame_h), py2))
+        pw = max(1.0, px2 - px1)
+        ph = max(1.0, py2 - py1)
+        contains_center = (px1 <= fcx <= px2) and (py1 <= fcy <= py2)
+        face_inside = (px1 <= fx1 + 0.2 * fw and fx2 - 0.2 * fw <= px2
+                       and py1 <= fy1 + 0.2 * fh and fy2 - 0.2 * fh <= py2)
+        top_band_y = py1 + 0.42 * ph
+        top_bias = max(0.0, (fcy - top_band_y) / ph)
+        dx = 0.0 if px1 <= fcx <= px2 \
+            else min(abs(fcx - px1), abs(fcx - px2)) / pw
+        dy = 0.0 if py1 <= fcy <= py2 \
+            else min(abs(fcy - py1), abs(fcy - py2)) / ph
+        area_penalty = 0.02 * ((pw * ph)
+                               / max(1.0, float(frame_w * frame_h)))
+        score = ((0.0 if contains_center else 4.0)
+                 + (0.0 if face_inside else 1.5)
+                 + dx + dy + top_bias + area_penalty)
+        if score < best_score:
+            best_score = score
+            best = (px1, py1, px2, py2)
+    if best is None or best_score >= 5.0:
+        return None
+    return best
+
+
 def to_gray(a: np.ndarray) -> np.ndarray:
     """BGR→gray via SIMD cv2 when present (the reference converts with
     cv2, gui_app.py:8118+), :func:`bgr_to_gray` BT.601 fallback (±1 LSB

@@ -162,7 +162,8 @@ class MainWindow(QtWidgets.QMainWindow):
         builds until the pipeline first touches it."""
         aux = {}
         if (cfg.match_mode != "face_only"
-                or not cfg.skip_yolo_when_faceonly):
+                or not cfg.skip_yolo_when_faceonly
+                or cfg.compose_detect_person_for_face):
             def person():
                 from .main import resolve_yolo
                 from .pipeline.backends import YoloPersonBackend

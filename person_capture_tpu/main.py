@@ -390,10 +390,17 @@ def build_runtime(cfg, args, ap) -> dict:
                 clip_face_cfg=clip_face_cfg,
                 dtype=dtype, scrfd_weights=scrfd_w, arcface_weights=arc_w))
 
-    # person/ReID backends only when the requested mode needs them
+    # person/ReID backends only when the requested mode needs them. The
+    # person detector ALSO builds for body-aware compose association
+    # (compose_detect_person_for_face, default on — the reference always
+    # constructs its PersonDetector and binds matched faces to owning
+    # person boxes, gui_app.py:4490 + 5920-5938); the person program rides
+    # the depth-2 pipeline, so its device time hides behind the host
+    # decode/replay on measured runs
     person_backend = None
     reid_backend = None
-    if cfg.match_mode != "face_only" or not cfg.skip_yolo_when_faceonly:
+    if (cfg.match_mode != "face_only" or not cfg.skip_yolo_when_faceonly
+            or cfg.compose_detect_person_for_face):
         from .pipeline.backends import YoloPersonBackend
 
         try:

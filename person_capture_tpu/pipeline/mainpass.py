@@ -331,6 +331,26 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
     ff_batch = min(batch, 8)  # high-res program: keep the canvas batch small
     ff_counter = [0]
 
+    def _associate_person(fb, persons, frame_idx: int, W: int, H: int):
+        """Owning-person association for a matched face (reference
+        gui_app.py:5920-5938): faces at/below the assoc face-height cap
+        always try, cadence frames always try; the owner is the scored
+        pick (core/geometry.find_person_box_for_face). Returns
+        (det_box, subject_from_person)."""
+        if bool(cfg.compose_detect_person_for_face) and persons:
+            assoc_max = max(0.0, min(0.60, float(
+                cfg.compose_person_assoc_max_face_frac)))
+            cadence = max(1, int(cfg.compose_person_detect_cadence))
+            face_h_frac = (fb[3] - fb[1]) / max(1.0, float(H))
+            if ((assoc_max > 0.0 and face_h_frac <= assoc_max)
+                    or int(frame_idx) % cadence == 0):
+                from ..core.geometry import find_person_box_for_face
+
+                det_box = find_person_box_for_face(fb, persons, W, H)
+                if det_box is not None:
+                    return det_box, True
+        return _det_box_from_face(fb, W, H), False
+
     def _fullframe_rescue():
         """High-imgsz full-frame re-probe for frames that produced no
         candidate (reference full-frame face short-circuit at cadence with
@@ -348,10 +368,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             items = ff_queue[:ff_batch]
             del ff_queue[:ff_batch]
             frames, idxs, valid, n = pad_batch(
-                [f for (_, f) in items], ff_batch,
-                idxs=[i for (i, _) in items])
+                [f for (_, f, _) in items], ff_batch,
+                idxs=[i for (i, _, _) in items])
             out = fullframe_backend.extract_batch(frames, valid, idxs)
-            for slot, (frame_idx, frame) in enumerate(items):
+            for slot, (frame_idx, frame, persons) in enumerate(items):
                 mask = out["mask"][slot]
                 if not mask.any():
                     continue
@@ -362,9 +382,13 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     continue
                 fb = tuple(float(v) for v in out["boxes"][slot][j])
                 q = float(out["quality"][slot][j])
-                cand = Candidate(_det_box_from_face(fb, frame.shape[1],
-                                                    frame.shape[0]),
-                                 fb, fd, None, q, fd,
+                # associate the recovered face with a person box from its
+                # own frame (reference rescue-path association,
+                # gui_app.py:6135)
+                db, from_person = _associate_person(
+                    fb, persons, frame_idx, frame.shape[1], frame.shape[0])
+                cand = Candidate(db, fb, fd, None, q, fd,
+                                 subject_from_person=from_person,
                                  face_feat=out["feats"][slot][j])
                 if frame_idx >= int(lock.last_seen_frame):
                     # never move the lock BACKWARD onto a stale frame: a
@@ -419,10 +443,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         crops = np.stack([
             cv2.resize(frame[ry1:ry2, rx1:rx2], (tw, th),
                        interpolation=cv2.INTER_LINEAR)
-            for _, frame in items])
+            for _, frame, _ in items])
         crops, _, valid, n = pad_batch(list(crops), batch)
         out = backend.extract_batch(crops, valid)
-        for slot, (frame_idx, frame) in enumerate(items):
+        for slot, (frame_idx, frame, persons) in enumerate(items):
             mask = out["mask"][slot]
             if not mask.any():
                 continue
@@ -436,9 +460,13 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             face_box = (rx1 + bx[0] * sx, ry1 + bx[1] * sy,
                         rx1 + bx[2] * sx, ry1 + bx[3] * sy)
             q = float(out["quality"][slot][j])
-            cand = Candidate(_det_box_from_face(face_box, frame.shape[1],
-                                                frame.shape[0]),
-                             face_box, fd, None, q, fd)
+            # associate with a person box from the frame's own detections
+            # (reference lock-ROI path association, gui_app.py:5938)
+            db, from_person = _associate_person(
+                face_box, persons, frame_idx, frame.shape[1],
+                frame.shape[0])
+            cand = Candidate(db, face_box, fd, None, q, fd,
+                             subject_from_person=from_person)
             if frame_idx >= int(lock.last_seen_frame):
                 # never regress the lock onto an older frame's position
                 lock.register_hit(face_box, frame_idx, cfg.lock_after_hits,
@@ -577,10 +605,15 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                        reid_map: Dict, slot: int):
         decision = _process_frame_inner(frame_idx, frame, out, person_out,
                                         reid_map, slot)
+        persons = []
+        if person_out is not None:
+            pm = person_out["mask"][slot]
+            persons = [tuple(float(v) for v in person_out["boxes"][slot][k])
+                       for k in np.flatnonzero(pm)]
         if (decision == "no_candidate" and lock.locked
                 and cfg.lock_face_roi_enable
                 and lock.last_face_box is not None):
-            rescue_queue.append((frame_idx, frame))
+            rescue_queue.append((frame_idx, frame, persons))
         elif (decision == "no_candidate" and fullframe_backend is not None
               and cfg.face_fullframe_when_missed):
             # high-res re-probe at cadence (face_fullframe_cadence). The
@@ -590,7 +623,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             # size, the prime small-blurry-face recall case
             ff_counter[0] += 1
             if ff_counter[0] % max(1, int(cfg.face_fullframe_cadence)) == 0:
-                ff_queue.append((frame_idx, frame))
+                ff_queue.append((frame_idx, frame, persons))
         if cfg.debug_dump:
             n_faces = int(out["mask"][slot].sum())
             n_persons = int(person_out["mask"][slot].sum()) \
@@ -754,25 +787,14 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                 prev_frame[0] = frame
                 return "ambiguous_face"
             if fd <= cfg.face_thresh:
-                det_box = None
-                from_person = False
-                # associate with a person box when available — gated by the
-                # compose association cadence and the face-scale cap
-                # (reference gui_app.py:5924-5933: close-up faces skip the
-                # body association; YOLO association runs on a cadence)
-                assoc_max = float(cfg.compose_person_assoc_max_face_frac)
-                cadence = max(1, int(cfg.compose_person_detect_cadence))
-                face_h_frac = (fb[3] - fb[1]) / max(1.0, float(H))
-                assoc_ok = (assoc_max <= 0.0 or face_h_frac <= assoc_max)
-                on_cadence = (frame_idx // stride) % cadence == 0
-                if assoc_ok and on_cadence:
-                    for pbox in persons:
-                        if _center_in_box(fb, pbox):
-                            det_box = pbox
-                            from_person = True
-                            break
-                if det_box is None:
-                    det_box = _det_box_from_face(fb, W, H)
+                # body-aware compose association (reference
+                # gui_app.py:5920-5938): faces at or below the assoc
+                # face-height cap ALWAYS try to bind an owning person box
+                # (true close-ups stay face-anchored), and cadence frames
+                # associate regardless; the owning box is the reference's
+                # scored pick, not first-containment
+                det_box, from_person = _associate_person(fb, persons,
+                                                         frame_idx, W, H)
                 score = combine_scores(fd, None, cfg.combine)
                 candidates.append(Candidate(det_box, fb, fd, None, q,
                                             score if score is not None else 9.0,

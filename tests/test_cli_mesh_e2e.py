@@ -48,6 +48,7 @@ def test_cli_mesh_end_to_end(tmp_path):
         "--set", "curate_enable=false",
         "--set", "prescan_cache_mode=off",
         "--set", "compose_crop_enable=false",
+        "--set", "compose_detect_person_for_face=false",
         "--set", "smart_crop_enable=false",
     ])
     assert rc == 0
@@ -102,6 +103,7 @@ def test_cli_mesh_with_person_path(tmp_path):
         "--set", "curate_enable=false",
         "--set", "prescan_cache_mode=off",
         "--set", "compose_crop_enable=false",
+        "--set", "compose_detect_person_for_face=false",
         "--set", "smart_crop_enable=false",
     ])
     assert rc == 0

@@ -239,3 +239,60 @@ def test_prefer_lower_face_crop_parity(ref_harness):
         ref = h._prefer_lower_face_crop_y(crop, face, head, bounds, profile)
         ours = prefer_lower_face_crop_y(crop, face, head, bounds, profile)
         assert tuple(ref) == tuple(ours)
+
+def test_find_person_box_for_face_parity():
+    """The owning-person-box scorer (containment priority, top-band bias,
+    distance tiebreak, area penalty, plausibility cutoff) must pick the
+    SAME box or None as the reference's Processor._find_person_box_for_face
+    on randomized face/person layouts."""
+    import sys
+
+    sys.path.insert(0, REF_ROOT)
+    src = open(GUI).read()
+    tree = ast.parse(src)
+    ns = {"np": np, "math": math}
+    from typing import Any, Dict, List, Optional, Tuple
+
+    ns.update({"Optional": Optional, "Tuple": Tuple, "List": List,
+               "Dict": Dict, "Any": Any})
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == "Processor":
+            for item in node.body:
+                if isinstance(item, ast.FunctionDef) \
+                        and item.name == "_find_person_box_for_face":
+                    exec(compile(textwrap.dedent(
+                        ast.get_source_segment(src, item)),
+                        "<ref:_find_person_box_for_face>", "exec"), ns)
+    ref = ns["_find_person_box_for_face"]
+
+    from person_capture_tpu.core.geometry import find_person_box_for_face
+
+    rng = np.random.default_rng(5)
+    n_some = 0
+    for trial in range(300):
+        W = int(rng.integers(320, 1921))
+        H = int(rng.integers(240, 1081))
+        fx = rng.uniform(0, W * 0.9)
+        fy = rng.uniform(0, H * 0.9)
+        fs = rng.uniform(10, min(W, H) * 0.5)
+        face = (fx, fy, fx + fs, fy + fs * 1.1)
+        persons = []
+        for _ in range(int(rng.integers(0, 5))):
+            px = rng.uniform(-50, W)
+            py = rng.uniform(-50, H)
+            pw = rng.uniform(30, W)
+            phh = rng.uniform(60, H)
+            persons.append({"xyxy": (px, py, px + pw, py + phh)})
+        a = ref(face, persons, W, H)
+        b = find_person_box_for_face(face, persons, W, H)
+        assert (a is None) == (b is None), (trial, face, persons)
+        if a is not None:
+            n_some += 1
+            np.testing.assert_allclose(a, b, rtol=0, atol=0)
+        # tuple persons (our internal call shape) must select the same box
+        b2 = find_person_box_for_face(
+            face, [p["xyxy"] for p in persons], W, H)
+        assert (b2 is None) == (b is None)
+        if b is not None:
+            np.testing.assert_allclose(b2, b)
+    assert n_some >= 60

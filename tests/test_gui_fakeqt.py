@@ -200,8 +200,13 @@ def test_aux_factories_follow_config(gui):
     construction; reference gui_app.py:4490-4515 always loads all)."""
     win = gui.MainWindow(backend_factory=lambda: None)
 
+    # face_only still builds the person factory by default: body-aware
+    # compose association (compose_detect_person_for_face, reference
+    # gui_app.py:4490 + 5920-5938)
     cfg = SessionConfig(match_mode="face_only", skip_yolo_when_faceonly=True,
                         face_fullframe_when_missed=False)
+    assert set(win._aux_factories(cfg)) == {"person"}
+    cfg.compose_detect_person_for_face = False
     assert win._aux_factories(cfg) == {}
 
     cfg = SessionConfig(match_mode="either",
@@ -211,6 +216,7 @@ def test_aux_factories_follow_config(gui):
     assert cfg.disable_reid is False        # main.py:409 parity
 
     cfg = SessionConfig(match_mode="face_only", skip_yolo_when_faceonly=True,
+                        compose_detect_person_for_face=False,
                         face_fullframe_when_missed=True,
                         face_fullframe_imgsz=1408)
     assert set(win._aux_factories(cfg)) == {"fullframe"}

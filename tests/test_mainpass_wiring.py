@@ -263,3 +263,55 @@ def test_live_min_gap_takes_effect_mid_run(tmp_path):
                             should_stop=should_stop)
     reader.release()
     assert len(res.hits) > 1, "mid-run min_gap change was ignored"
+
+
+def test_person_assoc_gate_reference_semantics(tmp_path, monkeypatch):
+    """Body-aware compose association (reference gui_app.py:5920-5938):
+    faces at/below compose_person_assoc_max_face_frac associate on EVERY
+    matched frame (OR-gate, not AND), cadence frames associate regardless,
+    compose_detect_person_for_face=False disables it entirely, and the
+    owning box comes from the scored find_person_box_for_face."""
+    from person_capture_tpu.core import geometry as G
+    from person_capture_tpu.pipeline.backends import OraclePersonBackend
+
+    vid = str(tmp_path / "v.mp4")
+    sv = generate_video(vid, width=320, height=240, total_frames=24,
+                        segments=[(0, 23, 0)], moving=False)
+    face_h = sv.truth[0][0].box[3] - sv.truth[0][0].box[1]
+    face_frac = face_h / 240.0          # 0.25 with this generator
+
+    calls = []
+    real = G.find_person_box_for_face
+
+    def recorder(face, persons, w, h):
+        calls.append(len(calls))
+        return real(face, persons, w, h)
+
+    monkeypatch.setattr(G, "find_person_box_for_face", recorder)
+
+    def run(tag, **kw):
+        calls.clear()
+        cfg = _cfg(tmp_path, match_mode="face_only",
+                   out_dir=str(tmp_path / tag), **kw)
+        backend = OracleBackend(sv)
+        reader = open_reader(vid)
+        with AsyncSaver(cfg.out_dir, async_save=False) as saver:
+            mp = run_main_pass(reader, backend, cfg, _bank(backend),
+                               [(0, 23)], saver, batch_size=8,
+                               person_backend=OraclePersonBackend(sv))
+        reader.release()
+        return len(mp.hits), len(calls)
+
+    # cap below the face size: only cadence frames (idx % 6 == 0) associate
+    hits, n_calls = run("cadence",
+                        compose_person_assoc_max_face_frac=face_frac - 0.05)
+    assert hits == 24 and n_calls == 4          # frames 0, 6, 12, 18
+
+    # cap above the face size: EVERY matched frame associates
+    hits, n_calls = run("always",
+                        compose_person_assoc_max_face_frac=face_frac + 0.05)
+    assert hits == 24 and n_calls == 24
+
+    # master switch off: never
+    hits, n_calls = run("off", compose_detect_person_for_face=False)
+    assert hits == 24 and n_calls == 0

@@ -94,6 +94,7 @@ _TINY_ARGS = [
     "--set", "curate_enable=false",
     "--set", "prescan_cache_mode=off",
     "--set", "compose_crop_enable=false",
+    "--set", "compose_detect_person_for_face=false",
     "--set", "smart_crop_enable=false",
 ]
 
