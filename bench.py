@@ -190,15 +190,23 @@ def _bench_mainpass_e2e(video: str, ref_png: str):
     from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
     from person_capture_tpu.pipeline.engine import Engine
 
+    from person_capture_tpu.pipeline.backends import YoloPersonBackend
+
     batch = 16
     backend = ScrfdArcFaceBackend(det_size=640, score_thresh=0.3,
                                   max_faces=8, host_align=False,
                                   scrfd_weights=resolve_weights(
                                       "auto", "scrfd_2.5g"))
+    # the CLI default builds the person detector for body-aware compose
+    # association (compose_detect_person_for_face) — the metric must pay
+    # for it too
+    person = YoloPersonBackend(conf=0.35,
+                               weights=resolve_weights("auto", "yolov8n"))
 
-    # seed the identity bank through the batch program at the EXACT
-    # analysis shape the main pass uses (832x468) — this doubles as the
-    # warmup compile; a different-shaped seeding extract would trigger a
+    # seed the identity bank through the batch programs at the EXACT
+    # analysis shape the main pass uses (832x468), via the same
+    # shared-upload dispatch — this doubles as the warmup compile for
+    # BOTH programs; a different-shaped seeding extract would trigger a
     # second ~2-min compile over the tunnel for no measurement value
     ref = cv2.imread(ref_png, cv2.IMREAD_COLOR)
     side = MAIN_ANALYSIS_H                  # ref face at video-like scale
@@ -207,7 +215,11 @@ def _bench_mainpass_e2e(video: str, ref_png: str):
     x0 = (MAIN_ANALYSIS_W - side) // 2
     canvas[:, x0:x0 + side] = ref_s
     frames = np.repeat(canvas[None], batch, axis=0)
-    out = backend.extract_batch(frames, np.ones(batch, bool))  # + compile
+    dev = backend.upload_shared(frames)
+    # the engine's main pass dispatches the COMBINED face+person program
+    # (one download) — warm exactly that one
+    out, _ = backend.submit_device_with_person(
+        person, dev, np.ones(batch, bool))()
     mask = np.asarray(out["mask"][0])
     bank = RefBank(cap=64)
     if mask.any():
@@ -227,7 +239,8 @@ def _bench_mainpass_e2e(video: str, ref_png: str):
         cfg.face_det_conf = 0.3             # synthetic-face fixture values
         cfg.face_thresh = 0.9               # (verify-recipe thresholds)
         cfg.prescan_cache_mode = "off"
-        eng = Engine(cfg, backend, status=lambda m: None,
+        eng = Engine(cfg, backend, person_backend=person,
+                     status=lambda m: None,
                      progress=lambda p: None)
         t0 = time.perf_counter()
         res = eng.run(bank=bank)

@@ -563,6 +563,24 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             a_frames, a_scale = _analysis_frames(frames)
             person_fetch = None
             if (_use_person() and hasattr(backend, "upload_shared")
+                    and hasattr(backend, "submit_device_with_person")
+                    and hasattr(person_backend, "_fused")):
+                # combined program: ONE upload (i420 wire), ONE dispatch,
+                # ONE packed download for face + person outputs — each
+                # extra per-batch RPC costs 30-300 ms on tunneled links
+                dev_bgr = backend.upload_shared(a_frames)
+                combo_fetch = backend.submit_device_with_person(
+                    person_backend, dev_bgr, valid, idxs)
+                cache: Dict = {}
+
+                def _both(cache=cache, combo_fetch=combo_fetch):
+                    if "r" not in cache:
+                        cache["r"] = combo_fetch()
+                    return cache["r"]
+
+                fetch = lambda _b=_both: _b()[0]            # noqa: E731
+                person_fetch = lambda _b=_both: _b()[1]     # noqa: E731
+            elif (_use_person() and hasattr(backend, "upload_shared")
                     and hasattr(person_backend, "submit_device")):
                 # shared-upload: ONE host→device transfer (i420 wire) feeds
                 # both the face and person programs

@@ -334,6 +334,8 @@ class RecoveringFaceBackend:
         if hasattr(inner, "upload_shared"):
             self.upload_shared = self._upload_shared
             self.submit_device = self._submit_device
+        if hasattr(inner, "submit_device_with_person"):
+            self.submit_device_with_person = self._submit_device_with_person
 
     # facade passthroughs
     @property
@@ -400,6 +402,24 @@ class RecoveringFaceBackend:
             if kept is None:
                 return out
             return self._recover(kept, valid, out)
+
+        return fetch
+
+    def _submit_device_with_person(self, person, bgr_dev, valid,
+                                   frame_idxs=None):
+        """Combined face+person single-download dispatch: the recovery
+        ladder applies to the FACE half only (person boxes pass through)."""
+        kept = getattr(self, "_shared_host", None)
+        self._shared_host = None
+        fetch0 = self.inner.submit_device_with_person(person, bgr_dev,
+                                                      valid, frame_idxs)
+        valid = np.asarray(valid).copy()
+
+        def fetch():
+            out, person_out = fetch0()
+            if kept is not None:
+                out = self._recover(kept, valid, out)
+            return out, person_out
 
         return fetch
 

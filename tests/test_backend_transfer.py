@@ -139,3 +139,44 @@ def test_embed_slots_limits_embedding_work():
     if out_all["mask"].any():
         m = out_all["mask"]
         assert np.linalg.norm(out_all["feats"][m], axis=-1).min() > 0.9
+
+
+def test_combined_face_person_matches_separate(tiny_backend_pair):
+    """submit_device_with_person (ONE dispatch + ONE packed download) must
+    produce exactly the outputs the two separate shared-upload programs
+    produce — and the recovery facade must pass the person half through."""
+    from person_capture_tpu.models import yolov8 as YV
+    from person_capture_tpu.pipeline.backends import YoloPersonBackend
+    from person_capture_tpu.pipeline.recovery import (RecoveringFaceBackend,
+                                                      RecoveryPolicy)
+
+    backend, _ = tiny_backend_pair
+    person = YoloPersonBackend(cfg=YV.TINY, det_size=64, conf=0.0,
+                               max_det=4, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (4, 48, 64, 3), dtype=np.uint8)
+    valid = np.array([True, True, True, False])
+
+    dev = backend.upload_shared(frames)
+    face_a = backend.submit_device(dev, valid)()
+    person_a = person.submit_device(dev, valid)()
+
+    dev = backend.upload_shared(frames)
+    face_b, person_b = backend.submit_device_with_person(person, dev,
+                                                         valid)()
+    for k in face_a:
+        np.testing.assert_allclose(face_a[k], face_b[k], atol=1e-5,
+                                   err_msg=k)
+    for k in ("boxes", "scores"):
+        np.testing.assert_allclose(person_a[k], person_b[k], atol=1e-5,
+                                   err_msg=k)
+    np.testing.assert_array_equal(person_a["mask"], person_b["mask"])
+
+    # recovery facade: combined capability mirrored, person passthrough
+    rec = RecoveringFaceBackend(backend,
+                                RecoveryPolicy(rot_adaptive=False))
+    assert hasattr(rec, "submit_device_with_person")
+    dev = rec.upload_shared(frames)
+    face_c, person_c = rec.submit_device_with_person(person, dev, valid)()
+    np.testing.assert_array_equal(person_c["mask"], person_b["mask"])
+    assert set(face_c) >= {"boxes", "mask", "feats", "quality"}
