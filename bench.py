@@ -256,29 +256,12 @@ def _wait_for_device(deadline_s: float = 600.0) -> None:
     matmul hangs (CLAUDE.md). Probe it in a SUBPROCESS — a hung in-process
     backend init cannot be interrupted — and retry until the deadline, so
     a driver bench run launched during a recovering relay still completes
-    instead of hanging in its first compile."""
-    import subprocess
-    import time as _t
+    instead of hanging in its first compile. (Shared with the sweep
+    daemon's outage defense: person_capture_tpu/utils/device.py.)"""
+    from person_capture_tpu.utils.device import wait_for_device
 
-    t0 = _t.time()
-    code = ("import jax, jax.numpy as jnp;"
-            "print(float((jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))")
-    while True:
-        budget = min(240.0, max(5.0, deadline_s - (_t.time() - t0)))
-        try:
-            cp = subprocess.run([sys.executable, "-c", code],
-                                timeout=budget, capture_output=True)
-            if cp.returncode == 0:
-                _phase("device probe ok")
-                return
-        except subprocess.SubprocessError:
-            pass
-        if _t.time() - t0 > deadline_s:
-            _phase(f"device probe failed for {deadline_s:.0f}s; "
-                   "proceeding anyway (expect a hang or backend error)")
-            return
-        _phase("device probe failed; retrying in 20s")
-        _t.sleep(20)
+    if not wait_for_device(deadline_s=deadline_s, status=_phase):
+        _phase("proceeding anyway (expect a hang or backend error)")
 
 
 def main() -> None:

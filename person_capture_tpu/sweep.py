@@ -148,7 +148,26 @@ def build_sweep_parser():
     ap.add_argument("--watch-max-idle", type=int, default=0,
                     help="exit after N consecutive empty polls "
                          "(0 = watch forever)")
+    ap.add_argument("--backend-max-retries", type=int, default=3,
+                    help="per-video retry budget for BACKEND-classified "
+                         "failures (device/RPC errors). Each retry first "
+                         "probes the accelerator in a subprocess and backs "
+                         "off until it answers, so an outage stalls the "
+                         "sweep instead of draining the corpus; a video "
+                         "that still fails on a healthy device after N "
+                         "retries is recorded failed (error_kind=backend) "
+                         "and skipped")
     return ap
+
+
+# patch points for tests / alternative probes ---------------------------
+def _probe_and_wait(status) -> None:
+    """Block until the accelerator answers a trivial matmul (no deadline:
+    a serving daemon must stall through an outage, never consume corpus
+    entries against a dead backend)."""
+    from .utils.device import wait_for_device
+
+    wait_for_device(deadline_s=None, status=status)
 
 
 def main(argv=None) -> int:
@@ -186,14 +205,20 @@ def main(argv=None) -> int:
     seen: set = set()
     t_sweep = time.perf_counter()
     failed = 0
+    failed_kinds = {"video": 0, "backend": 0}
     corpus_size = 0
     summary_path = os.path.join(out_root, "sweep_summary.json")
+    backend_max_retries = max(0, int(args.backend_max_retries))
+
+    from .utils.device import classify_error
 
     def write_summary():
         summary = {
             "corpus": corpus_size, "shard": f"{shard_i}/{shard_n}",
             "watch_sec": watch,
             "processed": len(results), "failed": failed,
+            "failed_video": failed_kinds["video"],
+            "failed_backend": failed_kinds["backend"],
             "wall_s": round(time.perf_counter() - t_sweep, 2),
             "results": results,
         }
@@ -201,16 +226,9 @@ def main(argv=None) -> int:
         with open(summary_path, "w") as fh:
             json.dump(summary, fh, indent=2)
 
-    def process_one(video: str) -> bool:
-        nonlocal failed
-        out_dir = _out_dir_for(out_root, video, used_names)
-        cfg_v = copy.deepcopy(cfg)
-        cfg_v.video = video
-        cfg_v.out_dir = out_dir
-        t0 = time.perf_counter()
-        print(f"[sweep] {video} -> {out_dir}")
+    def _run_once(video: str, out_dir: str):
         try:
-            eng = make_engine(cfg_v, get_runtime(),
+            eng = make_engine(cfg_for(video, out_dir), get_runtime(),
                               status=lambda m, _v=os.path.basename(video):
                               print(f"[pc:{_v}] {m}"))
             res = eng.run()
@@ -218,18 +236,59 @@ def main(argv=None) -> int:
             hits = len(res.mainpass.hits) if (ok and res.mainpass) else 0
             spans = len(res.spans) if ok else 0
         except Exception as e:             # never lose the rest of a fleet
-            ok, err, hits, spans = False, f"{type(e).__name__}: {e}", 0, 0
+            ok, hits, spans = False, 0, 0
+            err = f"{type(e).__name__}: {e}"
+        return ok, err, hits, spans
+
+    def cfg_for(video: str, out_dir: str):
+        cfg_v = copy.deepcopy(cfg)
+        cfg_v.video = video
+        cfg_v.out_dir = out_dir
+        return cfg_v
+
+    def process_one(video: str) -> bool:
+        """Run one video, retrying BACKEND-classified failures after the
+        accelerator answers a health probe (an outage stalls the sweep; it
+        never burns corpus entries — VERDICT r3 next #2). Video-classified
+        failures (bad file, decode error) fail immediately: a healthy
+        retry would not fix them."""
+        nonlocal failed
+        out_dir = _out_dir_for(out_root, video, used_names)
+        t0 = time.perf_counter()
+        print(f"[sweep] {video} -> {out_dir}")
+        retries = 0
+        while True:
+            ok, err, hits, spans = _run_once(video, out_dir)
+            if ok:
+                kind = None
+                break
+            kind = classify_error(err)
+            if kind != "backend" or retries >= backend_max_retries:
+                break
+            retries += 1
+            print(f"[sweep] backend failure on {video} (retry {retries}/"
+                  f"{backend_max_retries}): {str(err).splitlines()[0][:200]}",
+                  file=sys.stderr)
+            # block until the device answers; the engine failure may have
+            # raced a recovering relay, so re-probe even right after one
+            _probe_and_wait(lambda m: print(f"[sweep] {m}", file=sys.stderr))
         wall = time.perf_counter() - t0
         results.append({"video": video, "out_dir": out_dir, "ok": bool(ok),
                         "error": None if ok else str(err),
+                        "error_kind": kind,
+                        "retries": retries,
                         "hits": hits, "spans": spans,
                         "wall_s": round(wall, 2)})
         if ok:
             print(f"[sweep] done: {hits} hits, {spans} span(s), "
-                  f"{wall:.1f}s")
+                  f"{wall:.1f}s"
+                  + (f" (after {retries} backend retr"
+                     f"{'y' if retries == 1 else 'ies'})" if retries else ""))
         else:
             failed += 1
-            print(f"[sweep] FAILED ({wall:.1f}s): {err}", file=sys.stderr)
+            failed_kinds[kind] += 1
+            print(f"[sweep] FAILED [{kind}] ({wall:.1f}s): {err}",
+                  file=sys.stderr)
         write_summary()
         return bool(ok)
 

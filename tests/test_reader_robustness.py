@@ -573,3 +573,33 @@ def test_pipe_nv12_forces_bt601_limited(synth, fake_ffmpeg):
     r2 = FfmpegPipeReader(synth.path)  # bgr24: no forced conversion
     assert "out_color_matrix" not in r2._vf
     r2.release()
+
+
+def test_container_probe_cached_across_reopens(synth, fake_ffmpeg,
+                                               monkeypatch):
+    """ResilientReader reopen storms must not pay a cv2 container parse
+    per retry (VERDICT r3 weak #7): the probe is memoized per
+    (path, mtime, size) and invalidates when the file changes."""
+    import person_capture_tpu.video.reader as R
+
+    R._CONTAINER_PROBE_CACHE.clear()
+    opens = []
+    real_cap = R.cv2.VideoCapture
+
+    def counting_cap(*a, **k):
+        opens.append(a)
+        return real_cap(*a, **k)
+
+    monkeypatch.setattr(R.cv2, "VideoCapture", counting_cap)
+    readers = [FfmpegPipeReader(synth.path) for _ in range(4)]
+    for r in readers:
+        assert (r.src_w, r.src_h) == (W, H)
+        assert r.total_frames == TOTAL
+        r.release()
+    assert len(opens) == 1          # one parse, three cache hits
+
+    # touching the file invalidates the entry
+    st = os.stat(synth.path)
+    os.utime(synth.path, (st.st_atime, st.st_mtime + 5))
+    FfmpegPipeReader(synth.path).release()
+    assert len(opens) == 2

@@ -234,6 +234,147 @@ def test_watch_mode_picks_up_new_files(tmp_path, monkeypatch):
     assert summary["processed"] == 2 and summary["failed"] == 0
 
 
+def test_classify_error_backend_vs_video():
+    from person_capture_tpu.utils.device import classify_error
+
+    assert classify_error(
+        "XlaRuntimeError: FAILED_PRECONDITION: device in bad state"
+    ) == "backend"
+    assert classify_error("RPC stream closed: UNAVAILABLE") == "backend"
+    assert classify_error(
+        "RuntimeError: Unable to initialize backend 'axon'") == "backend"
+    assert classify_error("grpc channel reset by peer") == "backend"
+    assert classify_error("FileNotFoundError: no such video") == "video"
+    assert classify_error("cv2 could not decode frame 17") == "video"
+    assert classify_error(None) == "video"
+    assert classify_error("") == "video"
+
+
+def _stub_flaky_engines(monkeypatch, fail_errors, run_log):
+    """Engine stub that fails with fail_errors[i] on the i-th run of each
+    video, then succeeds."""
+    from types import SimpleNamespace
+
+    import person_capture_tpu.main as M
+
+    monkeypatch.setattr(M, "build_runtime",
+                        lambda cfg, args, ap: {"stub": True})
+    attempts = {}
+
+    def fake_make_engine(cfg_v, runtime, status=None):
+        def run():
+            i = attempts.get(cfg_v.video, 0)
+            attempts[cfg_v.video] = i + 1
+            run_log.append(cfg_v.video)
+            if i < len(fail_errors):
+                return SimpleNamespace(ok=False, error=fail_errors[i],
+                                       spans=[], mainpass=None)
+            return SimpleNamespace(ok=True, error=None, spans=[(0, 1)],
+                                   mainpass=SimpleNamespace(hits=[1]))
+
+        return SimpleNamespace(run=run)
+
+    monkeypatch.setattr(M, "make_engine", fake_make_engine)
+
+
+def _corpus_one_file(tmp_path):
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    (corpus / "v.mp4").write_bytes(b"x")
+    ref = tmp_path / "ref.png"
+    ref.write_bytes(b"x")
+    return corpus, ref
+
+
+def test_backend_failure_retries_until_ok(tmp_path, monkeypatch):
+    """VERDICT r3 next #2 acceptance: an engine that raises
+    FAILED_PRECONDITION twice then succeeds ends ok=true, retries=2, and
+    each retry probed the device first."""
+    corpus, ref = _corpus_one_file(tmp_path)
+    log, probes = [], []
+    _stub_flaky_engines(monkeypatch,
+                        ["XlaRuntimeError: FAILED_PRECONDITION: x",
+                         "RPC stream UNAVAILABLE"], log)
+    monkeypatch.setattr(SW, "_probe_and_wait",
+                        lambda status: probes.append(1))
+    out_root = str(tmp_path / "out")
+    rc = SW.main(["--videos", str(corpus), "--ref", str(ref),
+                  "--out", out_root])
+    assert rc == 0
+    assert len(log) == 3 and len(probes) == 2
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary = json.load(fh)
+    assert summary["failed"] == 0
+    r = summary["results"][0]
+    assert r["ok"] is True and r["retries"] == 2 and r["error_kind"] is None
+
+
+def test_backend_failure_budget_exhausts(tmp_path, monkeypatch):
+    corpus, ref = _corpus_one_file(tmp_path)
+    log = []
+    _stub_flaky_engines(monkeypatch,
+                        ["FAILED_PRECONDITION"] * 10, log)
+    monkeypatch.setattr(SW, "_probe_and_wait", lambda status: None)
+    out_root = str(tmp_path / "out")
+    rc = SW.main(["--videos", str(corpus), "--ref", str(ref),
+                  "--out", out_root, "--backend-max-retries", "2"])
+    assert rc == 1
+    assert len(log) == 3            # initial + 2 retries
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary = json.load(fh)
+    r = summary["results"][0]
+    assert r["ok"] is False and r["error_kind"] == "backend"
+    assert r["retries"] == 2
+    assert summary["failed_backend"] == 1 and summary["failed_video"] == 0
+
+
+def test_video_failure_never_retries_or_probes(tmp_path, monkeypatch):
+    corpus, ref = _corpus_one_file(tmp_path)
+    log, probes = [], []
+    _stub_flaky_engines(monkeypatch,
+                        ["could not open video container"] * 5, log)
+    monkeypatch.setattr(SW, "_probe_and_wait",
+                        lambda status: probes.append(1))
+    out_root = str(tmp_path / "out")
+    rc = SW.main(["--videos", str(corpus), "--ref", str(ref),
+                  "--out", out_root])
+    assert rc == 1
+    assert len(log) == 1 and not probes
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary = json.load(fh)
+    r = summary["results"][0]
+    assert r["ok"] is False and r["error_kind"] == "video"
+    assert r["retries"] == 0
+    assert summary["failed_video"] == 1 and summary["failed_backend"] == 0
+
+
+def test_wait_for_device_backoff_and_deadline(monkeypatch):
+    from person_capture_tpu.utils import device as D
+
+    calls = []
+    sleeps = []
+    monkeypatch.setattr(D.time, "sleep", lambda s: sleeps.append(s))
+    # succeeds on third probe
+    seq = iter([False, False, True])
+    assert D.wait_for_device(deadline_s=None, sleep_s=2.0,
+                             probe=lambda b: (calls.append(b),
+                                              next(seq))[1]) is True
+    assert len(calls) == 3 and sleeps == [2.0, 4.0]
+
+    # deadline expiry returns False
+    t = {"now": 0.0}
+    monkeypatch.setattr(D.time, "time", lambda: t["now"])
+
+    def never(budget):
+        t["now"] += 100.0
+        return False
+
+    monkeypatch.setattr(D.time, "sleep",
+                        lambda s: t.__setitem__("now", t["now"] + s))
+    assert D.wait_for_device(deadline_s=150.0, sleep_s=2.0,
+                             probe=never) is False
+
+
 def test_watch_settle_guard_defers_fresh_files(tmp_path, monkeypatch):
     """A file younger than one poll interval is not read on that poll
     (mid-copy protection) but is processed once it settles."""
