@@ -20,7 +20,7 @@ DECODED by this script (no pre-staged tensors for the end-to-end numbers):
 3. ``mainpass_realtime_x`` (detail): the REAL main-pass driver
    (``Engine.run`` → ``pipeline/mainpass.py``) at reference
    ``frame_stride=2`` — decode + prefetch, analysis downscale to the
-   default ``tpu_mainpass_analysis_max_w`` (832), fused face program at
+   default ``tpu_mainpass_analysis_max_w`` (640), fused face program at
    det 640 (the CLI default), depth-2 pipelining, locks, crop composition,
    smart-crop, and async JPEG saves at ``min_gap_sec=0.5``, saver drain
    included. The backend compiles outside the timed region (a sweep's
@@ -54,7 +54,7 @@ TOTAL_FRAMES = 240
 PRESCAN_STRIDE = 24
 PRESCAN_DECODE_W, PRESCAN_DECODE_H = 384, 216  # prescan_decode_max_w @1080p
 MAIN_STRIDE = 2
-MAIN_ANALYSIS_W, MAIN_ANALYSIS_H = 832, 468    # tpu_mainpass_analysis_max_w
+MAIN_ANALYSIS_W, MAIN_ANALYSIS_H = 640, 360    # tpu_mainpass_analysis_max_w
 
 
 def _make_video(path: str, ref_png: str) -> None:
@@ -173,7 +173,7 @@ def _bench_mainpass_e2e(video: str, ref_png: str):
     """Main pass through the REAL product driver: ``Engine.run`` over the
     1080p mp4 with the production defaults — decode + prefetch inside the
     timed region, analysis downscale to ``tpu_mainpass_analysis_max_w``
-    (832), fused face program at the CLI-default det 640, depth-2
+    (640), fused face program at the CLI-default det 640, depth-2
     pipelining, locks/compose/smart-crop/async JPEG saves at
     ``min_gap_sec=0.5``, saver drain included. The backend (and its
     compiles) builds OUTSIDE the timed region, exactly like a sweep's
@@ -204,7 +204,7 @@ def _bench_mainpass_e2e(video: str, ref_png: str):
                                weights=resolve_weights("auto", "yolov8n"))
 
     # seed the identity bank through the batch programs at the EXACT
-    # analysis shape the main pass uses (832x468), via the same
+    # analysis shape the main pass uses (640x360), via the same
     # shared-upload dispatch — this doubles as the warmup compile for
     # BOTH programs; a different-shaped seeding extract would trigger a
     # second ~2-min compile over the tunnel for no measurement value
@@ -318,7 +318,7 @@ def main() -> None:
             "mainpass_src_fps": round(main_src_fps, 1),
             "mainpass_hits": main_hits,
             "mainpass_config": ("REAL Engine.run: stride 2, analysis cap "
-                                "832 (default), det 640, batch 16, locks+"
+                                "640 (default), det 640, batch 16, locks+"
                                 "compose+smartcrop+saves @min_gap 0.5, "
                                 "decode+saver drain in the timed region"),
             "faces_per_batch": n_faces,

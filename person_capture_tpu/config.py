@@ -340,6 +340,12 @@ class SessionConfig:
     # replay in submission order); only the fd9 gate's skip decisions lag
     # by `depth` batches instead of one.
     tpu_pipeline_depth: int = 2
+    # Encode workers behind the async saver (0 = auto: cores-1 capped at
+    # 4; 1 on this 1-core image). PNG/AVIF encode is the reference's
+    # documented CPU bottleneck (README.md:258-265, single saver thread);
+    # K workers keep CSV submission order and per-item render-timeout/
+    # cancel semantics (pipeline/saver.py).
+    tpu_save_workers: int = 0
     # Main-pass analysis upload width cap (0 = off). When set, the frame
     # batch is downscaled on host before the face/person programs —
     # detection/embedding run on the smaller frames, coordinates map back
@@ -348,9 +354,13 @@ class SessionConfig:
     # main pass (BASELINE.md); the reference letterboxes to imgsz anyway
     # (it never analyzes above imgsz 640/1408 — gui_app.py det sizes), so
     # detection content is equivalent for widths ≥ the detector size.
-    # Default 832 keeps >1×-realtime main pass on tunneled links while
-    # staying 2× above the default 416 det size; set 0 to upload full res.
-    tpu_mainpass_analysis_max_w: int = 832
+    # Default 640 = the CLI-default det size: the detector letterboxes to
+    # 640 anyway, so detection content is unchanged and only ArcFace chip
+    # fidelity for faces wider than ~112 px at 640 is at stake — measured
+    # decision-identical (same 20/20 hits) vs 832 on the bench fixture
+    # while 2.3× faster end-to-end on a slow tunnel (tools_bench_mainpass
+    # _ab.py, BASELINE.md r4). Set 0 to upload full res.
+    tpu_mainpass_analysis_max_w: int = 640
 
     # -- serialization (preset compatible with the reference's to/from_json) --
     def to_json(self, include_paths: bool = False) -> str:

@@ -413,6 +413,8 @@ class Engine:
             with AsyncSaver(cfg.out_dir, jpg_quality=cfg.jpg_quality,
                             fsync=cfg.save_fsync,
                             async_save=cfg.async_save,
+                            workers=int(getattr(cfg, "tpu_save_workers", 1)
+                                        or 0),
                             render_timeout_sec=cfg.hdr_export_timeout_sec
                             if hdr_exporter is not None else 0.0) as saver:
                 if hdr_exporter is not None:

@@ -523,16 +523,18 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
 
     analysis_max_w = int(getattr(cfg, "tpu_mainpass_analysis_max_w", 0) or 0)
 
-    def _analysis_frames(frames: np.ndarray):
+    def _analysis_frames(frames: List[np.ndarray]):
         """Optionally downscale the batch on host before upload
         (tpu_mainpass_analysis_max_w): detection/embedding run on the
         smaller frames while crops save from full resolution; returns the
-        submitted batch + per-axis (sx, sy) factors mapping its coords back
-        to full res (they differ slightly when even-dim rounding lands
-        differently per axis)."""
-        h, w = frames.shape[1], frames.shape[2]
+        submitted batch (stacked) + per-axis (sx, sy) factors mapping its
+        coords back to full res (they differ slightly when even-dim
+        rounding lands differently per axis). Takes the frame LIST so the
+        full-res frames are never stacked (a batch-16 1080p stack is
+        ~100 MB of pure memcpy on the submit path)."""
+        h, w = frames[0].shape[0], frames[0].shape[1]
         if not analysis_max_w or w <= analysis_max_w:
-            return frames, (1.0, 1.0)
+            return np.stack(frames), (1.0, 1.0)
         import cv2
 
         aw = analysis_max_w - (analysis_max_w % 2)
@@ -558,57 +560,70 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             backend.score_thresh = conf
             conf_state[0] = conf
         if pend:
-            frames, idxs, valid, n = pad_batch(
-                [f for (_, f) in pend], batch, idxs=[i for (i, _) in pend])
-            a_frames, a_scale = _analysis_frames(frames)
-            person_fetch = None
-            if (_use_person() and hasattr(backend, "upload_shared")
-                    and hasattr(backend, "submit_device_with_person")
-                    and hasattr(person_backend, "_fused")):
-                # combined program: ONE upload (i420 wire), ONE dispatch,
-                # ONE packed download for face + person outputs — each
-                # extra per-batch RPC costs 30-300 ms on tunneled links
-                dev_bgr = backend.upload_shared(a_frames)
-                combo_fetch = backend.submit_device_with_person(
-                    person_backend, dev_bgr, valid, idxs)
-                cache: Dict = {}
-
-                def _both(cache=cache, combo_fetch=combo_fetch):
-                    if "r" not in cache:
-                        cache["r"] = combo_fetch()
-                    return cache["r"]
-
-                fetch = lambda _b=_both: _b()[0]            # noqa: E731
-                person_fetch = lambda _b=_both: _b()[1]     # noqa: E731
-            elif (_use_person() and hasattr(backend, "upload_shared")
-                    and hasattr(person_backend, "submit_device")):
-                # shared-upload: ONE host→device transfer (i420 wire) feeds
-                # both the face and person programs
-                dev_bgr = backend.upload_shared(a_frames)
-                fetch = backend.submit_device(dev_bgr, valid, idxs)
-                person_fetch = person_backend.submit_device(dev_bgr, valid,
-                                                            idxs)
-            else:
-                if submit is not None:
-                    fetch = submit(a_frames, valid, idxs)
-                else:
-                    out_now = backend.extract_batch(a_frames, valid, idxs)
-                    fetch = lambda out_now=out_now: out_now
-                if _use_person():
-                    # dispatch the person program immediately after the
-                    # face program: both execute before either download
-                    psubmit = getattr(person_backend, "submit_batch", None)
-                    if psubmit is not None:
-                        person_fetch = psubmit(a_frames, valid, idxs)
-                    else:
-                        p_now = person_backend.detect_batch(a_frames, valid,
-                                                            idxs)
-                        person_fetch = lambda p_now=p_now: p_now
-            inflight.append((fetch, person_fetch, frames, idxs, valid, n,
-                             a_scale))
+            # pad by repeating the last frame REFERENCE (no full-res stack:
+            # host replay indexes the list per slot; only the analysis-size
+            # batch is ever materialized contiguously)
+            n = len(pend)
+            frames = [f for (_, f) in pend]
+            idxs = [i for (i, _) in pend]
+            if n < batch:
+                frames = frames + [frames[-1]] * (batch - n)
+                idxs = idxs + [idxs[-1]] * (batch - n)
+            valid = np.zeros((batch,), bool)
+            valid[:n] = True
+            with timer("main.submit"):
+                a_frames, a_scale = _analysis_frames(frames)
+                _dispatch(frames, idxs, valid, n, a_frames, a_scale)
             pend.clear()
         while inflight and (drain or len(inflight) > pipe_depth):
             _resolve(inflight.pop(0))
+
+    def _dispatch(frames, idxs, valid, n, a_frames, a_scale):
+        person_fetch = None
+        if (_use_person() and hasattr(backend, "upload_shared")
+                and hasattr(backend, "submit_device_with_person")
+                and hasattr(person_backend, "_fused")):
+            # combined program: ONE upload (i420 wire), ONE dispatch,
+            # ONE packed download for face + person outputs — each
+            # extra per-batch RPC costs 30-300 ms on tunneled links
+            dev_bgr = backend.upload_shared(a_frames)
+            combo_fetch = backend.submit_device_with_person(
+                person_backend, dev_bgr, valid, idxs)
+            cache: Dict = {}
+
+            def _both(cache=cache, combo_fetch=combo_fetch):
+                if "r" not in cache:
+                    cache["r"] = combo_fetch()
+                return cache["r"]
+
+            fetch = lambda _b=_both: _b()[0]            # noqa: E731
+            person_fetch = lambda _b=_both: _b()[1]     # noqa: E731
+        elif (_use_person() and hasattr(backend, "upload_shared")
+                and hasattr(person_backend, "submit_device")):
+            # shared-upload: ONE host→device transfer (i420 wire) feeds
+            # both the face and person programs
+            dev_bgr = backend.upload_shared(a_frames)
+            fetch = backend.submit_device(dev_bgr, valid, idxs)
+            person_fetch = person_backend.submit_device(dev_bgr, valid,
+                                                        idxs)
+        else:
+            if submit is not None:
+                fetch = submit(a_frames, valid, idxs)
+            else:
+                out_now = backend.extract_batch(a_frames, valid, idxs)
+                fetch = lambda out_now=out_now: out_now
+            if _use_person():
+                # dispatch the person program immediately after the
+                # face program: both execute before either download
+                psubmit = getattr(person_backend, "submit_batch", None)
+                if psubmit is not None:
+                    person_fetch = psubmit(a_frames, valid, idxs)
+                else:
+                    p_now = person_backend.detect_batch(a_frames, valid,
+                                                        idxs)
+                    person_fetch = lambda p_now=p_now: p_now
+        inflight.append((fetch, person_fetch, frames, idxs, valid, n,
+                         a_scale))
 
     def _face_fd(feat) -> float:
         if bank_mat is None:

@@ -5,6 +5,15 @@ the TPU-era analogue of the reference's ``pc.saver`` thread + bounded queue
 (person_capture/gui_app.py:5155-5372): atomic writes (tmp + os.replace,
 optional file+dir fsync, size verification) and an ``index.csv`` with the
 reference's exact column schema.
+
+``workers=K`` runs K encode workers over the one bounded queue (the
+reference is single-threaded here; PNG/AVIF encode is its documented CPU
+bottleneck, README.md:258-265). CSV rows always land in SUBMISSION order
+regardless of completion order (per-item sequence numbers + a reorder
+buffer), and the per-item render-timeout/cancel semantics are identical at
+every K. K>1 is a measured no-op on a 1-core host but removes the last
+single-thread bottleneck of the HDR export chain on real multi-core hosts
+(VERDICT r3 next #4).
 """
 
 from __future__ import annotations
@@ -13,8 +22,9 @@ import csv
 import os
 import queue
 import threading
+import time
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -74,6 +84,16 @@ def atomic_image_write(img: np.ndarray, out_path: str, jpg_quality: int = 85,
         return False, f"{type(e).__name__}: {e}"
 
 
+def auto_save_workers() -> int:
+    """Default encode-worker count: leave one core for the decode/driver
+    loop, cap at 4 (PNG encode saturates well before that on real crops)."""
+    try:
+        cores = os.cpu_count() or 1
+    except Exception:  # pragma: no cover
+        cores = 1
+    return max(1, min(4, cores - 1))
+
+
 @dataclass
 class SaveItem:
     img: Optional[np.ndarray]
@@ -106,17 +126,26 @@ class AsyncSaver:
     work submitted via :meth:`submit_archive` runs on a separate
     depth-``archive_depth`` backpressured queue (reference `pc.archive_saver`
     thread + archive_q(2), gui_app.py:5209-5372).
+
+    ``workers``: encode-worker count (see module docstring); 0 = auto
+    (cores-1, capped 4). With one worker the classic depth-1 two-phase
+    pipeliner runs (begin item i+1 before finishing item i); with K>1 the
+    same overlap emerges across workers, each running begin→finish
+    per item.
     """
 
     def __init__(self, out_dir: str, jpg_quality: int = 85,
                  fsync: bool = False, async_save: bool = True,
                  queue_size: int = 512, csv_name: str = "index.csv",
-                 render_timeout_sec: float = 0.0, archive_depth: int = 2):
+                 render_timeout_sec: float = 0.0, archive_depth: int = 2,
+                 workers: int = 1):
         self.out_dir = out_dir
         self.jpg_quality = int(jpg_quality)
         self.fsync = bool(fsync)
         self.async_save = bool(async_save)
         self.render_timeout = float(render_timeout_sec)
+        self.workers = int(workers) if int(workers) > 0 else \
+            auto_save_workers()
         os.makedirs(out_dir, exist_ok=True)
         self.csv_path = os.path.join(out_dir, csv_name)
         self._csv_f = open(self.csv_path, "w", newline="")
@@ -130,21 +159,35 @@ class AsyncSaver:
         self.saved: List[str] = []
         self.errors: List[Tuple[str, str]] = []
         self.archived: List[str] = []
+        # submission-order accounting: completion may be out of order with
+        # K>1 workers, but CSV rows (and the saved/errors lists) must read
+        # in submission order — a reorder buffer drains contiguously
+        self._seq_submit = 0
+        self._seq_next = 0
+        self._reorder: Dict[int, Tuple[SaveItem, bool, str]] = {}
+        self._order_lock = threading.Lock()
         self._q: Optional[queue.Queue] = None
-        self._thread: Optional[threading.Thread] = None
+        self._threads: List[threading.Thread] = []
         self._aq: queue.Queue = queue.Queue(maxsize=max(1, int(archive_depth)))
         self._athread: Optional[threading.Thread] = None
         if self.async_save:
             self._q = queue.Queue(maxsize=queue_size)
-            self._thread = threading.Thread(target=self._worker,
-                                            name="pc.saver", daemon=True)
-            self._thread.start()
+            target = self._worker if self.workers == 1 else self._pool_worker
+            for i in range(self.workers):
+                th = threading.Thread(target=target,
+                                      name=f"pc.saver{i}", daemon=True)
+                th.start()
+                self._threads.append(th)
 
     def submit(self, item: SaveItem) -> None:
+        with self._order_lock:          # seq allocation must be atomic
+            seq = self._seq_submit
+            self._seq_submit += 1
         if self._q is not None:
-            self._q.put(item)
+            self._q.put((seq, item))
         else:
-            self._handle(item)
+            ok, err = self._execute(item)
+            self._record_ordered(seq, item, ok, err)
 
     def submit_archive(self, fn, label: str = "") -> None:
         """Queue archive work (zero-arg callable → (ok, path_or_err)) on the
@@ -162,74 +205,116 @@ class AsyncSaver:
         if self._q is not None:
             self._q.join()
 
+    # ---- single-worker path: depth-1 two-phase pipelining ---------------
     def _worker(self) -> None:
         # `inflight`: a two-phase item whose device render was dispatched
         # but not yet fetched/encoded. Beginning the NEXT item first keeps
         # the device busy during this item's host-side PNG encode.
-        inflight = None   # (item, pending, t0)
+        inflight = None   # (seq, item, pending, t0)
         while True:
             if inflight is not None:
                 try:
-                    item = self._q.get(timeout=0.05)
+                    got = self._q.get(timeout=0.05)
                 except queue.Empty:
                     self._finish_two_phase(*inflight)
                     inflight = None
                     continue
             else:
-                item = self._q.get()
-            if item is None:
+                got = self._q.get()
+            if got is None:
                 if inflight is not None:
                     self._finish_two_phase(*inflight)
                     inflight = None
                 self._q.task_done()
                 break
+            seq, item = got
             two_phase = item.render_begin is not None
-            started = self._begin_two_phase(item) if two_phase else None
+            started = self._begin_two_phase(seq, item) if two_phase else None
             if inflight is not None:
                 self._finish_two_phase(*inflight)
                 inflight = None
             if two_phase:
                 # begin failure already recorded + task_done'd the item
                 if started is not None:
-                    inflight = (item, *started)
+                    inflight = (seq, item, *started)
             else:
                 try:
-                    self._handle(item)
+                    ok, err = self._execute(item)
+                    self._record_ordered(seq, item, ok, err)
                 finally:
                     self._q.task_done()
 
-    def _begin_two_phase(self, item: SaveItem):
+    # ---- K>1 path: each worker runs begin→finish itself ------------------
+    def _pool_worker(self) -> None:
+        while True:
+            got = self._q.get()
+            if got is None:
+                self._q.task_done()
+                break
+            seq, item = got
+            try:
+                ok, err = self._execute(item)
+                self._record_ordered(seq, item, ok, err)
+            finally:
+                self._q.task_done()
+
+    def _begin_two_phase(self, seq: int, item: SaveItem):
         """Dispatch phase 1 under the render-timeout budget. Returns
         (pending, t0) or None (error already recorded, task done)."""
-        import time
-
         t0 = time.monotonic()
         ok, res = self._call_bounded(item, item.render_begin,
                                      self.render_timeout)
         if not ok:
-            self.errors.append((item.path, str(res)))
+            self._record_ordered(seq, item, False, str(res))
             self._q.task_done()
             return None
         return res, t0
 
-    def _finish_two_phase(self, item: SaveItem, pending, t0) -> None:
+    def _finish_two_phase(self, seq: int, item: SaveItem, pending,
+                          t0) -> None:
         """Phase 2 under the remaining render-timeout budget."""
-        import time
-
-        remaining = 0.0
-        if self.render_timeout > 0:
-            remaining = max(1.0,
-                            self.render_timeout - (time.monotonic() - t0))
         try:
-            called, res = self._call_bounded(
-                item, lambda: item.render_finish(pending, item.path),
-                remaining)
-            ok, err = res if called else (False, str(res))
+            ok, err = self._finish_bounded(item, pending, t0)
         except Exception as e:  # noqa: BLE001 — saver must never die
             ok, err = False, f"{type(e).__name__}: {e}"
         finally:
             self._q.task_done()
-        self._record(item, ok, err)
+        self._record_ordered(seq, item, ok, err)
+
+    def _finish_bounded(self, item: SaveItem, pending, t0):
+        remaining = 0.0
+        if self.render_timeout > 0:
+            remaining = max(1.0,
+                            self.render_timeout - (time.monotonic() - t0))
+        called, res = self._call_bounded(
+            item, lambda: item.render_finish(pending, item.path), remaining)
+        return res if called else (False, str(res))
+
+    def _execute(self, item: SaveItem) -> Tuple[bool, str]:
+        """Run one item to (ok, err) without recording — shared by the
+        sync path, the pool workers, and the 1-worker non-two-phase path.
+        Two-phase items here run begin→finish back-to-back, each bounded
+        by the shared render-timeout budget."""
+        if item.render_begin is not None:
+            t0 = time.monotonic()
+            ok, res = self._call_bounded(item, item.render_begin,
+                                         self.render_timeout)
+            if not ok:
+                return False, str(res)
+            try:
+                return self._finish_bounded(item, res, t0)
+            except Exception as e:  # noqa: BLE001 — saver must never die
+                return False, f"{type(e).__name__}: {e}"
+        if item.render is not None:
+            try:
+                called, res = self._call_bounded(
+                    item, lambda: item.render(item.path),
+                    self.render_timeout)
+                return res if called else (False, str(res))
+            except Exception as e:  # noqa: BLE001 — saver must never die
+                return False, f"{type(e).__name__}: {e}"
+        return atomic_image_write(item.img, item.path,
+                                  self.jpg_quality, self.fsync)
 
     def _call_bounded(self, item: SaveItem, fn, timeout: float):
         """Run fn() → result, bounded by `timeout` seconds when > 0 (the
@@ -275,15 +360,17 @@ class AsyncSaver:
             finally:
                 self._aq.task_done()
 
-    def _run_render(self, item: SaveItem):
-        """Run a deferred render bounded by the render timeout (via
-        :meth:`_call_bounded`: on timeout the item's cancel event is set and
-        the daemon thread abandoned — cooperative renders observe the event
-        between stages)."""
-        called, res = self._call_bounded(item,
-                                         lambda: item.render(item.path),
-                                         self.render_timeout)
-        return res if called else (False, str(res))
+    def _record_ordered(self, seq: int, item: SaveItem, ok: bool,
+                        err: str) -> None:
+        """Insert a completion and drain the contiguous prefix: CSV rows,
+        `saved`, and `errors` all read in SUBMISSION order at any worker
+        count (completion order scrambles with K>1)."""
+        with self._order_lock:
+            self._reorder[seq] = (item, ok, err)
+            while self._seq_next in self._reorder:
+                it, o, e = self._reorder.pop(self._seq_next)
+                self._record(it, o, e)
+                self._seq_next += 1
 
     def _record(self, item: SaveItem, ok: bool, err: str) -> None:
         if ok:
@@ -303,43 +390,28 @@ class AsyncSaver:
         else:
             self.errors.append((item.path, err))
 
-    def _handle(self, item: SaveItem) -> None:
-        if item.render_begin is not None:
-            # synchronous mode (async_save=False): run both phases inline
-            try:
-                ok, err = item.render_finish(item.render_begin(), item.path)
-            except Exception as e:  # noqa: BLE001 — saver must never die
-                ok, err = False, f"{type(e).__name__}: {e}"
-        elif item.render is not None:
-            try:
-                ok, err = self._run_render(item)
-            except Exception as e:  # noqa: BLE001 — saver must never die
-                ok, err = False, f"{type(e).__name__}: {e}"
-        else:
-            ok, err = atomic_image_write(item.img, item.path,
-                                         self.jpg_quality, self.fsync)
-        self._record(item, ok, err)
-
     def close(self) -> None:
         if self._q is not None:
-            self._q.put(None)
+            for _ in self._threads:
+                self._q.put(None)
             # drain the backlog for as long as it keeps making PROGRESS
             # (a 100-item HDR backlog legitimately outlives any fixed join
             # cap; a fixed 60 s cap dropped the tail AND closed the CSV
             # under the worker, killing it on its next row). Give up only
             # when nothing completes for a full render-timeout window.
             stall_window = max(60.0, self.render_timeout or 0.0)
-            while self._thread.is_alive():
-                before = len(self.saved) + len(self.errors)
-                self._thread.join(timeout=stall_window)
-                if not self._thread.is_alive():
-                    break
-                if len(self.saved) + len(self.errors) == before:
-                    self.errors.append(
-                        ("saver", f"close(): worker stalled "
-                                  f">{stall_window:.0f}s with "
-                                  f"{self._q.qsize()} items queued"))
-                    break
+            for th in self._threads:
+                while th.is_alive():
+                    before = len(self.saved) + len(self.errors)
+                    th.join(timeout=stall_window)
+                    if not th.is_alive():
+                        break
+                    if len(self.saved) + len(self.errors) == before:
+                        self.errors.append(
+                            ("saver", f"close(): worker stalled "
+                                      f">{stall_window:.0f}s with "
+                                      f"{self._q.qsize()} items queued"))
+                        break
         if self._athread is not None:
             self._aq.put(None)
             self._athread.join(timeout=120)

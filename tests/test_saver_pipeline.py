@@ -181,3 +181,85 @@ def test_csv_rows_flushed_periodically(tmp_path):
         on_disk = fh.read().strip().splitlines()
     assert len(on_disk) >= 1 + 2   # header + at least one flush batch
     sv.close()
+
+
+def test_pool_workers_preserve_submission_order(tmp_path):
+    """K>1 encode workers (tpu_save_workers): completion order scrambles
+    (random per-item delays) but CSV rows + saved list read in SUBMISSION
+    order (VERDICT r3 next #4)."""
+    import random
+
+    rng = random.Random(7)
+    n = 24
+    done = []
+
+    def make_render(i):
+        def render(p):
+            time.sleep(rng.random() * 0.05)
+            done.append(i)
+            with open(p, "wb") as fh:
+                fh.write(b"x")
+            return True, ""
+
+        return render
+
+    with AsyncSaver(str(tmp_path), workers=4) as sv:
+        assert len(sv._threads) == 4
+        for i in range(n):
+            sv.submit(SaveItem(img=None, path=str(tmp_path / f"r{i}.png"),
+                               render=make_render(i),
+                               csv_row=[i, "0.0", "", "", "", 0, 0, 1, 1,
+                                        f"r{i}.png", "", "1:1"]))
+        sv.wait_empty()
+    assert not sv.errors
+    assert done != sorted(done), "delays should scramble completion order"
+    # submission order everywhere the outside world looks
+    assert sv.saved == [str(tmp_path / f"r{i}.png") for i in range(n)]
+    rows = (tmp_path / "index.csv").read_text().strip().splitlines()[1:]
+    assert [r.split(",")[0] for r in rows] == [str(i) for i in range(n)]
+
+
+def test_pool_workers_two_phase_and_cancel(tmp_path):
+    """Two-phase render items keep begin→finish + render-timeout/cancel
+    semantics at K>1."""
+    ev = threading.Event()
+
+    def hang_finish(pending, p):
+        for _ in range(300):
+            if ev.is_set():
+                return False, "cancelled"
+            time.sleep(0.1)
+        return True, ""
+
+    log = []
+    with AsyncSaver(str(tmp_path), workers=3,
+                    render_timeout_sec=0.3) as sv:
+        sv.submit(SaveItem(img=None, path=str(tmp_path / "hang.png"),
+                           render_begin=lambda: "p",
+                           render_finish=hang_finish, cancel_event=ev))
+        for i in range(3):
+            sv.submit(_two_phase_item(str(tmp_path / f"g{i}.png"), log, i,
+                                      finish_sleep=0.01))
+        t0 = time.monotonic()
+        sv.wait_empty()
+        assert time.monotonic() - t0 < 10
+    assert ev.is_set()
+    assert any("render_timeout" in e for _, e in sv.errors)
+    assert len(sv.saved) == 3
+
+
+def test_auto_workers_on_this_host():
+    from person_capture_tpu.pipeline.saver import auto_save_workers
+
+    k = auto_save_workers()
+    import os as _os
+
+    cores = _os.cpu_count() or 1
+    assert k == max(1, min(4, cores - 1))
+    # workers=0 resolves to auto
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sv = AsyncSaver(td, workers=0)
+        assert sv.workers == k
+        sv.close()
