@@ -340,6 +340,13 @@ class SessionConfig:
     # replay in submission order); only the fd9 gate's skip decisions lag
     # by `depth` batches instead of one.
     tpu_pipeline_depth: int = 2
+    # Decode workers (0 = auto: cores-1 capped at 4; 1 on this 1-core
+    # image). >1 stripes the span/sample plan over N reader threads each
+    # owning its own decoder process (video/decodepool.py) — results are
+    # order-identical to a single reader; decode throughput scales with
+    # cores. The reference leans on decoder threading/NVDEC instead
+    # (PC_FF_THREADS, PC_HWACCEL — video_io.py:1277-1282).
+    tpu_decode_workers: int = 0
     # Encode workers behind the async saver (0 = auto: cores-1 capped at
     # 4; 1 on this 1-core image). PNG/AVIF encode is the reference's
     # documented CPU bottleneck (README.md:258-265, single saver thread);

@@ -143,6 +143,13 @@ class Engine:
             self._last_frame_t = time.monotonic()
         return self._stop.is_set()
 
+    def _decode_workers(self) -> int:
+        """Resolved decode-worker count (cfg.tpu_decode_workers, 0=auto)."""
+        from ..video.decodepool import auto_decode_workers
+
+        v = int(getattr(self.cfg, "tpu_decode_workers", 1) or 0)
+        return v if v > 0 else auto_decode_workers()
+
     def _report_reader_health(self, reader, phase: str) -> None:
         """Surface decoder recoveries/deaths in the status stream (the
         reference logs the pipe's stderr tail in its fallback diagnostics,
@@ -289,10 +296,25 @@ class Engine:
                             max_w=cfg.prescan_decode_max_w,
                             prefer_ffmpeg=True)
 
-                    base = ResilientReader(_open_base(), _open_base,
-                                           total_frames=meta.total_frames)
-                    r = StridedPrefetchReader(base, cfg.prescan_stride,
-                                              reopen=_open_base)
+                    def _resilient():
+                        return ResilientReader(
+                            _open_base(), _open_base,
+                            total_frames=meta.total_frames)
+
+                    workers = self._decode_workers()
+                    if workers > 1 and meta.total_frames > 1:
+                        # striped multi-worker decode: N readers over the
+                        # full-range sample plan (video/decodepool.py)
+                        from ..video.decodepool import StripedDecodeReader
+
+                        r = StripedDecodeReader(
+                            _resilient, [(0, meta.total_frames - 1)],
+                            cfg.prescan_stride, workers=workers,
+                            total_frames=meta.total_frames)
+                    else:
+                        r = StridedPrefetchReader(_resilient(),
+                                                  cfg.prescan_stride,
+                                                  reopen=_open_base)
                     try:
                         p = run_prescan(r, self.backend, cfg, bank, meta=None,
                                         reopen_reader=_reopen,
@@ -398,11 +420,28 @@ class Engine:
                             key="phase")
             from ..video.reader import ResilientReader, StridedPrefetchReader
 
-            main_reader = ResilientReader(main_reader, _open_analysis,
-                                          total_frames=meta.total_frames)
-            main_reader = StridedPrefetchReader(main_reader,
-                                                cfg.frame_stride,
-                                                reopen=_open_analysis)
+            workers = self._decode_workers()
+            if workers > 1 and meta.total_frames > 1 and spans:
+                # striped multi-worker decode over the SPAN plan: each
+                # worker owns a decoder; samples serve in exact span-walk
+                # order (video/decodepool.py)
+                from ..video.decodepool import StripedDecodeReader
+
+                main_reader.release()      # superseded by pool readers
+
+                def _resilient_main():
+                    return ResilientReader(_open_analysis(), _open_analysis,
+                                           total_frames=meta.total_frames)
+
+                main_reader = StripedDecodeReader(
+                    _resilient_main, spans, cfg.frame_stride,
+                    workers=workers, total_frames=meta.total_frames)
+            else:
+                main_reader = ResilientReader(main_reader, _open_analysis,
+                                              total_frames=meta.total_frames)
+                main_reader = StridedPrefetchReader(main_reader,
+                                                    cfg.frame_stride,
+                                                    reopen=_open_analysis)
             reader_holder["r"] = main_reader
             if preview_p010 is not None:
                 self._run_resources.append(preview_p010.release)

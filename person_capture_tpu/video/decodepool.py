@@ -1,0 +1,359 @@
+"""Multi-worker striped decode pool.
+
+The 1-core image caps both pipelines at ~50-150 src f/s of cv2 1080p
+decode (BASELINE.md), and the single `StridedPrefetchReader` thread cannot
+use more cores where they exist — the last structural obstacle between the
+measured 250-470× device path and the ≥30× end-to-end target on
+production hosts (VERDICT r3 next #3). The reference leans on decoder
+threading + hardware decode instead (PC_FF_THREADS=16 in
+/root/reference/start_person_capture.bat; NVDEC via PC_HWACCEL,
+/root/reference/person_capture/video_io.py:1277-1282) — neither exists on
+a TPU host, so parallelism comes from N independent decoders striped over
+the sample plan.
+
+Design: the consumer-facing :class:`StripedDecodeReader` implements the
+standard reader protocol (read/skip/seek/pos/meta/release, live
+``stride``), so it drops into the pre-scan and main-pass drivers wherever
+``StridedPrefetchReader`` goes. The *plan* — the spans the driver will
+walk, each sampled at ``stride`` from its start — is cut into fixed-size
+BLOCKS of samples; N worker threads (each owning its own reader from the
+factory) claim blocks from a shared monotonic counter, decode them
+(one forward seek/skip per block, then sequential read+skip), and deposit
+them into a reorder buffer the consumer drains in exact global order.
+Claims are bounded by an in-flight WINDOW so memory stays at
+``window × block × frame`` bytes while every worker keeps decoding ~N
+blocks ahead of the consumer — sustained N-way parallelism with
+bit-identical output order at any worker count. (Naive contiguous
+chunking stalls: workers ahead of the consumer fill a bounded queue and
+then sit idle.)
+
+Positioning calls are LAZY: ``seek``/``skip`` only move ``pos`` (the
+drivers position between spans with seek + forward skips — none of that
+should restart decoders). Only a ``read()`` whose position is not the
+pool's next sample deviates: samples before ``pos`` are discarded (the
+fd9 gate's skip(stride), span-gap jumps); anything else (interactive
+backward seek, live stride change, off-grid read) triggers a replan —
+workers restart from the current position over the remaining spans.
+Replans are rare by construction: the normal span walk of both drivers
+needs zero.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Callable, List, Optional, Sequence, Tuple
+
+
+def auto_decode_workers() -> int:
+    """Default decode-worker count: leave one core for the driver loop,
+    cap at 4 (container seeks + queue overhead eat the gains beyond)."""
+    try:
+        cores = os.cpu_count() or 1
+    except Exception:  # pragma: no cover
+        cores = 1
+    return max(1, min(4, cores - 1))
+
+
+def _plan_segments(spans: Sequence[Tuple[int, int]], stride: int,
+                   from_pos: Optional[int] = None
+                   ) -> List[Tuple[int, int, int]]:
+    """Spans → sample segments ``(first_sample, n_samples, stride)``.
+    Each span samples from its own start (the drivers restart the stride
+    phase per span). ``from_pos`` trims the plan for a replan: the span
+    containing it re-phases at ``from_pos``; a position in a gap (or
+    before the first span) extends the NEXT span backward to it —
+    wasted decode only, never a wrong frame."""
+    stride = max(1, int(stride))
+    segs: List[Tuple[int, int, int]] = []
+    for s, e in spans:
+        s, e = int(s), int(e)
+        if e < s:
+            continue
+        if from_pos is not None:
+            if e < from_pos:
+                continue
+            s = min(max(0, int(from_pos)), s) if from_pos < s \
+                else max(0, int(from_pos))
+            from_pos = None     # only the first surviving span re-phases
+        segs.append((s, (e - s) // stride + 1, stride))
+    return segs
+
+
+def _cut_blocks(segs: List[Tuple[int, int, int]], block_samples: int
+                ) -> List[Tuple[int, int, int]]:
+    """Sample segments → fixed-size work blocks (same tuple shape,
+    ``n_samples ≤ block_samples``), in global order."""
+    out: List[Tuple[int, int, int]] = []
+    b = max(1, int(block_samples))
+    for first, n, st in segs:
+        off = 0
+        while off < n:
+            take = min(b, n - off)
+            out.append((first + off * st, take, st))
+            off += take
+    return out
+
+
+def _position_reader(reader, target: int) -> bool:
+    """Land ``reader`` exactly on ``target``. Small forward gaps drain
+    with skip; larger jumps seek (or reopen is the caller's job for
+    seekless readers — the factory readers here all seek). Returns False
+    on an EOF shortfall."""
+    delta = int(target) - int(reader.pos)
+    if delta == 0:
+        return True
+    if 0 < delta <= 96 or (delta > 0 and not hasattr(reader, "seek")):
+        return reader.skip(delta) == delta
+    if hasattr(reader, "seek"):
+        reader.seek(int(target))
+        return True
+    return False
+
+
+class StripedDecodeReader:
+    """N-worker block-striped decode over a span plan (module docstring).
+
+    ``open_reader``: zero-arg factory returning a fresh reader at frame 0
+    (wrap with :class:`~person_capture_tpu.video.reader.ResilientReader`
+    in the factory for per-worker mid-stream recovery). ``spans``: the
+    driver's walk plan (pre-scan: one full-range span). ``total_frames``:
+    container frame count for the skip-shortfall contract.
+    """
+
+    def __init__(self, open_reader: Callable,
+                 spans: Sequence[Tuple[int, int]],
+                 stride: int, workers: int = 0, total_frames: int = 0,
+                 block_samples: int = 32, window_blocks: int = 0):
+        self._open = open_reader
+        self._spans = [(int(s), int(e)) for s, e in spans]
+        self._stride = max(1, int(stride))
+        self.workers = int(workers) if int(workers) > 0 \
+            else auto_decode_workers()
+        self.block_samples = max(1, int(block_samples))
+        self.window = int(window_blocks) if int(window_blocks) > 0 \
+            else max(self.workers + 1, 2 * self.workers)
+        self.total_frames = int(total_frames)
+        self.pos = self._spans[0][0] if self._spans else 0
+        self._eof_pos: Optional[int] = None
+        self._released = False
+        # failure/diagnostic aggregation (engine _report_reader_health)
+        self.recoveries = 0
+        self.failed = False
+        self.last_failure: Optional[str] = None
+        self._meta = None
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._threads: List[threading.Thread] = []
+        self._start_pool(_plan_segments(self._spans, self._stride))
+
+    # ---- reader protocol --------------------------------------------------
+    def meta(self):
+        if self._meta is None:
+            r = self._open()
+            try:
+                self._meta = r.meta()
+            finally:
+                r.release()
+        return self._meta
+
+    @property
+    def stride(self) -> int:
+        return self._stride
+
+    @stride.setter
+    def stride(self, value: int) -> None:
+        # grid change is lazy: the next read() off the old grid replans
+        # with the new stride
+        self._stride = max(1, int(value))
+
+    def read(self):
+        while True:
+            if self._eof_pos is not None and self.pos >= self._eof_pos:
+                return None
+            item = self._next_item()
+            kind = item[0]
+            if kind == "planend":
+                # pool exhausted but the consumer still reads: it deviated
+                # past the plan (or the plan was empty) — replan from pos
+                if not self._replan(self.pos):
+                    return None
+                continue
+            if kind == "eof":
+                self._eof_pos = int(item[1])
+                return None
+            _, idx, frame = item
+            if idx == self.pos:
+                self.pos += 1
+                return frame
+            if idx < self.pos:
+                continue                  # discarded sample (skip/fd9/gap)
+            # idx > pos: backward seek or off-grid read — replan
+            self._unserved = item
+            if not self._replan(self.pos):
+                return None
+
+    def skip(self, count: int) -> int:
+        count = max(0, int(count))
+        eof = self._eof_pos
+        if eof is not None and self.pos <= eof < self.pos + count:
+            done = max(0, eof - self.pos)
+            self.pos = eof
+            return done
+        if self.total_frames > 0 and self.pos + count > self.total_frames:
+            done = max(0, self.total_frames - self.pos)
+            self.pos = self.total_frames
+            return done
+        self.pos += count
+        return count
+
+    def seek(self, frame_idx: int) -> None:
+        self.pos = max(0, int(frame_idx))
+
+    def release(self) -> None:
+        self._released = True
+        self._stop_pool()
+
+    # ---- pool internals ---------------------------------------------------
+    def _start_pool(self, segs: List[Tuple[int, int, int]]) -> None:
+        with self._lock:
+            self._blocks = _cut_blocks(segs, self.block_samples)
+            self._claim_next = 0       # next block index a worker may take
+            self._consume_next = 0     # next block index the consumer needs
+            self._done: dict = {}      # block index -> list of items
+            self._stop_evt = threading.Event()
+            self._unserved = None
+            self._block_cursor = 0     # position inside the consuming block
+        self._threads = []
+        for w in range(self.workers):
+            th = threading.Thread(target=self._worker, name=f"pc.decode{w}",
+                                  args=(self._stop_evt,), daemon=True)
+            th.start()
+            self._threads.append(th)
+
+    def _stop_pool(self) -> None:
+        with self._cond:
+            self._stop_evt.set()
+            self._cond.notify_all()
+        for th in self._threads:
+            th.join(timeout=10)
+        self._threads = []
+
+    def _replan(self, from_pos: int) -> bool:
+        """Restart the pool from ``from_pos`` over the remaining spans.
+        False when nothing remains to decode."""
+        self._stop_pool()
+        self._eof_pos = None
+        segs = _plan_segments(self._spans, self._stride, from_pos=from_pos)
+        if not any(n > 0 for _, n, _ in segs):
+            return False
+        self._start_pool(segs)
+        return True
+
+    def _claim(self, stop) -> Optional[int]:
+        """Claim the next block index, waiting while the in-flight window
+        is full; None when the plan is exhausted or the pool stops."""
+        with self._cond:
+            while not stop.is_set():
+                if self._claim_next >= len(self._blocks):
+                    return None
+                if self._claim_next < self._consume_next + self.window:
+                    i = self._claim_next
+                    self._claim_next += 1
+                    return i
+                self._cond.wait(timeout=0.2)
+            return None
+
+    def _deposit(self, i: int, items: List) -> None:
+        with self._cond:
+            self._done[i] = items
+            self._cond.notify_all()
+
+    def _worker(self, stop) -> None:
+        reader = None
+        try:
+            reader = self._open()
+            while True:
+                i = self._claim(stop)
+                if i is None:
+                    return
+                first, count, stride = self._blocks[i]
+                items: List = []
+                if not _position_reader(reader, first):
+                    items.append(("eof", reader.pos))
+                    self._deposit(i, items)
+                    return
+                p = first
+                for k in range(count):
+                    if stop.is_set():
+                        return
+                    frame = reader.read()
+                    if frame is None:
+                        items.append(("eof", p))
+                        break
+                    items.append(("frame", p, frame))
+                    if k != count - 1 and reader.skip(stride - 1) \
+                            < stride - 1:
+                        items.append(("eof", reader.pos))
+                        break
+                    p += stride
+                self._deposit(i, items)
+                if items and items[-1][0] == "eof":
+                    return
+        except Exception as e:  # noqa: BLE001 — a dead worker must not hang the consumer
+            with self._cond:
+                self.failed = True
+                self.last_failure = f"{type(e).__name__}: {e}"
+                # fail the block it was working on so the consumer stops
+                # with an EOF instead of waiting forever
+                i = locals().get("i", None)
+                if isinstance(i, int) and i not in self._done:
+                    self._done[i] = [("eof", getattr(reader, "pos", 0) or 0)]
+                self._cond.notify_all()
+        finally:
+            if reader is not None:
+                try:
+                    self.recoveries += int(
+                        getattr(reader, "recoveries", 0) or 0)
+                    if getattr(reader, "failed", False):
+                        self.failed = True
+                        self.last_failure = (
+                            getattr(reader, "last_failure", None)
+                            or getattr(reader, "eof_reason", None))
+                except Exception:
+                    pass
+                try:
+                    reader.release()
+                except Exception:
+                    pass
+
+    def _next_item(self):
+        """Next sample in global order from the reorder buffer:
+        ('frame', idx, f) | ('eof', idx) | ('planend',)."""
+        if self._unserved is not None:
+            item, self._unserved = self._unserved, None
+            return item
+        with self._cond:
+            while True:
+                if self._consume_next >= len(self._blocks):
+                    return ("planend",)
+                blk = self._done.get(self._consume_next)
+                if blk is not None:
+                    if self._block_cursor < len(blk):
+                        item = blk[self._block_cursor]
+                        self._block_cursor += 1
+                        return item
+                    # block fully served: free it, advance the window
+                    del self._done[self._consume_next]
+                    self._consume_next += 1
+                    self._block_cursor = 0
+                    self._cond.notify_all()
+                    continue
+                # block not deposited yet: is anyone going to produce it?
+                if not any(th.is_alive() for th in self._threads):
+                    # all workers exited without this block (EOF block of
+                    # an earlier worker stops production) — if an earlier
+                    # eof was deposited it has been served already; treat
+                    # the rest as end-of-stream
+                    return ("eof", self.pos)
+                self._cond.wait(timeout=0.5)
