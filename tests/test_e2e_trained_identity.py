@@ -21,8 +21,9 @@ from person_capture_tpu.video.synthetic import (FacePlacement, draw_face,
                                                 generate_video)
 
 
-@pytest.mark.slow
-def test_cli_two_identity_discrimination_default_thresholds(tmp_path):
+def _drive_two_identity(tmp_path, det_size: int, width: int, height: int,
+                        total: int, target_span, distractor_span,
+                        min_covered: int):
     import cv2
 
     if (bundled_weights_path("scrfd_2.5g") is None
@@ -32,9 +33,9 @@ def test_cli_two_identity_discrimination_default_thresholds(tmp_path):
     from person_capture_tpu.main import main
 
     vid = str(tmp_path / "two_id.mp4")
-    sv = generate_video(vid, width=320, height=240, fps=30.0,
-                        total_frames=150,
-                        segments=[(20, 60, 0), (90, 120, 1)],
+    sv = generate_video(vid, width=width, height=height, fps=30.0,
+                        total_frames=total,
+                        segments=[(*target_span, 0), (*distractor_span, 1)],
                         moving=True, seed=5)
     ref = np.full((200, 200, 3), 60, np.uint8)
     draw_face(ref, FacePlacement(0, 0, (40, 40, 160, 160)))
@@ -45,7 +46,7 @@ def test_cli_two_identity_discrimination_default_thresholds(tmp_path):
     # NO threshold flags: face_thresh / prescan fd gates / face_det_conf
     # stay at SessionConfig defaults — exactly what a CLI user gets
     rc = main(["--video", vid, "--ref", ref_path, "--out", out_dir,
-               "--batch", "8", "--det-size", "256", "--prescan",
+               "--batch", "8", "--det-size", str(det_size), "--prescan",
                "--set", "prescan_cache_mode=off",
                "--set", "curate_enable=false"])
     assert rc == 0
@@ -59,7 +60,8 @@ def test_cli_two_identity_discrimination_default_thresholds(tmp_path):
 
     target_spans = sv.identity_spans(0)
     distractor_spans = sv.identity_spans(1)
-    assert target_spans == [(20, 60)] and distractor_spans == [(90, 120)]
+    assert target_spans == [tuple(target_span)]
+    assert distractor_spans == [tuple(distractor_span)]
 
     def in_any(f, spans, pad=0):
         return any(s - pad <= f <= e + pad for s, e in spans)
@@ -73,4 +75,22 @@ def test_cli_two_identity_discrimination_default_thresholds(tmp_path):
             f"hit {f} on the WRONG identity {distractor_spans}"
     # and real coverage of the target span, not a lucky single frame
     covered = sum(1 for f in hit_frames if in_any(f, target_spans))
-    assert covered >= 10
+    assert covered >= min_covered
+
+
+@pytest.mark.slow
+def test_cli_two_identity_discrimination_default_thresholds(tmp_path):
+    _drive_two_identity(tmp_path, det_size=256, width=320, height=240,
+                        total=150, target_span=(20, 60),
+                        distractor_span=(90, 120), min_covered=10)
+
+
+@pytest.mark.slow
+def test_cli_two_identity_at_default_det640(tmp_path):
+    """The CLI-DEFAULT detector shape (det 640) at default thresholds —
+    previously only manual verify drives and bench exercised it, so a
+    640-shape regression couldn't fail CI (VERDICT r3 weak #5 / next #7).
+    Shorter video keeps the 4x-larger canvas affordable on the CPU mesh."""
+    _drive_two_identity(tmp_path, det_size=640, width=640, height=360,
+                        total=90, target_span=(10, 45),
+                        distractor_span=(60, 82), min_covered=6)

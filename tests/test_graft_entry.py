@@ -11,7 +11,10 @@ jax process.
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
+
+import pytest
 
 
 def _load_entry():
@@ -30,10 +33,10 @@ def test_non_cpu_default_backend_routes_to_subprocess(monkeypatch):
     calls = {"sub": 0, "inproc": 0}
     monkeypatch.setattr(jax, "default_backend", lambda: "axon")
     monkeypatch.setattr(ge, "_run_subprocess",
-                        lambda n: calls.__setitem__("sub", calls["sub"] + 1))
+                        lambda n, full=False: calls.__setitem__("sub", calls["sub"] + 1))
     monkeypatch.setattr(
         ge, "_dryrun_multichip_inproc",
-        lambda n: calls.__setitem__("inproc", calls["inproc"] + 1))
+        lambda n, full=False: calls.__setitem__("inproc", calls["inproc"] + 1))
     ge.dryrun_multichip(8)
     assert calls == {"sub": 1, "inproc": 0}
 
@@ -49,7 +52,7 @@ def test_pin_probe_failure_routes_to_subprocess(monkeypatch):
     calls = {"sub": 0}
     monkeypatch.setattr(jax, "default_backend", boom)
     monkeypatch.setattr(ge, "_run_subprocess",
-                        lambda n: calls.__setitem__("sub", calls["sub"] + 1))
+                        lambda n, full=False: calls.__setitem__("sub", calls["sub"] + 1))
     ge.dryrun_multichip(8)
     assert calls["sub"] == 1
 
@@ -76,9 +79,22 @@ def test_cpu_pinned_process_runs_inproc(monkeypatch):
     calls = {"inproc": 0}
     monkeypatch.setattr(
         ge, "_dryrun_multichip_inproc",
-        lambda n: calls.__setitem__("inproc", calls["inproc"] + 1))
+        lambda n, full=False: calls.__setitem__("inproc", calls["inproc"] + 1))
     monkeypatch.setattr(ge, "_run_subprocess",
                         lambda n: (_ for _ in ()).throw(
                             AssertionError("must not subprocess")))
     ge.dryrun_multichip(8)
     assert calls["inproc"] == 1
+
+
+@pytest.mark.slow
+def test_dryrun_full_flagship_shapes():
+    """FLAGSHIP-shape sharded dryrun (VERDICT r3 next #5): SCRFD-2.5G +
+    ArcFace-r50 at det 416 over the dp×tp mesh — tp divisibility of real
+    channel counts and spatial sharding of real FPN levels, not TINY's.
+    ~8 min on the virtual CPU mesh, so opt-in: set PC_FULL_DRYRUN=1."""
+    if not os.environ.get("PC_FULL_DRYRUN"):
+        pytest.skip("set PC_FULL_DRYRUN=1 (also runnable as "
+                    "`python __graft_entry__.py --full`)")
+    ge = _load_entry()
+    ge.dryrun_multichip(8, full=True)
