@@ -215,11 +215,10 @@ def _bench_mainpass_e2e(video: str, ref_png: str):
     x0 = (MAIN_ANALYSIS_W - side) // 2
     canvas[:, x0:x0 + side] = ref_s
     frames = np.repeat(canvas[None], batch, axis=0)
-    dev = backend.upload_shared(frames)
-    # the engine's main pass dispatches the COMBINED face+person program
-    # (one download) — warm exactly that one
-    out, _ = backend.submit_device_with_person(
-        person, dev, np.ones(batch, bool))()
+    # the engine's main pass dispatches the combined WIRE program (one
+    # upload, one dispatch, one download) — warm exactly that one
+    out, _ = backend.submit_wire_with_person(
+        person, frames, np.ones(batch, bool))()
     mask = np.asarray(out["mask"][0])
     bank = RefBank(cap=64)
     if mask.any():
@@ -251,7 +250,7 @@ def _bench_mainpass_e2e(video: str, ref_png: str):
     return src_fps / FPS, src_fps, len(res.mainpass.hits)
 
 
-def _wait_for_device(deadline_s: float = 600.0) -> None:
+def _wait_for_device(deadline_s: float = 900.0) -> None:
     """The tunneled chip enters transient bad states where even a trivial
     matmul hangs (CLAUDE.md). Probe it in a SUBPROCESS — a hung in-process
     backend init cannot be interrupted — and retry until the deadline, so

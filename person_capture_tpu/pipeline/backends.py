@@ -387,6 +387,44 @@ class ScrfdArcFaceBackend:
         combo = self._combined_with(person)
         packed_dev = combo(bgr_dev, self._jnp.float32(self.score_thresh),
                            self._jnp.float32(person.conf))
+        return self._combo_fetch(packed_dev, valid, person)
+
+    def _combined_wire_with(self, person):
+        """jit ONE program from the WIRE format (uint8 i420/bgr) through
+        convert → face chain → person detector → packed output. The
+        shared-upload design (`upload_shared` + `submit_device_with_person`)
+        predates the combined program and costs an EXTRA device dispatch
+        for the convert — ~100+ ms of RPC per batch over tunneled links,
+        measured as the whole gap between the face-only and combined main
+        pass (BASELINE.md r4). Cached per person-backend instance."""
+        cached = getattr(self, "_combo_wire_cache", None)
+        if cached is not None and cached[0] is person:
+            return cached[1]
+        import jax
+
+        combo = self._combined_with(person)
+        convert = self._convert
+
+        @jax.jit
+        def combo_wire(wire_u8, face_thresh, person_conf):
+            return combo(convert(wire_u8), face_thresh, person_conf)
+
+        self._combo_wire_cache = (person, combo_wire)
+        return combo_wire
+
+    def submit_wire_with_person(self, person, frames, valid,
+                                frame_idxs=None):
+        """Host frames → wire format → ONE upload + ONE dispatch running
+        convert + face + person; returns one fetch producing
+        ``(face_out, person_out)`` from a single packed download."""
+        combo_wire = self._combined_wire_with(person)
+        wire = self._prepare_transfer(np.asarray(frames))
+        packed_dev = combo_wire(self._jnp.asarray(wire),
+                                self._jnp.float32(self.score_thresh),
+                                self._jnp.float32(person.conf))
+        return self._combo_fetch(packed_dev, valid, person)
+
+    def _combo_fetch(self, packed_dev, valid, person):
         try:
             packed_dev.copy_to_host_async()
         except AttributeError:

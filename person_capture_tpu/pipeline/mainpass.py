@@ -572,7 +572,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             valid = np.zeros((batch,), bool)
             valid[:n] = True
             with timer("main.submit"):
-                a_frames, a_scale = _analysis_frames(frames)
+                with timer("main.submit_resize"):
+                    a_frames, a_scale = _analysis_frames(frames)
                 _dispatch(frames, idxs, valid, n, a_frames, a_scale)
             pend.clear()
         while inflight and (drain or len(inflight) > pipe_depth):
@@ -580,15 +581,16 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
 
     def _dispatch(frames, idxs, valid, n, a_frames, a_scale):
         person_fetch = None
-        if (_use_person() and hasattr(backend, "upload_shared")
-                and hasattr(backend, "submit_device_with_person")
+        if (_use_person() and hasattr(backend, "submit_wire_with_person")
                 and hasattr(person_backend, "_fused")):
-            # combined program: ONE upload (i420 wire), ONE dispatch,
-            # ONE packed download for face + person outputs — each
-            # extra per-batch RPC costs 30-300 ms on tunneled links
-            dev_bgr = backend.upload_shared(a_frames)
-            combo_fetch = backend.submit_device_with_person(
-                person_backend, dev_bgr, valid, idxs)
+            # combined WIRE program: ONE upload (i420 wire), ONE dispatch
+            # running convert + face + person, ONE packed download — each
+            # extra per-batch RPC costs 30-300 ms on tunneled links (the
+            # older upload_shared path paid a separate convert dispatch,
+            # measured as a ~40% main-pass tax; BASELINE.md r4)
+            with timer("main.submit_dispatch"):
+                combo_fetch = backend.submit_wire_with_person(
+                    person_backend, a_frames, valid, idxs)
             cache: Dict = {}
 
             def _both(cache=cache, combo_fetch=combo_fetch):
@@ -986,8 +988,9 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             # gui_app.py:3368: fraction of min(W, H))
             scan = max(8, int(float(cfg.border_scan_frac) * min(H, W))) \
                 if cfg.border_scan_frac > 0 else None
-            bx1, by1, bx2, by2 = detect_black_borders(
-                frame, thr=int(cfg.border_threshold), max_scan=scan)
+            with timer("main.save_borders"):
+                bx1, by1, bx2, by2 = detect_black_borders(
+                    frame, thr=int(cfg.border_threshold), max_scan=scan)
             if (bx1, by1) != (0, 0) or (bx2, by2) != (W, H):
                 work = frame[by1:by2, bx1:bx2]
                 off_x, off_y = bx1, by1
@@ -1006,9 +1009,10 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             from ..core.geometry import face_head_proxy_box
 
             subj = det_box if best.subject_from_person else None
-            crop, ratio, profile = compose_dataset_crop(
-                cfg, det_box, ratios, (0, 0, ww, wh), subject_box=subj,
-                face_box=fb, frame_idx=frame_idx)
+            with timer("main.save_compose"):
+                crop, ratio, profile = compose_dataset_crop(
+                    cfg, det_box, ratios, (0, 0, ww, wh), subject_box=subj,
+                    face_box=fb, frame_idx=frame_idx)
             head = face_head_proxy_box(fb, ww, wh,
                                        cfg.crop_head_side_pad_frac,
                                        cfg.crop_head_top_pad_frac,
@@ -1019,10 +1023,11 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             if cfg.smart_crop_enable:
                 from ..core.smartcrop import smart_crop_box
 
-                crop = smart_crop_box(work, crop, fb,
-                                      steps=cfg.smart_crop_steps,
-                                      side_search_frac=cfg.smart_crop_side_search_frac,
-                                      use_grad=cfg.smart_crop_use_grad)
+                with timer("main.save_smartcrop"):
+                    crop = smart_crop_box(
+                        work, crop, fb, steps=cfg.smart_crop_steps,
+                        side_search_frac=cfg.smart_crop_side_search_frac,
+                        use_grad=cfg.smart_crop_use_grad)
             if fb is not None:
                 # final containment repair: translate the fixed-size crop so
                 # the detected face stays fully visible (reference save-path
@@ -1050,7 +1055,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         img = crop_img(work, crop)
         if img.size == 0:
             return False
-        sharp = calc_sharpness(img)
+        with timer("main.save_sharpness"):
+            sharp = calc_sharpness(img)
         if cfg.min_sharpness > 0 and sharp < cfg.min_sharpness:
             return False
 

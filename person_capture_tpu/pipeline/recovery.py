@@ -336,6 +336,8 @@ class RecoveringFaceBackend:
             self.submit_device = self._submit_device
         if hasattr(inner, "submit_device_with_person"):
             self.submit_device_with_person = self._submit_device_with_person
+        if hasattr(inner, "submit_wire_with_person"):
+            self.submit_wire_with_person = self._submit_wire_with_person
 
     # facade passthroughs
     @property
@@ -419,6 +421,23 @@ class RecoveringFaceBackend:
             out, person_out = fetch0()
             if kept is not None:
                 out = self._recover(kept, valid, out)
+            return out, person_out
+
+        return fetch
+
+    def _submit_wire_with_person(self, person, frames, valid,
+                                 frame_idxs=None):
+        """Combined single-dispatch wire program (host frames in): the
+        recovery ladder applies to the FACE half only (person boxes pass
+        through). Host frames are kept for the recovery re-probe."""
+        frames = np.asarray(frames)
+        valid = np.asarray(valid).copy()
+        fetch0 = self.inner.submit_wire_with_person(person, frames, valid,
+                                                    frame_idxs)
+
+        def fetch():
+            out, person_out = fetch0()
+            out = self._recover(frames, valid, out)
             return out, person_out
 
         return fetch

@@ -23,8 +23,13 @@ from typing import Callable, Optional
 _PROBE_CODE = ("import jax, jax.numpy as jnp;"
                "print(float((jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))")
 
+#: per-probe subprocess budget: the FIRST computed download in a process
+#: pays a relay handshake that is ~2 min normally but was measured at
+#: 317 s on a slow day — a 240 s cap made healthy-but-slow look dead
+_PROBE_BUDGET_S = 420.0
 
-def probe_device_once(timeout_s: float = 240.0) -> bool:
+
+def probe_device_once(timeout_s: float = _PROBE_BUDGET_S) -> bool:
     """One subprocess matmul probe; True iff the backend computed it."""
     try:
         cp = subprocess.run([sys.executable, "-c", _PROBE_CODE],
@@ -54,8 +59,8 @@ def wait_for_device(deadline_s: Optional[float] = 600.0,
     while True:
         remaining = (None if deadline_s is None
                      else deadline_s - (time.time() - t0))
-        budget = 240.0 if remaining is None \
-            else min(240.0, max(5.0, remaining))
+        budget = _PROBE_BUDGET_S if remaining is None \
+            else min(_PROBE_BUDGET_S, max(5.0, remaining))
         if probe(budget):
             if attempt:
                 status(f"device probe ok after {attempt} retr"

@@ -180,3 +180,43 @@ def test_combined_face_person_matches_separate(tiny_backend_pair):
     face_c, person_c = rec.submit_device_with_person(person, dev, valid)()
     np.testing.assert_array_equal(person_c["mask"], person_b["mask"])
     assert set(face_c) >= {"boxes", "mask", "feats", "quality"}
+
+
+def test_combined_wire_program_matches_separate(tiny_backend_pair):
+    """submit_wire_with_person (ONE upload + ONE dispatch running
+    convert+face+person + ONE packed download — the main-pass default
+    since the separate convert dispatch measured ~40% of the step over
+    the tunnel) must equal the two separate programs, and the recovery
+    facade must mirror it with person passthrough."""
+    from person_capture_tpu.models import yolov8 as YV
+    from person_capture_tpu.pipeline.backends import YoloPersonBackend
+    from person_capture_tpu.pipeline.recovery import (RecoveringFaceBackend,
+                                                      RecoveryPolicy)
+
+    backend, _ = tiny_backend_pair
+    person = YoloPersonBackend(cfg=YV.TINY, det_size=64, conf=0.0,
+                               max_det=4, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (4, 48, 64, 3), dtype=np.uint8)
+    valid = np.array([True, True, True, False])
+
+    dev = backend.upload_shared(frames)
+    face_a = backend.submit_device(dev, valid)()
+    person_a = person.submit_device(dev, valid)()
+
+    face_b, person_b = backend.submit_wire_with_person(person, frames,
+                                                       valid)()
+    for k in face_a:
+        np.testing.assert_allclose(face_a[k], face_b[k], atol=1e-5,
+                                   err_msg=k)
+    for k in ("boxes", "scores"):
+        np.testing.assert_allclose(person_a[k], person_b[k], atol=1e-5,
+                                   err_msg=k)
+    np.testing.assert_array_equal(person_a["mask"], person_b["mask"])
+
+    rec = RecoveringFaceBackend(backend,
+                                RecoveryPolicy(rot_adaptive=False))
+    assert hasattr(rec, "submit_wire_with_person")
+    face_c, person_c = rec.submit_wire_with_person(person, frames, valid)()
+    np.testing.assert_array_equal(person_c["mask"], person_b["mask"])
+    assert set(face_c) >= {"boxes", "mask", "feats", "quality"}

@@ -47,8 +47,7 @@ def _seed_bank_and_warm(backend, person, ref_png: str, analysis_w: int,
     frames = np.repeat(canvas[None], batch, axis=0)
     valid = np.ones(batch, bool)
     if use_person:
-        dev = backend.upload_shared(frames)
-        out, _ = backend.submit_device_with_person(person, dev, valid)()
+        out, _ = backend.submit_wire_with_person(person, frames, valid)()
     else:
         out = backend.submit_batch(frames, valid)()
     mask = np.asarray(out["mask"][0])
@@ -108,6 +107,10 @@ VARIANTS = {
     "noperson": (832, 16, False, 0),
     "b32": (832, 32, True, 0),
     "slots2": (832, 16, True, 2),
+    # combos on the new 640 default
+    "w640slots2": (640, 16, True, 2),
+    "w640noperson": (640, 16, False, 0),
+    "w640b32": (640, 32, True, 0),
 }
 
 
