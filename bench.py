@@ -169,7 +169,7 @@ def _bench_prescan_e2e(backend, video: str, bank_mat: np.ndarray,
     return decode_fps / FPS, decode_fps
 
 
-def _bench_mainpass_e2e(video: str, ref_png: str):
+def _bench_mainpass_e2e(video: str, ref_png: str, n_runs: int = 1):
     """Main pass through the REAL product driver: ``Engine.run`` over the
     1080p mp4 with the production defaults — decode + prefetch inside the
     timed region, analysis downscale to ``tpu_mainpass_analysis_max_w``
@@ -179,7 +179,9 @@ def _bench_mainpass_e2e(video: str, ref_png: str):
     compiles) builds OUTSIDE the timed region, exactly like a sweep's
     second video (sweep.py runtime reuse).
 
-    Returns (x_realtime, src_fps, hits)."""
+    Returns a list of (x_realtime, src_fps, hits), one per run (the
+    engine, weights, and compiles are shared across runs — the steady
+    state a sweep reaches from its second video on)."""
     import tempfile
 
     import cv2
@@ -229,25 +231,29 @@ def _bench_mainpass_e2e(video: str, ref_png: str):
         _phase("WARNING: no face detected in the bench ref — "
                "mainpass metric will report 0")
 
-    with tempfile.TemporaryDirectory() as out_dir:
-        cfg = SessionConfig(video=video, ref="", out_dir=out_dir)
-        cfg.prescan_enable = False          # measure the main pass alone
-        cfg.curate_enable = False
-        cfg.tpu_batch_frames = batch
-        cfg.min_gap_sec = 0.5               # reference solidpreset band
-        cfg.face_det_conf = 0.3             # synthetic-face fixture values
-        cfg.face_thresh = 0.9               # (verify-recipe thresholds)
-        cfg.prescan_cache_mode = "off"
-        eng = Engine(cfg, backend, person_backend=person,
-                     status=lambda m: None,
-                     progress=lambda p: None)
-        t0 = time.perf_counter()
-        res = eng.run(bank=bank)
-        dt = time.perf_counter() - t0
-    if not res.ok or res.mainpass is None:
-        return 0.0, 0.0, 0
-    src_fps = TOTAL_FRAMES / dt
-    return src_fps / FPS, src_fps, len(res.mainpass.hits)
+    runs = []
+    for _ in range(max(1, int(n_runs))):
+        with tempfile.TemporaryDirectory() as out_dir:
+            cfg = SessionConfig(video=video, ref="", out_dir=out_dir)
+            cfg.prescan_enable = False      # measure the main pass alone
+            cfg.curate_enable = False
+            cfg.tpu_batch_frames = batch
+            cfg.min_gap_sec = 0.5           # reference solidpreset band
+            cfg.face_det_conf = 0.3         # synthetic-face fixture values
+            cfg.face_thresh = 0.9           # (verify-recipe thresholds)
+            cfg.prescan_cache_mode = "off"
+            eng = Engine(cfg, backend, person_backend=person,
+                         status=lambda m: None,
+                         progress=lambda p: None)
+            t0 = time.perf_counter()
+            res = eng.run(bank=bank)
+            dt = time.perf_counter() - t0
+        if not res.ok or res.mainpass is None:
+            runs.append((0.0, 0.0, 0))
+        else:
+            src_fps = TOTAL_FRAMES / dt
+            runs.append((src_fps / FPS, src_fps, len(res.mainpass.hits)))
+    return runs
 
 
 def _wait_for_device(deadline_s: float = 900.0) -> None:
@@ -297,8 +303,17 @@ def main() -> None:
         _phase(f"prescan device path done ({device_x:.0f}x)")
         e2e_x, decode_fps = _bench_prescan_e2e(backend, video, bank_mat)
         _phase(f"prescan e2e done ({e2e_x:.1f}x)")
-        main_x, main_src_fps, main_hits = _bench_mainpass_e2e(video, ref_png)
-        _phase(f"mainpass done ({main_x:.2f}x, {main_hits} hits)")
+        # tunnel throughput varies ~3x run-to-run (BASELINE.md): one
+        # capture under- or over-states the same binary. Three runs of the
+        # SAME engine (compiles + weights paid once, like a sweep's steady
+        # state), report the median; the full band goes in detail.
+        main_runs = _bench_mainpass_e2e(video, ref_png, n_runs=3)
+        main_xs = sorted(r[0] for r in main_runs)
+        main_x = main_xs[len(main_xs) // 2]
+        mid = [r for r in main_runs if r[0] == main_x][0]
+        main_src_fps, main_hits = mid[1], mid[2]
+        _phase(f"mainpass done (median {main_x:.2f}x of {main_xs}, "
+               f"{main_hits} hits)")
     hdr_rate = _bench_hdr_exports()
     _phase(f"hdr exports done ({hdr_rate}/s)")
 
@@ -314,6 +329,7 @@ def main() -> None:
                                  f"({decode_fps:.0f} src f/s, no hwaccel "
                                  "in this image)"),
             "mainpass_realtime_x": round(main_x, 2),
+            "mainpass_runs_x": [round(x, 2) for x in main_xs],
             "mainpass_src_fps": round(main_src_fps, 1),
             "mainpass_hits": main_hits,
             "mainpass_config": ("REAL Engine.run: stride 2, analysis cap "
