@@ -310,7 +310,7 @@ class Engine:
                         r = StripedDecodeReader(
                             _resilient, [(0, meta.total_frames - 1)],
                             cfg.prescan_stride, workers=workers,
-                            total_frames=meta.total_frames)
+                            total_frames=meta.total_frames, meta=meta)
                     else:
                         r = StridedPrefetchReader(_resilient(),
                                                   cfg.prescan_stride,
@@ -435,7 +435,8 @@ class Engine:
 
                 main_reader = StripedDecodeReader(
                     _resilient_main, spans, cfg.frame_stride,
-                    workers=workers, total_frames=meta.total_frames)
+                    workers=workers, total_frames=meta.total_frames,
+                    meta=meta)
             else:
                 main_reader = ResilientReader(main_reader, _open_analysis,
                                               total_frames=meta.total_frames)

@@ -85,13 +85,11 @@ def atomic_image_write(img: np.ndarray, out_path: str, jpg_quality: int = 85,
 
 
 def auto_save_workers() -> int:
-    """Default encode-worker count: leave one core for the decode/driver
-    loop, cap at 4 (PNG encode saturates well before that on real crops)."""
-    try:
-        cores = os.cpu_count() or 1
-    except Exception:  # pragma: no cover
-        cores = 1
-    return max(1, min(4, cores - 1))
+    """Default encode-worker count — same cores-1-capped-4 heuristic as
+    the decode pool (one shared definition; they tune together)."""
+    from ..video.decodepool import auto_decode_workers
+
+    return auto_decode_workers()
 
 
 @dataclass
@@ -164,6 +162,7 @@ class AsyncSaver:
         # in submission order — a reorder buffer drains contiguously
         self._seq_submit = 0
         self._seq_next = 0
+        self._handled = 0      # completions INSERTED (incl. buffered ones)
         self._reorder: Dict[int, Tuple[SaveItem, bool, str]] = {}
         self._order_lock = threading.Lock()
         self._q: Optional[queue.Queue] = None
@@ -366,11 +365,31 @@ class AsyncSaver:
         `saved`, and `errors` all read in SUBMISSION order at any worker
         count (completion order scrambles with K>1)."""
         with self._order_lock:
+            self._handled += 1
+            if seq < self._seq_next:
+                # late arrival after close() flushed past its gap: record
+                # immediately (out of order beats silently dropped)
+                self._record(item, ok, err)
+                return
             self._reorder[seq] = (item, ok, err)
             while self._seq_next in self._reorder:
                 it, o, e = self._reorder.pop(self._seq_next)
                 self._record(it, o, e)
                 self._seq_next += 1
+
+    def _progress_count(self) -> int:
+        with self._order_lock:
+            return self._handled
+
+    def _flush_reorder_skipping_gaps(self) -> None:
+        """Record buffered completions stuck behind a hung item's seq gap
+        (close()-time only): their files are already on disk — dropping
+        their CSV rows would leave silently inconsistent output."""
+        with self._order_lock:
+            for seq in sorted(self._reorder):
+                it, o, e = self._reorder.pop(seq)
+                self._record(it, o, e)
+                self._seq_next = max(self._seq_next, seq + 1)
 
     def _record(self, item: SaveItem, ok: bool, err: str) -> None:
         if ok:
@@ -402,16 +421,24 @@ class AsyncSaver:
             stall_window = max(60.0, self.render_timeout or 0.0)
             for th in self._threads:
                 while th.is_alive():
-                    before = len(self.saved) + len(self.errors)
+                    # progress = completions INSERTED (a hung seq gap
+                    # buffers later completions in _reorder — still
+                    # progress; counting only recorded items would
+                    # declare a false stall and drop their CSV rows)
+                    before = self._progress_count()
                     th.join(timeout=stall_window)
                     if not th.is_alive():
                         break
-                    if len(self.saved) + len(self.errors) == before:
+                    if self._progress_count() == before:
                         self.errors.append(
                             ("saver", f"close(): worker stalled "
                                       f">{stall_window:.0f}s with "
                                       f"{self._q.qsize()} items queued"))
                         break
+            # abandoned a hung worker? later items completed out of order
+            # are still buffered behind its seq — their files are on disk,
+            # so record their rows before the CSV closes
+            self._flush_reorder_skipping_gaps()
         if self._athread is not None:
             self._aq.put(None)
             self._athread.join(timeout=120)

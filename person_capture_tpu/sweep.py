@@ -269,6 +269,11 @@ def main(argv=None) -> int:
             print(f"[sweep] backend failure on {video} (retry {retries}/"
                   f"{backend_max_retries}): {str(err).splitlines()[0][:200]}",
                   file=sys.stderr)
+            # the aborted attempt may have saved crops before dying; wipe
+            # the per-video dir so the retry's index.csv matches its crop
+            # folder exactly (orphan crops would contaminate an ok result)
+            import shutil
+            shutil.rmtree(out_dir, ignore_errors=True)
             # block until the device answers; the engine failure may have
             # raced a recovering relay, so re-probe even right after one
             _probe_and_wait(lambda m: print(f"[sweep] {m}", file=sys.stderr))

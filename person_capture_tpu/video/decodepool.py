@@ -124,7 +124,8 @@ class StripedDecodeReader:
     def __init__(self, open_reader: Callable,
                  spans: Sequence[Tuple[int, int]],
                  stride: int, workers: int = 0, total_frames: int = 0,
-                 block_samples: int = 32, window_blocks: int = 0):
+                 block_samples: int = 32, window_blocks: int = 0,
+                 meta=None):
         self._open = open_reader
         self._spans = [(int(s), int(e)) for s, e in spans]
         self._stride = max(1, int(stride))
@@ -137,14 +138,17 @@ class StripedDecodeReader:
         self.pos = self._spans[0][0] if self._spans else 0
         self._eof_pos: Optional[int] = None
         self._released = False
-        # failure/diagnostic aggregation (engine _report_reader_health)
-        self.recoveries = 0
-        self.failed = False
+        # per-worker failure/diagnostic snapshots, refreshed after every
+        # block (engine _report_reader_health reads the aggregates BEFORE
+        # release, so exit-time-only aggregation would under-report)
+        self._health: dict = {}
         self.last_failure: Optional[str] = None
-        self._meta = None
+        # callers that already probed the container pass meta in — the
+        # fallback probe costs a decoder spawn per call site
+        self._meta = meta
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
-        self._threads: List[threading.Thread] = []
+        self._gen = None                 # current _Generation
         self._start_pool(_plan_segments(self._spans, self._stride))
 
     # ---- reader protocol --------------------------------------------------
@@ -156,6 +160,16 @@ class StripedDecodeReader:
             finally:
                 r.release()
         return self._meta
+
+    @property
+    def recoveries(self) -> int:
+        with self._lock:
+            return sum(h[0] for h in self._health.values())
+
+    @property
+    def failed(self) -> bool:
+        with self._lock:
+            return any(h[1] for h in self._health.values())
 
     @property
     def stride(self) -> int:
@@ -180,16 +194,33 @@ class StripedDecodeReader:
                     return None
                 continue
             if kind == "eof":
-                self._eof_pos = int(item[1])
-                return None
+                at = int(item[1])
+                if self.pos >= at:
+                    self._eof_pos = at
+                    return None
+                # an eof recorded AHEAD of the current (backward-seeked)
+                # position is stale — frames before it are decodable
+                if not self._replan(self.pos):
+                    return None
+                continue
+            if kind == "stalled":
+                # every worker exited without producing the needed block
+                # (crash, or a consumer seek after a mid-stream EOF left a
+                # dead pool behind): one replan from the current position
+                # either revives decode — e.g. a backward seek to frames
+                # BEFORE the EOF point — or deposits a proper eof item,
+                # which terminates above on the next loop
+                if not self._replan(self.pos):
+                    return None
+                continue
             _, idx, frame = item
             if idx == self.pos:
                 self.pos += 1
                 return frame
             if idx < self.pos:
                 continue                  # discarded sample (skip/fd9/gap)
-            # idx > pos: backward seek or off-grid read — replan
-            self._unserved = item
+            # idx > pos: backward seek or off-grid read — replan (the pool
+            # re-decodes from pos; the peeked item belongs to the old plan)
             if not self._replan(self.pos):
                 return None
 
@@ -216,28 +247,27 @@ class StripedDecodeReader:
 
     # ---- pool internals ---------------------------------------------------
     def _start_pool(self, segs: List[Tuple[int, int, int]]) -> None:
+        gen = _Generation(_cut_blocks(segs, self.block_samples))
         with self._lock:
-            self._blocks = _cut_blocks(segs, self.block_samples)
-            self._claim_next = 0       # next block index a worker may take
-            self._consume_next = 0     # next block index the consumer needs
-            self._done: dict = {}      # block index -> list of items
-            self._stop_evt = threading.Event()
-            self._unserved = None
-            self._block_cursor = 0     # position inside the consuming block
-        self._threads = []
+            self._gen = gen
         for w in range(self.workers):
             th = threading.Thread(target=self._worker, name=f"pc.decode{w}",
-                                  args=(self._stop_evt,), daemon=True)
+                                  args=(w, gen), daemon=True)
             th.start()
-            self._threads.append(th)
+            gen.threads.append(th)
 
     def _stop_pool(self) -> None:
+        gen = self._gen
+        if gen is None:
+            return
         with self._cond:
-            self._stop_evt.set()
+            gen.stop.set()
             self._cond.notify_all()
-        for th in self._threads:
+        for th in gen.threads:
             th.join(timeout=10)
-        self._threads = []
+        # a zombie worker that outlives the join timeout keeps mutating
+        # ONLY its own generation object — the consumer never reads it
+        # again (each _start_pool installs a fresh _Generation)
 
     def _replan(self, from_pos: int) -> bool:
         """Restart the pool from ``from_pos`` over the remaining spans.
@@ -250,42 +280,59 @@ class StripedDecodeReader:
         self._start_pool(segs)
         return True
 
-    def _claim(self, stop) -> Optional[int]:
-        """Claim the next block index, waiting while the in-flight window
-        is full; None when the plan is exhausted or the pool stops."""
+    def _claim(self, gen) -> Optional[int]:
+        """Claim the next block index of ``gen``, waiting while the
+        in-flight window is full; None when the plan is exhausted or the
+        generation stops."""
         with self._cond:
-            while not stop.is_set():
-                if self._claim_next >= len(self._blocks):
+            while not gen.stop.is_set():
+                if gen.claim_next >= len(gen.blocks):
                     return None
-                if self._claim_next < self._consume_next + self.window:
-                    i = self._claim_next
-                    self._claim_next += 1
+                if gen.claim_next < gen.consume_next + self.window:
+                    i = gen.claim_next
+                    gen.claim_next += 1
                     return i
                 self._cond.wait(timeout=0.2)
             return None
 
-    def _deposit(self, i: int, items: List) -> None:
+    def _deposit(self, gen, i: int, items: List) -> None:
         with self._cond:
-            self._done[i] = items
+            gen.done[i] = items
             self._cond.notify_all()
 
-    def _worker(self, stop) -> None:
+    def _update_health(self, wid: int, reader) -> None:
+        """Refresh this worker's failure/recovery snapshot (called after
+        every block + at exit, so the aggregates are live mid-run)."""
+        try:
+            rec = int(getattr(reader, "recoveries", 0) or 0)
+            fail = bool(getattr(reader, "failed", False))
+            reason = (getattr(reader, "last_failure", None)
+                      or getattr(reader, "eof_reason", None))
+        except Exception:
+            return
+        with self._lock:
+            self._health[wid] = (rec, fail)
+            if fail and reason and reason != "eof":
+                self.last_failure = str(reason)
+
+    def _worker(self, wid: int, gen) -> None:
         reader = None
+        i = None
         try:
             reader = self._open()
             while True:
-                i = self._claim(stop)
+                i = self._claim(gen)
                 if i is None:
                     return
-                first, count, stride = self._blocks[i]
+                first, count, stride = gen.blocks[i]
                 items: List = []
                 if not _position_reader(reader, first):
                     items.append(("eof", reader.pos))
-                    self._deposit(i, items)
+                    self._deposit(gen, i, items)
                     return
                 p = first
                 for k in range(count):
-                    if stop.is_set():
+                    if gen.stop.is_set():
                         return
                     frame = reader.read()
                     if frame is None:
@@ -297,31 +344,23 @@ class StripedDecodeReader:
                         items.append(("eof", reader.pos))
                         break
                     p += stride
-                self._deposit(i, items)
+                self._deposit(gen, i, items)
+                self._update_health(wid, reader)
                 if items and items[-1][0] == "eof":
                     return
         except Exception as e:  # noqa: BLE001 — a dead worker must not hang the consumer
             with self._cond:
-                self.failed = True
+                self._health[wid] = (self._health.get(wid, (0, False))[0],
+                                     True)
                 self.last_failure = f"{type(e).__name__}: {e}"
                 # fail the block it was working on so the consumer stops
                 # with an EOF instead of waiting forever
-                i = locals().get("i", None)
-                if isinstance(i, int) and i not in self._done:
-                    self._done[i] = [("eof", getattr(reader, "pos", 0) or 0)]
+                if isinstance(i, int) and i not in gen.done:
+                    gen.done[i] = [("eof", getattr(reader, "pos", 0) or 0)]
                 self._cond.notify_all()
         finally:
             if reader is not None:
-                try:
-                    self.recoveries += int(
-                        getattr(reader, "recoveries", 0) or 0)
-                    if getattr(reader, "failed", False):
-                        self.failed = True
-                        self.last_failure = (
-                            getattr(reader, "last_failure", None)
-                            or getattr(reader, "eof_reason", None))
-                except Exception:
-                    pass
+                self._update_health(wid, reader)
                 try:
                     reader.release()
                 except Exception:
@@ -329,31 +368,44 @@ class StripedDecodeReader:
 
     def _next_item(self):
         """Next sample in global order from the reorder buffer:
-        ('frame', idx, f) | ('eof', idx) | ('planend',)."""
-        if self._unserved is not None:
-            item, self._unserved = self._unserved, None
-            return item
+        ('frame', idx, f) | ('eof', idx) | ('planend',) | ('stalled',)."""
         with self._cond:
+            gen = self._gen
             while True:
-                if self._consume_next >= len(self._blocks):
+                if gen.consume_next >= len(gen.blocks):
                     return ("planend",)
-                blk = self._done.get(self._consume_next)
+                blk = gen.done.get(gen.consume_next)
                 if blk is not None:
-                    if self._block_cursor < len(blk):
-                        item = blk[self._block_cursor]
-                        self._block_cursor += 1
+                    if gen.cursor < len(blk):
+                        item = blk[gen.cursor]
+                        gen.cursor += 1
                         return item
                     # block fully served: free it, advance the window
-                    del self._done[self._consume_next]
-                    self._consume_next += 1
-                    self._block_cursor = 0
+                    del gen.done[gen.consume_next]
+                    gen.consume_next += 1
+                    gen.cursor = 0
                     self._cond.notify_all()
                     continue
                 # block not deposited yet: is anyone going to produce it?
-                if not any(th.is_alive() for th in self._threads):
-                    # all workers exited without this block (EOF block of
-                    # an earlier worker stops production) — if an earlier
-                    # eof was deposited it has been served already; treat
-                    # the rest as end-of-stream
-                    return ("eof", self.pos)
+                if not any(th.is_alive() for th in gen.threads):
+                    # every worker exited without this block (an earlier
+                    # EOF stops production; a crash loses a claim) — the
+                    # caller decides whether to replan from its position
+                    return ("stalled",)
                 self._cond.wait(timeout=0.5)
+
+
+class _Generation:
+    """One pool lifetime: blocks + claim/consume cursors + reorder buffer
+    + stop event + threads. Replans install a FRESH generation so zombie
+    workers from a timed-out join can only mutate their own, discarded
+    state — never the live plan's block indices."""
+
+    def __init__(self, blocks: List[Tuple[int, int, int]]):
+        self.blocks = blocks
+        self.claim_next = 0        # next block index a worker may take
+        self.consume_next = 0      # next block index the consumer needs
+        self.cursor = 0            # position inside the consuming block
+        self.done: dict = {}       # block index -> list of items
+        self.stop = threading.Event()
+        self.threads: List[threading.Thread] = []

@@ -247,9 +247,13 @@ def build_tonemap_vf(pref: str = "auto", algo: str = "bt.2390",
 
 #: (abspath, mtime_ns, size) -> (width, height, fps, total_frames); small
 #: LRU so reader reopens of the SAME file skip the cv2 container parse
-#: while a replaced/rewritten file re-probes
+#: while a replaced/rewritten file re-probes. Lock: decode-pool workers
+#: construct readers concurrently (an unlocked evict raced to KeyError)
 _CONTAINER_PROBE_CACHE: "dict" = {}
 _CONTAINER_PROBE_CAP = 32
+import threading as _threading
+
+_CONTAINER_PROBE_LOCK = _threading.Lock()
 
 
 def _probe_container_cached(path: str):
@@ -261,8 +265,10 @@ def _probe_container_cached(path: str):
         key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     except OSError:
         key = None
-    if key is not None and key in _CONTAINER_PROBE_CACHE:
-        return _CONTAINER_PROBE_CACHE[key]
+    if key is not None:
+        with _CONTAINER_PROBE_LOCK:
+            if key in _CONTAINER_PROBE_CACHE:
+                return _CONTAINER_PROBE_CACHE[key]
     width = height = total = 0
     fps = 0.0
     if cv2 is not None:
@@ -274,9 +280,11 @@ def _probe_container_cached(path: str):
             total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
         cap.release()
     if key is not None and width > 0 and height > 0:
-        if len(_CONTAINER_PROBE_CACHE) >= _CONTAINER_PROBE_CAP:
-            _CONTAINER_PROBE_CACHE.pop(next(iter(_CONTAINER_PROBE_CACHE)))
-        _CONTAINER_PROBE_CACHE[key] = (width, height, fps, total)
+        with _CONTAINER_PROBE_LOCK:
+            if len(_CONTAINER_PROBE_CACHE) >= _CONTAINER_PROBE_CAP:
+                _CONTAINER_PROBE_CACHE.pop(
+                    next(iter(_CONTAINER_PROBE_CACHE)), None)
+            _CONTAINER_PROBE_CACHE[key] = (width, height, fps, total)
     return width, height, fps, total
 
 

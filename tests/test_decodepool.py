@@ -239,7 +239,7 @@ def test_one_reader_per_worker_and_release_joins():
     finally:
         r.release()
     assert stats["opens"] == 3
-    assert not any(th.is_alive() for th in r._threads)
+    assert not any(th.is_alive() for th in r._gen.threads)
     # every sample decoded exactly once (no duplicate decode across
     # workers)
     assert stats["reads"] == 20
@@ -355,3 +355,57 @@ def test_prescan_spans_identical_pool_vs_single(tmp_path):
                                      workers=3, total_frames=240,
                                      block_samples=5))
     assert single == pooled and single[0]
+
+
+def test_backward_seek_after_midstream_eof_replans():
+    """A consumer seek BACK to decodable frames after a mid-stream EOF
+    must revive decode (review finding: the eof state was terminal)."""
+    r = StripedDecodeReader(lambda: FakeReader(100, true_end=50),
+                            [(0, 99)], 2, workers=2, total_frames=100,
+                            block_samples=4)
+    try:
+        got = _walk_spans(r, [(0, 99)], 2)
+        assert got == list(range(0, 50, 2))
+        assert r.read() is None           # mid-stream EOF reached
+        r.seek(10)                         # interactive scrub-back
+        for idx in range(10, 20, 2):
+            f = r.read()
+            assert f is not None and _decoded_idx(f) == idx
+            r.skip(1)
+    finally:
+        r.release()
+
+
+def test_health_aggregates_update_mid_run():
+    """recoveries/failed must be readable BEFORE release (the engine
+    reports reader health right after the phase, pre-release)."""
+
+    class RecoveringFake(FakeReader):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.recoveries = 2
+            self.failed = False
+
+    r = StripedDecodeReader(lambda: RecoveringFake(40), [(0, 39)], 2,
+                            workers=2, total_frames=40, block_samples=4)
+    try:
+        got = _walk_spans(r, [(0, 39)], 2)
+        assert len(got) == 20
+        assert r.recoveries >= 2 and r.failed is False
+    finally:
+        r.release()
+
+
+def test_constructor_meta_avoids_probe_spawn():
+    from person_capture_tpu.video.reader import VideoMeta
+
+    stats = {}
+    m = VideoMeta(2, 2, 30.0, 40)
+    r = StripedDecodeReader(lambda: FakeReader(40, stats=stats),
+                            [(0, 39)], 2, workers=2, total_frames=40,
+                            meta=m)
+    try:
+        assert r.meta() is m
+        assert stats["opens"] == 2        # workers only, no meta probe
+    finally:
+        r.release()

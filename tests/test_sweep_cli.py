@@ -266,6 +266,13 @@ def _stub_flaky_engines(monkeypatch, fail_errors, run_log):
             i = attempts.get(cfg_v.video, 0)
             attempts[cfg_v.video] = i + 1
             run_log.append(cfg_v.video)
+            # leave a crop behind like a real partially-complete engine
+            # run would (the retry must wipe it — orphan crops otherwise
+            # contaminate an ok-marked out_dir)
+            crops = os.path.join(cfg_v.out_dir, "crops")
+            os.makedirs(crops, exist_ok=True)
+            with open(os.path.join(crops, f"attempt{i}.jpg"), "wb") as fh:
+                fh.write(b"x")
             if i < len(fail_errors):
                 return SimpleNamespace(ok=False, error=fail_errors[i],
                                        spans=[], mainpass=None)
@@ -307,6 +314,10 @@ def test_backend_failure_retries_until_ok(tmp_path, monkeypatch):
     assert summary["failed"] == 0
     r = summary["results"][0]
     assert r["ok"] is True and r["retries"] == 2 and r["error_kind"] is None
+    # aborted attempts' outputs were wiped: only the succeeding attempt's
+    # crop remains (no orphans next to an ok-marked index)
+    crops = sorted(os.listdir(os.path.join(r["out_dir"], "crops")))
+    assert crops == ["attempt2.jpg"]
 
 
 def test_backend_failure_budget_exhausts(tmp_path, monkeypatch):
