@@ -256,7 +256,7 @@ def _bench_mainpass_e2e(video: str, ref_png: str, n_runs: int = 1):
     return runs
 
 
-def _wait_for_device(deadline_s: float = 900.0) -> None:
+def _wait_for_device(deadline_s: float = 1800.0) -> None:
     """The tunneled chip enters transient bad states where even a trivial
     matmul hangs (CLAUDE.md). Probe it in a SUBPROCESS — a hung in-process
     backend init cannot be interrupted — and retry until the deadline, so

@@ -25,8 +25,11 @@ _PROBE_CODE = ("import jax, jax.numpy as jnp;"
 
 #: per-probe subprocess budget: the FIRST computed download in a process
 #: pays a relay handshake that is ~2 min normally but was measured at
-#: 317 s on a slow day — a 240 s cap made healthy-but-slow look dead
-_PROBE_BUDGET_S = 420.0
+#: 317 s on a slow day — and a 420 s cap was later seen to time out while
+#: a 480 s probe on the same chip succeeded, so healthy-but-slow relays
+#: need the full 10 min. A fresh subprocess pays the handshake from zero
+#: every attempt; a budget below the worst handshake fails FOREVER.
+_PROBE_BUDGET_S = 600.0
 
 
 def probe_device_once(timeout_s: float = _PROBE_BUDGET_S) -> bool:

@@ -371,6 +371,11 @@ def test_wait_for_device_backoff_and_deadline(monkeypatch):
                              probe=lambda b: (calls.append(b),
                                               next(seq))[1]) is True
     assert len(calls) == 3 and sleeps == [2.0, 4.0]
+    # forever-mode probes get the FULL per-attempt budget, which must
+    # exceed the worst measured relay handshake (>480 s on a slow day:
+    # a budget below it makes every fresh-subprocess probe fail forever)
+    assert all(b == D._PROBE_BUDGET_S for b in calls)
+    assert D._PROBE_BUDGET_S >= 600.0
 
     # deadline expiry returns False
     t = {"now": 0.0}
