@@ -5,7 +5,7 @@ DECODED by this script (no pre-staged tensors for the end-to-end numbers):
 
 1. ``prescan_1080p_device_path_x`` (headline): the fused pre-scan device
    program — letterbox → SCRFD detect → matmul 5-pt warp → ArcFace embed +
-   quality — over decoded-video 384×216 batches with the depth-2
+   quality — over decoded-video 384×216 batches with the depth-4
    submit/fetch pipeline the pre-scan driver uses. Decode happens once
    outside the timed loop: this is the framework's device-path ceiling, the
    number that scales with chips. All 8 face slots per frame are computed
@@ -21,7 +21,7 @@ DECODED by this script (no pre-staged tensors for the end-to-end numbers):
    (``Engine.run`` → ``pipeline/mainpass.py``) at reference
    ``frame_stride=2`` — decode + prefetch, analysis downscale to the
    default ``tpu_mainpass_analysis_max_w`` (640), fused face program at
-   det 640 (the CLI default), depth-2 pipelining, locks, crop composition,
+   det 640 (the CLI default), depth-4 pipelining, locks, crop composition,
    smart-crop, and async JPEG saves at ``min_gap_sec=0.5``, saver drain
    included. The backend compiles outside the timed region (a sweep's
    steady state). ≥1.0 means the full main pass keeps up with the video
@@ -91,7 +91,7 @@ def _decode_all_resized(path: str, w: int, h: int) -> np.ndarray:
 
 def _bench_prescan_device_path(backend, frames_384: np.ndarray,
                                bank_mat: np.ndarray):
-    """Depth-2 pipelined device path over pre-decoded video batches."""
+    """Depth-4 pipelined device path over pre-decoded video batches."""
     batch = 128
     idx = np.arange(batch) % len(frames_384)
     frames = frames_384[idx]
@@ -108,7 +108,7 @@ def _bench_prescan_device_path(backend, frames_384: np.ndarray,
     from collections import deque
 
     n_steps = 10
-    depth = 2                  # production tpu_pipeline_depth default
+    depth = 4                  # production tpu_pipeline_depth default
     q = deque()
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -173,7 +173,7 @@ def _bench_mainpass_e2e(video: str, ref_png: str, n_runs: int = 1):
     """Main pass through the REAL product driver: ``Engine.run`` over the
     1080p mp4 with the production defaults — decode + prefetch inside the
     timed region, analysis downscale to ``tpu_mainpass_analysis_max_w``
-    (640), fused face program at the CLI-default det 640, depth-2
+    (640), fused face program at the CLI-default det 640, depth-4
     pipelining, locks/compose/smart-crop/async JPEG saves at
     ``min_gap_sec=0.5``, saver drain included. The backend (and its
     compiles) builds OUTSIDE the timed region, exactly like a sweep's

@@ -335,11 +335,14 @@ class SessionConfig:
     # Software-pipeline depth for the pre-scan/main-pass drivers: how many
     # submitted batches may be in flight before the oldest is fetched.
     # Depth 2 hides one full host↔device round trip behind compute —
-    # measured 2.1× end-to-end on tunneled links (162→340 f/s); deeper
-    # adds memory without gain. Results are depth-independent (batches
-    # replay in submission order); only the fd9 gate's skip decisions lag
-    # by `depth` batches instead of one.
-    tpu_pipeline_depth: int = 2
+    # measured 2.1× end-to-end on tunneled links (162→340 f/s) — and an
+    # interleaved 5-round A/B at the production prescan shape measured a
+    # further ~11% median win at depth 4 (310→344 f/s, relay-RTT jitter
+    # absorbed by the extra in-flight batches; depth 8 added nothing).
+    # Results are depth-independent (batches replay in submission order);
+    # only the fd9 gate's skip decisions lag by `depth` batches instead
+    # of one.
+    tpu_pipeline_depth: int = 4
     # Decode workers (0 = auto: cores-1 capped at 4; 1 on this 1-core
     # image). >1 stripes the span/sample plan over N reader threads each
     # owning its own decoder process (video/decodepool.py) — results are

@@ -316,7 +316,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             pump_state["thread"].join(timeout=5)
             pump_state["thread"] = None
 
-    # software pipeline (depth = cfg.tpu_pipeline_depth, default 2): later
+    # software pipeline (depth = cfg.tpu_pipeline_depth, default 4): later
     # batches' face programs are submitted before earlier results are
     # fetched, hiding the device round trips (the person/ReID paths stay
     # synchronous inside the resolve step — they only run for the subset

@@ -127,7 +127,7 @@ def _run_prescan_inner(reader, backend, cfg: SessionConfig, bank: RefBank,
     pend_frames: List[np.ndarray] = []
     # Ordered queue of (frame_idx, batch_slot|None, gate_already_observed)
     order: List[Tuple[int, Optional[int], bool]] = []
-    # software pipeline (depth = cfg.tpu_pipeline_depth, default 2): up to
+    # software pipeline (depth = cfg.tpu_pipeline_depth, default 4): up to
     # `depth` submitted batches stay in flight before the oldest resolves,
     # so device compute overlaps the host round trip(s). Replay stays
     # submission-ordered, so spans/bank are depth-independent.
