@@ -356,6 +356,16 @@ class SessionConfig:
     # K workers keep CSV submission order and per-item render-timeout/
     # cancel semantics (pipeline/saver.py).
     tpu_save_workers: int = 0
+    # Analysis-resize workers (0 = auto: cores-1 capped at 4; 1 on this
+    # 1-core image = inline, no thread). When
+    # tpu_mainpass_analysis_max_w is active, the per-frame host downscale
+    # is the next driver-serialized stage after decode (profiled as the
+    # bulk of main.submit); >1 resizes frames on a small thread pool AS
+    # THEY ARRIVE from the reader, overlapping the downscale with the
+    # submit/decode pipeline on multi-core hosts (cv2.resize releases the
+    # GIL). Per-frame resize is deterministic, so results are
+    # worker-count-independent.
+    tpu_resize_workers: int = 0
     # Main-pass analysis upload width cap (0 = off). When set, the frame
     # batch is downscaled on host before the face/person programs —
     # detection/embedding run on the smaller frames, coordinates map back

@@ -523,6 +523,40 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
 
     analysis_max_w = int(getattr(cfg, "tpu_mainpass_analysis_max_w", 0) or 0)
 
+    # analysis-resize pool: downscale frames on worker threads AS THEY
+    # ARRIVE from the reader instead of serially inside flush() — on
+    # multi-core hosts the per-frame cv2.resize (the bulk of main.submit
+    # in profiles) then overlaps decode + the submit RPC. Per-frame
+    # resize is deterministic, so results are worker-count-independent.
+    # 1 worker (this image's auto on 1 core) stays fully inline.
+    _rw = int(getattr(cfg, "tpu_resize_workers", 0) or 0)
+    if _rw <= 0:
+        from ..video.decodepool import auto_decode_workers
+        _rw = auto_decode_workers()
+    resize_pool = None
+    if analysis_max_w and _rw > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        resize_pool = ThreadPoolExecutor(max_workers=_rw,
+                                         thread_name_prefix="pc.resize")
+    pend_small: List = []      # futures, in lockstep with pend
+
+    def _small_dims(w: int, h: int) -> Tuple[int, int]:
+        aw = analysis_max_w - (analysis_max_w % 2)
+        ah = max(2, int(round(h * aw / w)))
+        return aw, ah - (ah % 2)   # even dims for the i420 wire
+
+    def _submit_resize(frame: np.ndarray) -> None:
+        if resize_pool is None:
+            return
+        if frame.shape[1] <= analysis_max_w:
+            pend_small.append(None)
+            return
+        import cv2
+
+        aw, ah = _small_dims(frame.shape[1], frame.shape[0])
+        pend_small.append(resize_pool.submit(
+            cv2.resize, frame, (aw, ah), interpolation=cv2.INTER_AREA))
+
     def _analysis_frames(frames: List[np.ndarray]):
         """Optionally downscale the batch on host before upload
         (tpu_mainpass_analysis_max_w): detection/embedding run on the
@@ -573,9 +607,22 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
             valid[:n] = True
             with timer("main.submit"):
                 with timer("main.submit_resize"):
-                    a_frames, a_scale = _analysis_frames(frames)
+                    smalls = pend_small[:n]
+                    if smalls and all(s is not None for s in smalls):
+                        # pre-resized on the pool as frames arrived: only
+                        # the gather (usually already done) + stack remain
+                        sm = [s.result() for s in smalls]
+                        if n < batch:
+                            sm = sm + [sm[-1]] * (batch - n)
+                        h, w = frames[0].shape[0], frames[0].shape[1]
+                        aw, ah = _small_dims(w, h)
+                        a_frames = np.stack(sm)
+                        a_scale = (w / float(aw), h / float(ah))
+                    else:
+                        a_frames, a_scale = _analysis_frames(frames)
                 _dispatch(frames, idxs, valid, n, a_frames, a_scale)
             pend.clear()
+            pend_small.clear()
         while inflight and (drain or len(inflight) > pipe_depth):
             _resolve(inflight.pop(0))
 
@@ -1205,6 +1252,7 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
                     break
                 res.frames_decoded += 1
                 pend.append((idx, frame))
+                _submit_resize(frame)
                 if len(pend) == batch:
                     flush(drain=False)
                     if progress is not None and meta.total_frames > 0:
@@ -1232,6 +1280,8 @@ def run_main_pass(reader, backend, cfg: SessionConfig, bank: RefBank,
         # EVERY exit path (a device error mid-run otherwise
         # leaves an orphaned thread racing a closed pipe)
         _stop_preview_pump()
+        if resize_pool is not None:
+            resize_pool.shutdown(wait=False, cancel_futures=True)
         if debug_state["fh"] is not None:
             debug_state["fh"].close()
     res.wall_s = time.perf_counter() - t0

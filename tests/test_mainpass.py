@@ -179,3 +179,26 @@ def test_main_pass_analysis_downscale_matches_fullres(tmp_path, synth):
     assert down.hits, "downscaled analysis produced no hits"
     for hb, hd in zip(base.hits, down.hits):
         assert np.allclose(hb.crop, hd.crop, atol=2.0), (hb.crop, hd.crop)
+
+
+def test_main_pass_resize_pool_worker_count_independent(tmp_path, synth):
+    """tpu_resize_workers: frames pre-resized on a thread pool as they
+    arrive must produce hits + crops identical to the inline downscale
+    (per-frame cv2.resize is deterministic; only scheduling changes)."""
+    results = []
+    for sub, workers in (("w1", 1), ("w3", 3)):
+        backend = OracleBackend(synth, scale=0.5)
+        bank = RefBank(cap=8)
+        bank.seed([backend.identity_feat(0)])
+        cfg = _cfg(str(tmp_path / sub), tpu_mainpass_analysis_max_w=160,
+                   tpu_resize_workers=workers)
+        reader = Cv2Reader(synth.path)
+        with AsyncSaver(cfg.out_dir) as saver:
+            results.append(run_main_pass(reader, backend, cfg, bank,
+                                         [(30, 120)], saver, batch_size=8))
+        reader.release()
+    inline, pooled = results
+    assert pooled.hits and (
+        [h.frame for h in pooled.hits] == [h.frame for h in inline.hits])
+    for hi, hp in zip(inline.hits, pooled.hits):
+        assert np.array_equal(hi.crop, hp.crop)
