@@ -42,6 +42,10 @@ class SessionConfig:
     # the status stream at run end — the reference has no profiler
     # (SURVEY.md §5); TPU-extra observability knob
     tpu_profile: bool = False
+    # jax.profiler trace directory for the whole run (device timelines +
+    # XLA HLO, TensorBoard/XProf-viewable); "" = off. Complements
+    # tpu_profile's host-side stage timers (SURVEY.md §5 tracing).
+    tpu_jax_profile_dir: str = ""
     # embed only the K highest-score face slots per frame (0 = all slots).
     # The ArcFace embedder dominates step FLOPs (~6 GFLOP/slot for r50)
     # and most slots are empty in real footage; decision-equivalence is

@@ -219,6 +219,17 @@ class Engine:
 
         self._timer = StepTimer() if getattr(cfg, "tpu_profile", False) \
             else None
+        # tpu_jax_profile_dir: capture a jax.profiler trace of the whole
+        # run (device timelines + XLA HLO, viewable in TensorBoard/XProf)
+        # alongside the host-side StepTimer stage profile — together they
+        # are the rebuild's answer to SURVEY §5 "JAX profiler traces +
+        # per-stage step timing". No-op when unset.
+        from ..utils.timing import profile_trace
+
+        with profile_trace(getattr(cfg, "tpu_jax_profile_dir", "") or ""):
+            return self._run_inner(cfg, bank)
+
+    def _run_inner(self, cfg, bank: Optional[RefBank]) -> EngineResult:
         try:
             ref_paths = [p for p in str(cfg.ref).split(";") if p] if cfg.ref else []
             if bank is None:

@@ -137,6 +137,10 @@ class StripedDecodeReader:
         self.total_frames = int(total_frames)
         self.pos = self._spans[0][0] if self._spans else 0
         self._eof_pos: Optional[int] = None
+        # stalled-pool replans that served no frame since the last one; a
+        # factory that crashes before claiming a block deposits nothing,
+        # so stall→replan→stall would otherwise spin forever
+        self._stalled_replans = 0
         self._released = False
         # per-worker failure/diagnostic snapshots, refreshed after every
         # block (engine _report_reader_health reads the aggregates BEFORE
@@ -209,13 +213,18 @@ class StripedDecodeReader:
                 # dead pool behind): one replan from the current position
                 # either revives decode — e.g. a backward seek to frames
                 # BEFORE the EOF point — or deposits a proper eof item,
-                # which terminates above on the next loop
-                if not self._replan(self.pos):
+                # which terminates above on the next loop. A factory whose
+                # workers die before claiming anything deposits NOTHING —
+                # bound those no-progress replans or this loop never ends.
+                self._stalled_replans += 1
+                if self._stalled_replans > 2 \
+                        or not self._replan(self.pos):
                     return None
                 continue
             _, idx, frame = item
             if idx == self.pos:
                 self.pos += 1
+                self._stalled_replans = 0
                 return frame
             if idx < self.pos:
                 continue                  # discarded sample (skip/fd9/gap)

@@ -409,3 +409,39 @@ def test_constructor_meta_avoids_probe_spawn():
         assert stats["opens"] == 2        # workers only, no meta probe
     finally:
         r.release()
+
+
+def test_crashing_factory_terminates_not_spins():
+    """A factory whose readers die before claiming a block deposits
+    nothing: stall->replan->stall must be BOUNDED (review finding: the
+    consumer read() would replan forever, pegging a core)."""
+
+    def bad_open():
+        raise RuntimeError("decoder exploded")
+
+    r = StripedDecodeReader(bad_open, [(0, 99)], 2, workers=2,
+                            total_frames=100, block_samples=4)
+    try:
+        t0 = time.time()
+        assert r.read() is None
+        assert time.time() - t0 < 30
+        assert r.failed is True
+        assert "decoder exploded" in (r.last_failure or "")
+    finally:
+        r.release()
+
+
+def test_stall_counter_resets_on_progress():
+    """Legitimate stalls (seek-back past a dead pool) that DO revive
+    decode must not accumulate toward the no-progress bound."""
+    r = StripedDecodeReader(lambda: FakeReader(100, true_end=50),
+                            [(0, 99)], 2, workers=2, total_frames=100,
+                            block_samples=4)
+    try:
+        for _ in range(4):                 # 4 > the replan bound of 2
+            got = _walk_spans(r, [(0, 99)], 2)
+            assert got == list(range(0, 50, 2))
+            assert r.read() is None        # EOF -> pool dead
+            r.seek(0)                      # scrub back revives it
+    finally:
+        r.release()

@@ -264,3 +264,20 @@ def test_engine_profile_reports_stage_timings(tmp_path):
     for stage in ("main.decode", "main.device_fetch", "main.host_replay",
                   "prescan.device_fetch"):
         assert stage in prof[0], prof[0]
+
+
+def test_engine_jax_profile_dir_writes_trace(tmp_path):
+    """tpu_jax_profile_dir wraps the run in a jax.profiler trace (device
+    timelines for TensorBoard/XProf — SURVEY §5 tracing). The run must
+    succeed AND leave trace artifacts under the directory."""
+    import os
+
+    sv, backend, cfg, bank = _setup(tmp_path, total=60)
+    trace_dir = str(tmp_path / "jaxtrace")
+    cfg.tpu_jax_profile_dir = trace_dir
+    eng = Engine(cfg, backend, status=lambda m: None)
+    res = eng.run(bank=bank)
+    assert res.ok, res.error
+    found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir)
+             for f in fs]
+    assert found, "no jax profiler trace artifacts written"
