@@ -237,6 +237,26 @@ def maybe_pin_platform(cfg) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+def maybe_enable_compile_cache(cfg) -> None:
+    """Point JAX's persistent compilation cache at
+    ``cfg.tpu_compile_cache_dir`` (no-op when unset).
+
+    Must run BEFORE the first compile: a restarted process (sweep-daemon
+    restart, repeated CLI invocations on the same host) then loads its
+    executables from disk instead of paying the first-video compile cost
+    again. The reference caches compiled inference engines the same way
+    (ORT/TRT engine + session reuse, person_capture/face_embedder.py);
+    here the whole multi-model pipeline is a handful of jitted programs,
+    so one cache directory covers every backend."""
+    d = str(getattr(cfg, "tpu_compile_cache_dir", "") or "").strip()
+    if not d:
+        return
+    import jax
+
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+
+
 def maybe_init_multihost(args, out_dir: str) -> str:
     """Join the global distributed runtime when requested; returns the
     output root this process should write under.
@@ -459,6 +479,7 @@ def main(argv=None) -> int:
     # no jax backend
     cfg = build_config(args, ap)
     maybe_pin_platform(cfg)
+    maybe_enable_compile_cache(cfg)
     cfg.out_dir = maybe_init_multihost(args, cfg.out_dir)
 
     runtime = build_runtime(cfg, args, ap)

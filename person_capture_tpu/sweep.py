@@ -178,10 +178,12 @@ def main(argv=None) -> int:
                  "--videos")
 
     from .main import (build_config, build_runtime, make_engine,
-                       maybe_init_multihost, maybe_pin_platform)
+                       maybe_enable_compile_cache, maybe_init_multihost,
+                       maybe_pin_platform)
 
     cfg = build_config(args, ap)
     maybe_pin_platform(cfg)
+    maybe_enable_compile_cache(cfg)
     out_root = maybe_init_multihost(args, args.out)
 
     shard_i, shard_n = parse_shard(args.shard)
