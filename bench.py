@@ -39,6 +39,7 @@ import os
 import sys
 import tempfile
 import time
+from types import SimpleNamespace
 
 import numpy as np
 
@@ -277,6 +278,13 @@ def main() -> None:
     from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
 
     target_realtime_x = 30.0           # BASELINE.json north star
+    # default-on persistent compile cache: reruns skip the first-batch
+    # compile phases (the axon plugin serves executables from disk,
+    # tools_compile_cache_probe.py). Timed regions never include compiles,
+    # so the metric is unaffected either way.
+    from person_capture_tpu.main import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache(SimpleNamespace(tpu_compile_cache_dir="auto"))
     _wait_for_device()
 
     rng = np.random.default_rng(0)

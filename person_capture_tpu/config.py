@@ -46,14 +46,17 @@ class SessionConfig:
     # XLA HLO, TensorBoard/XProf-viewable); "" = off. Complements
     # tpu_profile's host-side stage timers (SURVEY.md §5 tracing).
     tpu_jax_profile_dir: str = ""
-    # JAX persistent compilation cache directory; "" = off. When set,
-    # compiled executables are serialized to disk so a RESTARTED process
-    # (sweep daemon restart, repeated CLI runs) skips the first-video
-    # compile cost instead of re-tracing + re-compiling every program.
-    # The reference's analogue is ORT/TRT engine caching
+    # JAX persistent compilation cache directory. "auto" (default) =
+    # $XDG_CACHE_HOME/person_capture_tpu/xla; ""/"off" = disabled; else an
+    # explicit directory. Compiled executables are serialized to disk so a
+    # RESTARTED process (sweep daemon restart, repeated CLI runs) skips
+    # the first-video compile cost instead of re-tracing + re-compiling
+    # every program — probed supported on the axon PJRT plugin
+    # (tools_compile_cache_probe.py: 0.64 s -> 0.07 s second-process
+    # compile). The reference's analogue is ORT/TRT engine caching
     # (face_embedder.py session reuse); here it is one jax.config switch
     # applied before the first compile (main.maybe_enable_compile_cache).
-    tpu_compile_cache_dir: str = ""
+    tpu_compile_cache_dir: str = "auto"
     # embed only the K highest-score face slots per frame (0 = all slots).
     # The ArcFace embedder dominates step FLOPs (~6 GFLOP/slot for r50)
     # and most slots are empty in real footage; decision-equivalence is

@@ -1,12 +1,14 @@
 """Persistent compilation cache wiring (``tpu_compile_cache_dir``).
 
-When set, ``main.maybe_enable_compile_cache`` points JAX's persistent
-compilation cache at the directory BEFORE the first compile, so a
-restarted process (sweep-daemon restart, repeated CLI runs) loads its
-executables from disk instead of recompiling. The reference's analogue
-is ORT/TRT engine + session caching (person_capture/face_embedder.py);
-here the whole pipeline is a handful of jitted programs behind one
-jax.config switch.
+``main.maybe_enable_compile_cache`` points JAX's persistent compilation
+cache at the resolved directory BEFORE the first compile, so a restarted
+process (sweep-daemon restart, repeated CLI runs) loads its executables
+from disk instead of recompiling. Default-ON ("auto" -> user cache dir;
+the axon PJRT plugin was probed serving second-process compiles from
+disk, tools_compile_cache_probe.py). The reference's analogue is ORT/TRT
+engine + session caching (person_capture/face_embedder.py); here the
+whole pipeline is a handful of jitted programs behind one jax.config
+switch.
 """
 
 import os
@@ -15,7 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from person_capture_tpu.config import SessionConfig
-from person_capture_tpu.main import maybe_enable_compile_cache
+from person_capture_tpu.main import (maybe_enable_compile_cache,
+                                     resolve_compile_cache_dir)
+
+
+def _cfg(**kw):
+    return SessionConfig(video="v", ref="r", out_dir="o", **kw)
 
 
 def _cache_cfg_snapshot():
@@ -30,19 +37,46 @@ def _cache_cfg_restore(snap):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", snap[2])
 
 
-def test_unset_is_noop():
+def test_resolve_semantics(monkeypatch):
+    monkeypatch.setenv("XDG_CACHE_HOME", "/tmp/xdgcache")
+    assert resolve_compile_cache_dir(_cfg()) == \
+        "/tmp/xdgcache/person_capture_tpu/xla"  # default "auto"
+    for off in ("", "off", "none", "0", "OFF", "False"):
+        assert resolve_compile_cache_dir(
+            _cfg(tpu_compile_cache_dir=off)) == ""
+    assert resolve_compile_cache_dir(
+        _cfg(tpu_compile_cache_dir="/x/y")) == "/x/y"
+    monkeypatch.delenv("XDG_CACHE_HOME")
+    assert resolve_compile_cache_dir(_cfg()).endswith(
+        "/.cache/person_capture_tpu/xla")
+
+
+def test_off_is_noop():
     snap = _cache_cfg_snapshot()
-    cfg = SessionConfig(video="v", ref="r", out_dir="o")
-    assert cfg.tpu_compile_cache_dir == ""
-    maybe_enable_compile_cache(cfg)
+    maybe_enable_compile_cache(_cfg(tpu_compile_cache_dir="off"))
     assert _cache_cfg_snapshot() == snap
+
+
+def test_uncreatable_dir_degrades_not_dies(tmp_path, capsys):
+    # a path UNDER a regular file can't be created (NotADirectoryError,
+    # an OSError) even as root — the run must degrade to no-cache with a
+    # warning, not die (default-ON behavior must never fail a capture)
+    snap = _cache_cfg_snapshot()
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    try:
+        maybe_enable_compile_cache(
+            _cfg(tpu_compile_cache_dir=str(blocker / "sub")))
+        assert _cache_cfg_snapshot() == snap
+        assert "compile cache disabled" in capsys.readouterr().err
+    finally:
+        _cache_cfg_restore(snap)
 
 
 def test_cache_dir_created_and_populated(tmp_path):
     snap = _cache_cfg_snapshot()
     d = str(tmp_path / "jaxcache")
-    cfg = SessionConfig(video="v", ref="r", out_dir="o",
-                        tpu_compile_cache_dir=d)
+    cfg = _cfg(tpu_compile_cache_dir=d)
     try:
         maybe_enable_compile_cache(cfg)
         assert os.path.isdir(d)
