@@ -32,10 +32,20 @@ _PROBE_CODE = ("import jax, jax.numpy as jnp;"
 _PROBE_BUDGET_S = 600.0
 
 
-def probe_device_once(timeout_s: float = _PROBE_BUDGET_S) -> bool:
-    """One subprocess matmul probe; True iff the backend computed it."""
+def probe_device_once(timeout_s: float = _PROBE_BUDGET_S,
+                      platform: str = "") -> bool:
+    """One subprocess matmul probe; True iff the backend computed it.
+
+    ``platform`` pins the child's JAX platform (jax.config, not env —
+    the axon plugin's sitecustomize overrides env) so a cpu-pinned
+    caller probes cpu, not the accelerator."""
+    code = _PROBE_CODE
+    if platform:
+        code = ("import jax;"
+                f"jax.config.update('jax_platforms', {platform!r});"
+                + code.replace("import jax, ", "import "))
     try:
-        cp = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+        cp = subprocess.run([sys.executable, "-c", code],
                             timeout=timeout_s, capture_output=True)
         return cp.returncode == 0
     except subprocess.SubprocessError:

@@ -1,0 +1,55 @@
+"""`python -m person_capture_tpu.doctor` — environment diagnostics.
+
+The doctor consolidates the operational probes (device health via
+hang-proof subprocess matmul, link RTT/bandwidth at real wire shapes,
+cv2 decode rate, bundled-weights and compile-cache checks) into one
+user-facing command; the reference scatters these across its launcher
+env checks (start_person_capture.bat) and provider logs
+(person_capture/face_embedder.py session setup).
+"""
+
+import json
+
+from person_capture_tpu import doctor
+
+
+def test_check_host_basics():
+    h = doctor.check_host()
+    assert h["cores"] >= 1
+    assert h["cv2"]
+
+
+def test_check_weights_bundled_all_present():
+    w = doctor.check_weights()
+    assert w["ok"], w
+    assert w["scrfd_2.5g"].endswith(".npz")
+
+
+def test_check_cache_resolves_auto(monkeypatch, tmp_path):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    c = doctor.check_cache()
+    assert c["dir"] == str(tmp_path / "person_capture_tpu" / "xla")
+    assert c["writable"] and c["entries"] == 0
+
+
+def test_check_decode_small():
+    d = doctor.check_decode(seconds=1.0, width=320, height=240)
+    assert d["frames"] >= 24 and d["decode_fps"] > 0
+
+
+def test_check_device_cpu_pinned():
+    info = doctor.check_device(probe_budget_s=120.0, reps=2,
+                               platform="cpu")
+    assert info["ok"], info
+    assert info["platform"] == "cpu"
+    assert info["upload_mb_s"] > 0 and info["download_mb_s"] > 0
+    assert info["mainpass_link_ceiling_x"] > 0
+
+
+def test_main_json_exit_code(monkeypatch, tmp_path, capsys):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    rc = doctor.main(["--json", "--skip-decode", "--skip-device"])
+    out = capsys.readouterr().out
+    rep = json.loads(out)
+    assert rc == 0 and rep["ok"]
+    assert set(rep) >= {"host", "weights", "cache", "ok"}
