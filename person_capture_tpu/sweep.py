@@ -122,6 +122,33 @@ def _unique_out_dirs(root: str, videos) -> list:
     return [_out_dir_for(root, v, used) for v in videos]
 
 
+def _load_done_markers(root: str) -> dict:
+    """abspath(video) -> (subdir name, done.json record) for every
+    completed per-video dir under ``root``.
+
+    Restart resume for the serving daemon: a successful video writes
+    ``<out_dir>/done.json``; a RESTARTED sweep (crash, host reboot,
+    deploy) seeds its seen-set from these markers instead of re-burning
+    the whole corpus. Failed videos never get a marker, so they retry on
+    restart."""
+    found: dict = {}
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return found
+    for name in sorted(names):
+        p = os.path.join(root, name, "done.json")
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        v = rec.get("video")
+        if v:
+            found[os.path.abspath(v)] = (name, rec)
+    return found
+
+
 def build_sweep_parser():
     from .main import build_parser
 
@@ -157,6 +184,11 @@ def build_sweep_parser():
                          "that still fails on a healthy device after N "
                          "retries is recorded failed (error_kind=backend) "
                          "and skipped")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="reprocess videos whose output dir already has a "
+                         "done.json completion marker (default: a "
+                         "restarted sweep/daemon skips them — failures "
+                         "never write a marker, so they always retry)")
     return ap
 
 
@@ -212,6 +244,24 @@ def main(argv=None) -> int:
     summary_path = os.path.join(out_root, "sweep_summary.json")
     backend_max_retries = max(0, int(args.backend_max_retries))
 
+    resumed = 0
+    if not args.no_resume:
+        for vkey, (dname, rec) in sorted(_load_done_markers(out_root)
+                                         .items()):
+            seen.add(vkey)
+            used_names.add(dname)
+            results.append({"video": rec.get("video"),
+                            "out_dir": os.path.join(out_root, dname),
+                            "ok": True, "error": None, "error_kind": None,
+                            "retries": 0, "hits": rec.get("hits", 0),
+                            "spans": rec.get("spans", 0),
+                            "wall_s": rec.get("wall_s", 0.0),
+                            "resumed": True})
+            resumed += 1
+        if resumed:
+            print(f"[sweep] resume: {resumed} video(s) already complete "
+                  f"under {out_root} — skipped (--no-resume to redo)")
+
     from .utils.device import classify_error
 
     def write_summary():
@@ -219,6 +269,7 @@ def main(argv=None) -> int:
             "corpus": corpus_size, "shard": f"{shard_i}/{shard_n}",
             "watch_sec": watch,
             "processed": len(results), "failed": failed,
+            "resumed": sum(1 for r in results if r.get("resumed")),
             "failed_video": failed_kinds["video"],
             "failed_backend": failed_kinds["backend"],
             "wall_s": round(time.perf_counter() - t_sweep, 2),
@@ -280,6 +331,17 @@ def main(argv=None) -> int:
             # raced a recovering relay, so re-probe even right after one
             _probe_and_wait(lambda m: print(f"[sweep] {m}", file=sys.stderr))
         wall = time.perf_counter() - t0
+        if ok:
+            # completion marker: a RESTARTED sweep seeds its seen-set from
+            # these (failures write none, so they retry after a restart)
+            try:
+                os.makedirs(out_dir, exist_ok=True)
+                with open(os.path.join(out_dir, "done.json"), "w") as fh:
+                    json.dump({"video": os.path.abspath(video),
+                               "hits": hits, "spans": spans,
+                               "wall_s": round(wall, 2)}, fh)
+            except OSError:
+                pass
         results.append({"video": video, "out_dir": out_dir, "ok": bool(ok),
                         "error": None if ok else str(err),
                         "error_kind": kind,

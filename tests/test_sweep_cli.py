@@ -407,3 +407,97 @@ def test_watch_settle_guard_defers_fresh_files(tmp_path, monkeypatch):
                   "--watch", "0.5", "--watch-max-idle", "3"])
     assert rc == 0
     assert len(log) == 1         # deferred at poll 0, processed later
+
+
+def test_restart_resume_skips_completed(tmp_path, monkeypatch):
+    """A restarted sweep seeds its seen-set from done.json markers: only
+    NEW corpus entries run (daemon restarts must not re-burn the corpus);
+    --no-resume forces a full redo."""
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    old = time.time() - 60
+    for name in ("a.mp4", "b.mp4"):
+        p = corpus / name
+        p.write_bytes(b"x")
+        os.utime(p, (old, old))
+    ref = tmp_path / "ref.png"
+    ref.write_bytes(b"x")
+    out_root = str(tmp_path / "out")
+    base = ["--videos", str(corpus), "--ref", str(ref), "--out", out_root]
+
+    log = []
+    _stub_engines(monkeypatch, log)
+    assert SW.main(base) == 0
+    assert sorted(os.path.basename(p) for p in log) == ["a.mp4", "b.mp4"]
+    assert os.path.isfile(os.path.join(out_root, "a", "done.json"))
+
+    # restart: nothing new -> engine never runs again
+    log.clear()
+    assert SW.main(base) == 0
+    assert log == []
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary = json.load(fh)
+    assert summary["processed"] == 2 and summary["resumed"] == 2
+    assert all(r["ok"] for r in summary["results"])
+
+    # restart after the corpus grew -> only the new video runs
+    cnew = corpus / "c.mp4"
+    cnew.write_bytes(b"x")
+    os.utime(cnew, (old, old))
+    log.clear()
+    assert SW.main(base) == 0
+    assert [os.path.basename(p) for p in log] == ["c.mp4"]
+
+    # --no-resume reprocesses everything
+    log.clear()
+    assert SW.main(base + ["--no-resume"]) == 0
+    assert sorted(os.path.basename(p) for p in log) == \
+        ["a.mp4", "b.mp4", "c.mp4"]
+
+
+def test_resume_failed_video_retries_on_restart(tmp_path, monkeypatch):
+    """Failures write no marker: a restart retries exactly them."""
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    old = time.time() - 60
+    for name in ("a.mp4", "b.mp4"):
+        p = corpus / name
+        p.write_bytes(b"x")
+        os.utime(p, (old, old))
+    ref = tmp_path / "ref.png"
+    ref.write_bytes(b"x")
+    out_root = str(tmp_path / "out")
+    base = ["--videos", str(corpus), "--ref", str(ref), "--out", out_root,
+            "--continue-on-error"]
+
+    from types import SimpleNamespace
+
+    import person_capture_tpu.main as M
+
+    monkeypatch.setattr(M, "build_runtime",
+                        lambda cfg, args, ap: {"stub": True})
+    log = []
+
+    def fake_make_engine(cfg_v, runtime, status=None):
+        def run():
+            log.append(cfg_v.video)
+            if os.path.basename(cfg_v.video) == "b.mp4":
+                return SimpleNamespace(ok=False, spans=[], mainpass=None,
+                                       error="cv2 open failed: bad file")
+            return SimpleNamespace(ok=True, error=None, spans=[(0, 1)],
+                                   mainpass=SimpleNamespace(hits=[1]))
+
+        return SimpleNamespace(run=run)
+
+    monkeypatch.setattr(M, "make_engine", fake_make_engine)
+
+    assert SW.main(base) == 0
+    assert not os.path.exists(os.path.join(out_root, "b", "done.json"))
+
+    log.clear()
+    assert SW.main(base) == 0          # a resumes; b retries (and fails)
+    assert [os.path.basename(p) for p in log] == ["b.mp4"]
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary = json.load(fh)
+    assert summary["resumed"] == 1 and summary["failed"] == 1
+    assert summary["failed_video"] == 1
