@@ -74,13 +74,16 @@ def check_weights() -> Dict:
     return out
 
 
-def check_cache() -> Dict:
+def check_cache(cache_dir: str = "auto") -> Dict:
+    """``cache_dir`` mirrors ``tpu_compile_cache_dir`` so doctor diagnoses
+    the directory the REAL run will use, not just the default location
+    (pass the same value you give the CLI via --set)."""
     from .main import resolve_compile_cache_dir
 
-    class _Default:
-        tpu_compile_cache_dir = "auto"
+    class _Cfg:
+        tpu_compile_cache_dir = cache_dir or "auto"
 
-    d = resolve_compile_cache_dir(_Default())
+    d = resolve_compile_cache_dir(_Cfg())
     info: Dict = {"dir": d or None, "writable": False, "entries": 0}
     if not d:
         return info
@@ -215,6 +218,11 @@ def main(argv=None) -> int:
                     help="skip the 1080p decode measurement")
     ap.add_argument("--device", default="",
                     help="pin the JAX platform first (e.g. cpu)")
+    ap.add_argument("--cache-dir", default="auto",
+                    help="diagnose THIS compile-cache location (same "
+                         "values as tpu_compile_cache_dir: auto | off | "
+                         "an explicit dir); default checks the auto "
+                         "location the default-ON cache resolves to")
     ap.add_argument("--probe-budget", type=float, default=600.0,
                     help="subprocess device-probe budget in seconds "
                          "(default 600 — slow-relay handshakes measured "
@@ -237,7 +245,7 @@ def main(argv=None) -> int:
     ok &= bool(report["weights"]["ok"])
 
     _say("[doctor] compile cache…", args.json)
-    report["cache"] = check_cache()
+    report["cache"] = check_cache(args.cache_dir)
     ok &= bool(report["cache"]["writable"] or report["cache"]["dir"] is None)
 
     if not args.skip_decode:

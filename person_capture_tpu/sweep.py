@@ -128,9 +128,11 @@ def _load_done_markers(root: str) -> dict:
 
     Restart resume for the serving daemon: a successful video writes
     ``<out_dir>/done.json``; a RESTARTED sweep (crash, host reboot,
-    deploy) seeds its seen-set from these markers instead of re-burning
-    the whole corpus. Failed videos never get a marker, so they retry on
-    restart."""
+    deploy) consults these markers instead of re-burning the whole
+    corpus. Failed videos never get a marker, so they retry on restart.
+    Markers are consulted per-video AS the corpus is walked, so a shared
+    out_root (fleet layout) never leaks another shard's completions into
+    this shard's summary."""
     found: dict = {}
     try:
         names = os.listdir(root)
@@ -147,6 +149,40 @@ def _load_done_markers(root: str) -> dict:
         if v:
             found[os.path.abspath(v)] = (name, rec)
     return found
+
+
+# Fields excluded from the resume fingerprint: per-video by construction,
+# or operational/perf knobs that are decision-transparent by design (the
+# pipeline's batching/worker counts never change which crops are saved —
+# CI-tested decision equivalence). Everything else — refs, thresholds,
+# model choices, compose weights — invalidates old outputs on change.
+_FINGERPRINT_EXCLUDE = frozenset({
+    "video", "out_dir",
+    "tpu_profile", "tpu_jax_profile_dir", "tpu_compile_cache_dir",
+    "tpu_pipeline_depth", "tpu_decode_workers", "tpu_save_workers",
+    "tpu_resize_workers", "tpu_mesh", "tpu_seek_sampling",
+    # device cpu/tpu is decision-equivalent by design (the CPU-mesh CI
+    # proves chip parity), and outage-mode --device cpu outputs must
+    # resume cleanly once the chip returns (CLAUDE.md outage workflow)
+    "device",
+    "log_interval_sec", "preview_every",
+    "async_save", "async_save_wait", "save_fsync",
+})
+
+
+def config_fingerprint(cfg) -> str:
+    """Short stable hash of every decision-affecting config field.
+
+    Stored in each done.json so a restarted sweep with different
+    --ref/thresholds reprocesses instead of silently keeping outputs
+    produced under the old settings as "ok, resumed"."""
+    import hashlib
+    from dataclasses import asdict
+
+    d = {k: v for k, v in asdict(cfg).items()
+         if k not in _FINGERPRINT_EXCLUDE}
+    blob = json.dumps(d, sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 def build_sweep_parser():
@@ -244,23 +280,12 @@ def main(argv=None) -> int:
     summary_path = os.path.join(out_root, "sweep_summary.json")
     backend_max_retries = max(0, int(args.backend_max_retries))
 
-    resumed = 0
-    if not args.no_resume:
-        for vkey, (dname, rec) in sorted(_load_done_markers(out_root)
-                                         .items()):
-            seen.add(vkey)
-            used_names.add(dname)
-            results.append({"video": rec.get("video"),
-                            "out_dir": os.path.join(out_root, dname),
-                            "ok": True, "error": None, "error_kind": None,
-                            "retries": 0, "hits": rec.get("hits", 0),
-                            "spans": rec.get("spans", 0),
-                            "wall_s": rec.get("wall_s", 0.0),
-                            "resumed": True})
-            resumed += 1
-        if resumed:
-            print(f"[sweep] resume: {resumed} video(s) already complete "
-                  f"under {out_root} — skipped (--no-resume to redo)")
+    cfg_fp = config_fingerprint(cfg)
+    done_markers = {} if args.no_resume else _load_done_markers(out_root)
+    # reserve every completed dir's name up front so a same-stem NEW video
+    # never collides with a resumed video's output directory
+    for _dname, _rec in done_markers.values():
+        used_names.add(_dname)
 
     from .utils.device import classify_error
 
@@ -299,14 +324,15 @@ def main(argv=None) -> int:
         cfg_v.out_dir = out_dir
         return cfg_v
 
-    def process_one(video: str) -> bool:
+    def process_one(video: str, out_dir=None) -> bool:
         """Run one video, retrying BACKEND-classified failures after the
         accelerator answers a health probe (an outage stalls the sweep; it
         never burns corpus entries — VERDICT r3 next #2). Video-classified
         failures (bad file, decode error) fail immediately: a healthy
         retry would not fix them."""
         nonlocal failed
-        out_dir = _out_dir_for(out_root, video, used_names)
+        if out_dir is None:
+            out_dir = _out_dir_for(out_root, video, used_names)
         t0 = time.perf_counter()
         print(f"[sweep] {video} -> {out_dir}")
         retries = 0
@@ -339,7 +365,8 @@ def main(argv=None) -> int:
                 with open(os.path.join(out_dir, "done.json"), "w") as fh:
                     json.dump({"video": os.path.abspath(video),
                                "hits": hits, "spans": spans,
-                               "wall_s": round(wall, 2)}, fh)
+                               "wall_s": round(wall, 2),
+                               "config": cfg_fp}, fh)
             except OSError:
                 pass
         results.append({"video": video, "out_dir": out_dir, "ok": bool(ok),
@@ -387,8 +414,37 @@ def main(argv=None) -> int:
             first_pass = False
         aborted = False
         for video in fresh:
-            seen.add(os.path.abspath(video))
-            if not process_one(video) and not args.continue_on_error:
+            vkey = os.path.abspath(video)
+            seen.add(vkey)
+            marker = done_markers.get(vkey)
+            stale_dir = None
+            if marker is not None:
+                dname, rec = marker
+                old_fp = rec.get("config")
+                if old_fp is not None and old_fp != cfg_fp:
+                    print(f"[sweep] resume: {video} was completed under a "
+                          f"DIFFERENT config ({old_fp} != {cfg_fp}) — "
+                          f"reprocessing", file=sys.stderr)
+                    # reuse the marker's dir (wiped): a suffixed fresh dir
+                    # would leave the stale outputs AND stale marker behind
+                    stale_dir = os.path.join(out_root, dname)
+                    import shutil
+                    shutil.rmtree(stale_dir, ignore_errors=True)
+                else:
+                    results.append({
+                        "video": rec.get("video"),
+                        "out_dir": os.path.join(out_root, dname),
+                        "ok": True, "error": None, "error_kind": None,
+                        "retries": 0, "hits": rec.get("hits", 0),
+                        "spans": rec.get("spans", 0),
+                        "wall_s": rec.get("wall_s", 0.0),
+                        "resumed": True})
+                    print(f"[sweep] resume: {video} already complete "
+                          f"(--no-resume to redo)")
+                    write_summary()
+                    continue
+            if not process_one(video, out_dir=stale_dir) \
+                    and not args.continue_on_error:
                 aborted = True
                 break
         if aborted or not watch:

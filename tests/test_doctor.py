@@ -53,3 +53,20 @@ def test_main_json_exit_code(monkeypatch, tmp_path, capsys):
     rep = json.loads(out)
     assert rc == 0 and rep["ok"]
     assert set(rep) >= {"host", "weights", "cache", "ok"}
+
+
+def test_check_cache_explicit_dir_and_off(tmp_path):
+    # doctor must diagnose the directory the REAL run will use, not only
+    # the default auto location (round-4 advisor finding)
+    d = str(tmp_path / "explicit_cache")
+    c = doctor.check_cache(d)
+    assert c["dir"] == d and c["writable"]
+    c_off = doctor.check_cache("off")
+    assert c_off["dir"] is None and not c_off["writable"]
+
+
+def test_check_cache_unwritable_explicit_dir(tmp_path):
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    c = doctor.check_cache(str(blocker / "sub"))
+    assert not c["writable"] and c.get("error")

@@ -491,13 +491,208 @@ def test_resume_failed_video_retries_on_restart(tmp_path, monkeypatch):
 
     monkeypatch.setattr(M, "make_engine", fake_make_engine)
 
-    assert SW.main(base) == 0
+    # Exit-code contract: any failed video -> rc 1, even with
+    # --continue-on-error (which only controls whether the loop keeps
+    # going; see test_sweep_continue_on_error_records_failure).
+    assert SW.main(base) == 1
     assert not os.path.exists(os.path.join(out_root, "b", "done.json"))
 
     log.clear()
-    assert SW.main(base) == 0          # a resumes; b retries (and fails)
+    assert SW.main(base) == 1          # a resumes; b retries (and fails)
     assert [os.path.basename(p) for p in log] == ["b.mp4"]
     with open(os.path.join(out_root, "sweep_summary.json")) as fh:
         summary = json.load(fh)
     assert summary["resumed"] == 1 and summary["failed"] == 1
     assert summary["failed_video"] == 1
+
+
+def test_resume_ignores_other_shards_and_stale_corpus(tmp_path,
+                                                      monkeypatch):
+    """Shared out_root fleet layout: done.json markers from videos this
+    shard does not own (or that left the corpus) must not leak into this
+    run's results/summary (round-4 advisor finding)."""
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    old = time.time() - 60
+    (corpus / "a.mp4").write_bytes(b"x")
+    os.utime(corpus / "a.mp4", (old, old))
+    ref = tmp_path / "ref.png"
+    ref.write_bytes(b"x")
+    out_root = tmp_path / "out"
+
+    # a foreign shard's completion + one for a video no longer on disk
+    for stem, vid in (("zz_other", "zz_other.mp4"),
+                      ("gone", "gone.mp4")):
+        d = out_root / stem
+        d.mkdir(parents=True)
+        (d / "done.json").write_text(json.dumps(
+            {"video": str(tmp_path / "elsewhere" / vid),
+             "hits": 9, "spans": 9, "wall_s": 1.0}))
+
+    log = []
+    _stub_engines(monkeypatch, log)
+    base = ["--videos", str(corpus), "--ref", str(ref),
+            "--out", str(out_root)]
+    assert SW.main(base) == 0
+    with open(out_root / "sweep_summary.json") as fh:
+        summary = json.load(fh)
+    assert summary["processed"] == 1 and summary["resumed"] == 0
+    assert [os.path.basename(r["video"]) for r in summary["results"]] == \
+        ["a.mp4"]
+
+
+def test_resume_config_fingerprint_invalidates(tmp_path, monkeypatch):
+    """A restart with different decision-affecting flags reprocesses
+    completed videos instead of resuming stale outputs; perf-only knobs
+    do not invalidate."""
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    old = time.time() - 60
+    (corpus / "a.mp4").write_bytes(b"x")
+    os.utime(corpus / "a.mp4", (old, old))
+    ref = tmp_path / "ref.png"
+    ref.write_bytes(b"x")
+    out_root = tmp_path / "out"
+    base = ["--videos", str(corpus), "--ref", str(ref),
+            "--out", str(out_root)]
+
+    log = []
+    _stub_engines(monkeypatch, log)
+    assert SW.main(base) == 0
+    assert [os.path.basename(p) for p in log] == ["a.mp4"]
+    marker = json.loads((out_root / "a" / "done.json").read_text())
+    assert marker["config"]
+
+    # same decision config, different perf knob -> resumes
+    log.clear()
+    assert SW.main(base + ["--set", "tpu_decode_workers=3"]) == 0
+    assert log == []
+
+    # decision threshold changed -> reprocesses into the SAME dir
+    log.clear()
+    assert SW.main(base + ["--face-thresh", "0.2"]) == 0
+    assert [os.path.basename(p) for p in log] == ["a.mp4"]
+    marker2 = json.loads((out_root / "a" / "done.json").read_text())
+    assert marker2["config"] != marker["config"]
+    assert not (out_root / "a_2").exists()   # no forked suffix dir
+
+    # legacy marker without a config key still resumes (upgrade path)
+    m = json.loads((out_root / "a" / "done.json").read_text())
+    del m["config"]
+    (out_root / "a" / "done.json").write_text(json.dumps(m))
+    log.clear()
+    assert SW.main(base + ["--face-thresh", "0.2"]) == 0
+    assert log == []
+
+
+def test_daemon_soak_outage_recovery_growth_restart(tmp_path, monkeypatch):
+    """VERDICT r4 #9: one test driving the serving daemon's full
+    lifecycle — healthy video → multi-probe backend outage (the probe
+    BLOCKS until the device answers; the corpus entry is retried, never
+    consumed) → recovery → corpus growth → idle exit → restart-resume —
+    asserting sweep_summary.json stays consistent across the restart."""
+    import threading
+    from types import SimpleNamespace
+
+    import person_capture_tpu.main as M
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    old = time.time() - 60
+    a = corpus / "a.mp4"
+    a.write_bytes(b"x")
+    os.utime(a, (old, old))
+    ref = tmp_path / "ref.png"
+    ref.write_bytes(b"x")
+    out_root = str(tmp_path / "out")
+
+    device = {"down": False}
+    probes = []
+    run_log = []
+
+    monkeypatch.setattr(M, "build_runtime",
+                        lambda cfg, args, ap: {"stub": True})
+
+    def fake_make_engine(cfg_v, runtime, status=None):
+        def run():
+            run_log.append(os.path.basename(cfg_v.video))
+            if device["down"]:
+                return SimpleNamespace(
+                    ok=False, spans=[], mainpass=None,
+                    error="XlaRuntimeError: FAILED_PRECONDITION: outage")
+            return SimpleNamespace(ok=True, error=None, spans=[(0, 1)],
+                                   mainpass=SimpleNamespace(hits=[1]))
+
+        return SimpleNamespace(run=run)
+
+    monkeypatch.setattr(M, "make_engine", fake_make_engine)
+
+    def fake_probe(status):
+        probes.append(1)
+        while device["down"]:           # stall, exactly like the real probe
+            time.sleep(0.01)
+
+    monkeypatch.setattr(SW, "_probe_and_wait", fake_probe)
+
+    base = ["--videos", str(corpus), "--ref", str(ref), "--out", out_root,
+            "--continue-on-error"]
+    rc_holder = {}
+
+    def run_watch():
+        rc_holder["rc"] = SW.main(base + ["--watch", "0.1",
+                                          "--watch-max-idle", "10"])
+
+    th = threading.Thread(target=run_watch)
+    th.start()
+
+    def wait_for(cond, what, timeout=30):
+        deadline = time.time() + timeout
+        while not cond():
+            assert time.time() < deadline, f"timed out waiting for {what}"
+            time.sleep(0.02)
+
+    # phase 1: healthy video completes
+    wait_for(lambda: os.path.isfile(os.path.join(out_root, "a",
+                                                 "done.json")), "a done")
+    # phase 2: outage begins; a new video arrives and fails backend
+    device["down"] = True
+    b = corpus / "b.mp4"
+    b.write_bytes(b"x")
+    os.utime(b, (old, old))
+    wait_for(lambda: "b.mp4" in run_log, "first attempt on b")
+    wait_for(lambda: probes, "probe engaged")
+    assert not os.path.exists(os.path.join(out_root, "b", "done.json"))
+    # phase 3: device recovers mid-probe; the retry completes b
+    time.sleep(0.2)
+    device["down"] = False
+    wait_for(lambda: os.path.isfile(os.path.join(out_root, "b",
+                                                 "done.json")), "b done")
+    # phase 4: corpus grows
+    c = corpus / "c.mp4"
+    c.write_bytes(b"x")
+    os.utime(c, (old, old))
+    wait_for(lambda: os.path.isfile(os.path.join(out_root, "c",
+                                                 "done.json")), "c done")
+    th.join(timeout=30)
+    assert not th.is_alive(), "watcher did not exit on idle"
+    assert rc_holder["rc"] == 0
+
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary = json.load(fh)
+    assert summary["processed"] == 3 and summary["failed"] == 0
+    rec_b = [r for r in summary["results"]
+             if os.path.basename(str(r["video"])) == "b.mp4"][0]
+    assert rec_b["ok"] and rec_b["retries"] >= 1
+    assert run_log.count("b.mp4") >= 2      # retried, never consumed
+
+    # phase 5: restart-resume — nothing reruns, summary stays consistent
+    run_log.clear()
+    assert SW.main(base) == 0
+    assert run_log == []
+    with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+        summary2 = json.load(fh)
+    assert summary2["processed"] == 3 and summary2["resumed"] == 3
+    assert summary2["failed"] == 0
+    assert sorted(os.path.basename(str(r["video"]))
+                  for r in summary2["results"]) == \
+        ["a.mp4", "b.mp4", "c.mp4"]
