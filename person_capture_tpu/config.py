@@ -358,20 +358,36 @@ class SessionConfig:
     # only the fd9 gate's skip decisions lag by `depth` batches instead
     # of one.
     tpu_pipeline_depth: int = 4
-    # Decode workers (0 = auto: cores-1 capped at 4; 1 on this 1-core
+    # Decode workers (0 = auto: cores-1 capped at 8 — cap measured
+    # via tools_bench_decodepool_workers.py; 1 on this 1-core
     # image). >1 stripes the span/sample plan over N reader threads each
     # owning its own decoder process (video/decodepool.py) — results are
     # order-identical to a single reader; decode throughput scales with
     # cores. The reference leans on decoder threading/NVDEC instead
     # (PC_FF_THREADS, PC_HWACCEL — video_io.py:1277-1282).
     tpu_decode_workers: int = 0
+    # Keyframe-gated seek sampling (prescan + main pass skips). A
+    # skip(count) normally grab-drains count frames (cv2's grab still
+    # DECODES each one); when the container keyframe index shows an
+    # exact seek would decode ≥12 fewer frames, the reader PROBES both
+    # paths under a timer on the first eligible skips and locks the
+    # cheaper one for the stream (video/reader.py KeyframeSkipReader).
+    # On decode-bound codecs (H.264/HEVC 1080p) the seek path cuts
+    # per-sample decode from stride frames to ~GOP/2; on cheap-decode
+    # codecs the fixed container-seek cost loses to draining (measured:
+    # mp4v 177 drain vs 160 seek src f/s, tools_bench_seek_sampling.py)
+    # and the probe locks drain. Long-GOP content (keyint > stride)
+    # never qualifies. Sample positions are identical on every path
+    # (parity-tested on forced-GOP synthetics). False = always drain
+    # (reference behavior: gui_app.py:1640-1647 drains stride-1 grabs).
+    tpu_seek_sampling: bool = True
     # Encode workers behind the async saver (0 = auto: cores-1 capped at
-    # 4; 1 on this 1-core image). PNG/AVIF encode is the reference's
+    # 8; 1 on this 1-core image). PNG/AVIF encode is the reference's
     # documented CPU bottleneck (README.md:258-265, single saver thread);
     # K workers keep CSV submission order and per-item render-timeout/
     # cancel semantics (pipeline/saver.py).
     tpu_save_workers: int = 0
-    # Analysis-resize workers (0 = auto: cores-1 capped at 4; 1 on this
+    # Analysis-resize workers (0 = auto: cores-1 capped at 8; 1 on this
     # 1-core image = inline, no thread). When
     # tpu_mainpass_analysis_max_w is active, the per-frame host downscale
     # is the next driver-serialized stage after decode (profiled as the

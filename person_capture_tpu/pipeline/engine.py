@@ -289,6 +289,13 @@ class Engine:
                     f"repaired stream metadata: fps={meta.fps} "
                     f"total_frames={meta.total_frames}", key="phase")
             self._fps = float(meta.fps or 0.0)
+            # keyframe index BEFORE prescan (container parse, no decode):
+            # it powers span-jump seeks in the main pass AND the
+            # seek-sampling skip gate in both pipelines
+            from ..video.keyframes import read_keyframes
+
+            keyframes = read_keyframes(cfg.video, meta.fps,
+                                       meta.total_frames)
             pres: Optional[PrescanResult] = None
             if cfg.prescan_enable:
                 self._status_cb("pre-scan", key="phase")
@@ -297,7 +304,8 @@ class Engine:
                     return _open_analysis(max_w=cfg.prescan_decode_max_w)
 
                 def _run():
-                    from ..video.reader import (ResilientReader,
+                    from ..video.reader import (KeyframeSkipReader,
+                                                ResilientReader,
                                                 StridedPrefetchReader)
 
                     self._throttle_stride = cfg.prescan_stride
@@ -308,9 +316,15 @@ class Engine:
                             prefer_ffmpeg=True)
 
                     def _resilient():
-                        return ResilientReader(
+                        r = ResilientReader(
                             _open_base(), _open_base,
                             total_frames=meta.total_frames)
+                        if keyframes and bool(getattr(
+                                cfg, "tpu_seek_sampling", True)):
+                            return KeyframeSkipReader(
+                                r, keyframes,
+                                total_frames=meta.total_frames)
+                        return r
 
                     workers = self._decode_workers()
                     if workers > 1 and meta.total_frames > 1:
@@ -361,10 +375,6 @@ class Engine:
             else:
                 spans = [(0, max(0, meta.total_frames - 1))]
 
-            from ..video.keyframes import read_keyframes
-
-            keyframes = read_keyframes(cfg.video, meta.fps,
-                                       meta.total_frames)
             hdr_exporter = None
             preview_p010 = None
             # hdr_info probed once above — re-probing here could disagree
@@ -429,7 +439,16 @@ class Engine:
                     self._status_cb(f"HDR stills unavailable: {e}", key="hdr_state")
             self._status_cb(f"main pass (keyframes: {len(keyframes)})",
                             key="phase")
-            from ..video.reader import ResilientReader, StridedPrefetchReader
+            from ..video.reader import (KeyframeSkipReader, ResilientReader,
+                                        StridedPrefetchReader)
+
+            seek_sampling = bool(keyframes) and bool(
+                getattr(cfg, "tpu_seek_sampling", True))
+
+            def _kf_wrap(r):
+                return KeyframeSkipReader(
+                    r, keyframes, total_frames=meta.total_frames) \
+                    if seek_sampling else r
 
             workers = self._decode_workers()
             if workers > 1 and meta.total_frames > 1 and spans:
@@ -441,8 +460,9 @@ class Engine:
                 main_reader.release()      # superseded by pool readers
 
                 def _resilient_main():
-                    return ResilientReader(_open_analysis(), _open_analysis,
-                                           total_frames=meta.total_frames)
+                    return _kf_wrap(
+                        ResilientReader(_open_analysis(), _open_analysis,
+                                        total_frames=meta.total_frames))
 
                 main_reader = StripedDecodeReader(
                     _resilient_main, spans, cfg.frame_stride,
@@ -451,7 +471,7 @@ class Engine:
             else:
                 main_reader = ResilientReader(main_reader, _open_analysis,
                                               total_frames=meta.total_frames)
-                main_reader = StridedPrefetchReader(main_reader,
+                main_reader = StridedPrefetchReader(_kf_wrap(main_reader),
                                                     cfg.frame_stride,
                                                     reopen=_open_analysis)
             reader_holder["r"] = main_reader

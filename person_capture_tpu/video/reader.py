@@ -93,6 +93,11 @@ class Cv2Reader:
     """cv2.VideoCapture wrapper with grab/retrieve/seek and optional
     retrieve-time downscale to ``max_w``."""
 
+    # seek is an in-process demux jump (KeyframeSkipReader's gate);
+    # FfmpegPipeReader seeks by process respawn and must never be chosen
+    # over a drain
+    cheap_seek = True
+
     def __init__(self, path: str, max_w: int = 0):
         if cv2 is None:
             raise RuntimeError("OpenCV not available")
@@ -997,6 +1002,130 @@ class StridedPrefetchReader:
     def __getattr__(self, name):
         # surface the underlying reader's failure/diagnostic attributes
         # (failed, eof_reason, recoveries, stderr_tail, …)
+        if name == "reader":
+            raise AttributeError(name)
+        return getattr(self.reader, name)
+
+
+class KeyframeSkipReader:
+    """Skip via exact container seek when measurement proves it cheaper
+    than grab-draining.
+
+    ``skip(count)`` normally decodes every intermediate frame (cv2's
+    ``grab`` decodes, it only skips the colorspace convert). An exact
+    position seek instead demux-jumps to the previous keyframe and
+    decodes only ``target - prev_keyframe(target)`` frames. The container
+    keyframe index (video/keyframes.py — the same moov/Cues parse the
+    main pass uses for span jumps) tells when that saves ≥ ``min_gain``
+    frame decodes; long-GOP content (x264 default keyint 250 > prescan
+    stride 24) never qualifies — ``prev_kf(target)`` sits at/before the
+    current position — and always drains.
+
+    Decode savings do not automatically equal wall-clock savings: the
+    container seek itself (demux seek + decoder flush) has a fixed cost,
+    so on cheap-to-decode codecs draining wins even when it decodes 4×
+    the frames (measured on this image's mp4v writer: 177 drained vs
+    160 seek-gated src f/s at stride 24 / GOP 12 —
+    tools_bench_seek_sampling.py), while on expensive codecs
+    (H.264/HEVC 1080p, the production case) the decode term dominates.
+    Both paths land on identical frames, so the reader PROBES: the first
+    eligible skips alternate seek/drain under a timer, then the cheaper
+    mode locks in for the rest of the stream (``mode="auto"``; "seek" /
+    "drain" force a path). The last 1-core lever on the decode-bound
+    prescan e2e (VERDICT r4 #3; reference anchor: keyframe-aware
+    ``_seek_to``, gui_app.py:3972-4104).
+
+    EOF contract: skips that could cross the container's end fall back to
+    draining, so the short-skip shortfall the pipeline drivers rely on
+    still comes from real decoder EOFs.
+    """
+
+    PROBES_PER_MODE = 3
+
+    def __init__(self, reader, keyframes, total_frames: int = 0,
+                 min_gain: int = 12, mode: str = "auto"):
+        self.reader = reader
+        self.keyframes = sorted(int(k) for k in (keyframes or []))
+        self.total = int(total_frames or 0)
+        self.min_gain = max(1, int(min_gain))
+        self.seeks = 0          # diagnostic: seek-path skips taken
+        self.mode = mode        # auto | seek | drain (auto locks after probe)
+        self._probe_seek: list = []
+        self._probe_drain: list = []
+
+    @property
+    def pos(self) -> int:
+        return self.reader.pos
+
+    def meta(self):
+        return self.reader.meta()
+
+    def read(self):
+        return self.reader.read()
+
+    def grab(self):
+        return self.reader.grab()
+
+    def retrieve(self):
+        return self.reader.retrieve()
+
+    def seek(self, frame_idx: int) -> None:
+        self.reader.seek(int(frame_idx))
+
+    def skip(self, count: int) -> int:
+        count = max(0, int(count))
+        r = self.reader
+        if (self.mode == "drain" or count < self.min_gain
+                or not self.keyframes or not hasattr(r, "seek")
+                or not getattr(r, "cheap_seek", False)):
+            return r.skip(count)
+        target = r.pos + count
+        if self.total > 0 and target >= self.total:
+            return r.skip(count)    # tail: EOF accounting needs real grabs
+        from .keyframes import previous_keyframe
+
+        kf = previous_keyframe(self.keyframes, target)
+        # seek decodes ~(target - kf); drain decodes count. kf at/behind
+        # the current position means the demuxer would re-decode the whole
+        # stretch — never seek then.
+        if kf <= r.pos or count - (target - kf) < self.min_gain:
+            return r.skip(count)
+        if self.mode == "auto":
+            return self._probe_skip(count, target)
+        r.seek(target)
+        self.seeks += 1
+        return count
+
+    def _probe_skip(self, count: int, target: int) -> int:
+        """Eligible skip during the probe phase: alternate seek/drain under
+        a timer (both land on identical frames), normalize per skipped
+        frame, and lock the cheaper mode once both sides have
+        ``PROBES_PER_MODE`` samples."""
+        import time as _time
+
+        r = self.reader
+        take_seek = len(self._probe_seek) <= len(self._probe_drain)
+        t0 = _time.perf_counter()
+        if take_seek:
+            r.seek(target)
+            self.seeks += 1
+            done = count
+            self._probe_seek.append((_time.perf_counter() - t0) / count)
+        else:
+            done = r.skip(count)
+            self._probe_drain.append((_time.perf_counter() - t0)
+                                     / max(1, done))
+        if (len(self._probe_seek) >= self.PROBES_PER_MODE
+                and len(self._probe_drain) >= self.PROBES_PER_MODE):
+            med = lambda xs: sorted(xs)[len(xs) // 2]
+            self.mode = ("seek" if med(self._probe_seek)
+                         < med(self._probe_drain) else "drain")
+        return done
+
+    def release(self) -> None:
+        self.reader.release()
+
+    def __getattr__(self, name):
         if name == "reader":
             raise AttributeError(name)
         return getattr(self.reader, name)
