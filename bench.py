@@ -91,8 +91,11 @@ def _decode_all_resized(path: str, w: int, h: int) -> np.ndarray:
 
 
 def _bench_prescan_device_path(backend, frames_384: np.ndarray,
-                               bank_mat: np.ndarray):
-    """Depth-4 pipelined device path over pre-decoded video batches."""
+                               bank_mat: np.ndarray, n_runs: int = 3):
+    """Depth-4 pipelined device path over pre-decoded video batches.
+    Median of ``n_runs`` measurements (tunnel throughput varies ~3×
+    run-to-run — one capture moved 249→381× across rounds with no code
+    change on this path; VERDICT r4 Weak #4)."""
     batch = 128
     idx = np.arange(batch) % len(frames_384)
     frames = frames_384[idx]
@@ -110,17 +113,21 @@ def _bench_prescan_device_path(backend, frames_384: np.ndarray,
 
     n_steps = 10
     depth = 4                  # production tpu_pipeline_depth default
-    q = deque()
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        q.append(backend.submit_batch(frames, valid))
-        if len(q) > depth:
+    runs = []
+    for _ in range(max(1, int(n_runs))):
+        q = deque()
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            q.append(backend.submit_batch(frames, valid))
+            if len(q) > depth:
+                consume(q.popleft()())
+        while q:
             consume(q.popleft()())
-    while q:
-        consume(q.popleft()())
-    dt = time.perf_counter() - t0
-    sampled_fps = n_steps * batch / dt
-    return sampled_fps * PRESCAN_STRIDE / FPS, n_faces
+        dt = time.perf_counter() - t0
+        sampled_fps = n_steps * batch / dt
+        runs.append(sampled_fps * PRESCAN_STRIDE / FPS)
+    runs.sort()
+    return runs[len(runs) // 2], runs, n_faces
 
 
 def _bench_prescan_e2e(backend, video: str, bank_mat: np.ndarray,
@@ -170,7 +177,26 @@ def _bench_prescan_e2e(backend, video: str, bank_mat: np.ndarray,
     return decode_fps / FPS, decode_fps
 
 
-def _bench_mainpass_e2e(video: str, ref_png: str, n_runs: int = 1):
+def _build_mainpass_backends():
+    """Backend pair the main-pass bench (and the MFU report) share."""
+    from person_capture_tpu.models.zoo import resolve_weights
+    from person_capture_tpu.pipeline.backends import (ScrfdArcFaceBackend,
+                                                      YoloPersonBackend)
+
+    backend = ScrfdArcFaceBackend(det_size=640, score_thresh=0.3,
+                                  max_faces=8, host_align=False,
+                                  scrfd_weights=resolve_weights(
+                                      "auto", "scrfd_2.5g"))
+    # the CLI default builds the person detector for body-aware compose
+    # association (compose_detect_person_for_face) — the metric must pay
+    # for it too
+    person = YoloPersonBackend(conf=0.35,
+                               weights=resolve_weights("auto", "yolov8n"))
+    return backend, person
+
+
+def _bench_mainpass_e2e(video: str, ref_png: str, backend, person,
+                        n_runs: int = 1):
     """Main pass through the REAL product driver: ``Engine.run`` over the
     1080p mp4 with the production defaults — decode + prefetch inside the
     timed region, analysis downscale to ``tpu_mainpass_analysis_max_w``
@@ -189,23 +215,9 @@ def _bench_mainpass_e2e(video: str, ref_png: str, n_runs: int = 1):
 
     from person_capture_tpu.config import SessionConfig
     from person_capture_tpu.core.bank import RefBank
-    from person_capture_tpu.models.zoo import resolve_weights
-    from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
     from person_capture_tpu.pipeline.engine import Engine
 
-    from person_capture_tpu.pipeline.backends import YoloPersonBackend
-
     batch = 16
-    backend = ScrfdArcFaceBackend(det_size=640, score_thresh=0.3,
-                                  max_faces=8, host_align=False,
-                                  scrfd_weights=resolve_weights(
-                                      "auto", "scrfd_2.5g"))
-    # the CLI default builds the person detector for body-aware compose
-    # association (compose_detect_person_for_face) — the metric must pay
-    # for it too
-    person = YoloPersonBackend(conf=0.35,
-                               weights=resolve_weights("auto", "yolov8n"))
-
     # seed the identity bank through the batch programs at the EXACT
     # analysis shape the main pass uses (640x360), via the same
     # shared-upload dispatch — this doubles as the warmup compile for
@@ -257,6 +269,52 @@ def _bench_mainpass_e2e(video: str, ref_png: str, n_runs: int = 1):
     return runs
 
 
+def _mfu_for_prescan(backend, frames_384: np.ndarray) -> dict:
+    """XLA cost model + amortized device time for the fused prescan
+    program (wire u8 b128 → letterbox → SCRFD-2.5G det416 → matmul warp →
+    ArcFace r50 ×8 slots → packed) — VERDICT r4 #2: perf claims must
+    carry FLOP accounting, not just wall clock."""
+    import jax
+
+    from person_capture_tpu.utils.mfu import mfu_report
+
+    idx = np.arange(128) % len(frames_384)
+    wire = backend._prepare_transfer(frames_384[idx])
+    dev = jax.device_put(wire)
+    jnp = backend._jnp
+    rep = mfu_report(backend._fused,
+                     (dev, jnp.float32(backend.score_thresh)),
+                     n=10, reps=3)
+    # if the link were free: how fast could THIS program alone sample?
+    covered_s = 128 * PRESCAN_STRIDE / FPS
+    rep["compute_ceiling_x_realtime"] = round(
+        covered_s / (rep["ms_per_step"] / 1e3), 1)
+    return rep
+
+
+def _mfu_for_mainpass(backend, person) -> dict:
+    """Same accounting for the combined wire-format face+person program
+    (b16 @ analysis 640×360, det 640, SCRFD-2.5G + r50 + YOLOv8n)."""
+    import jax
+
+    from person_capture_tpu.utils.mfu import mfu_report
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255,
+                          (16, MAIN_ANALYSIS_H, MAIN_ANALYSIS_W, 3),
+                          np.uint8)
+    wire = backend._prepare_transfer(frames)
+    dev = jax.device_put(wire)
+    jnp = backend._jnp
+    combo = backend._combined_wire_with(person)
+    rep = mfu_report(combo, (dev, jnp.float32(backend.score_thresh),
+                             jnp.float32(person.conf)), n=10, reps=3)
+    covered_s = 16 * MAIN_STRIDE / FPS
+    rep["compute_ceiling_x_realtime"] = round(
+        covered_s / (rep["ms_per_step"] / 1e3), 1)
+    return rep
+
+
 def _wait_for_device(deadline_s: float = 1800.0) -> None:
     """The tunneled chip enters transient bad states where even a trivial
     matmul hangs (CLAUDE.md). Probe it in a SUBPROCESS — a hung in-process
@@ -306,24 +364,32 @@ def main() -> None:
                                       max_faces=8, host_align=False,
                                       scrfd_weights=resolve_weights(
                                           "auto", "scrfd_2.5g"))
-        device_x, n_faces = _bench_prescan_device_path(backend, frames_384,
-                                                       bank_mat)
-        _phase(f"prescan device path done ({device_x:.0f}x)")
+        device_x, device_runs, n_faces = _bench_prescan_device_path(
+            backend, frames_384, bank_mat)
+        _phase(f"prescan device path done (median {device_x:.0f}x of "
+               f"{[round(x) for x in device_runs]})")
+        prescan_mfu = _mfu_for_prescan(backend, frames_384)
+        _phase(f"prescan program MFU {prescan_mfu.get('mfu')}")
         e2e_x, decode_fps = _bench_prescan_e2e(backend, video, bank_mat)
         _phase(f"prescan e2e done ({e2e_x:.1f}x)")
         # tunnel throughput varies ~3x run-to-run (BASELINE.md): one
         # capture under- or over-states the same binary. Three runs of the
         # SAME engine (compiles + weights paid once, like a sweep's steady
         # state), report the median; the full band goes in detail.
-        main_runs = _bench_mainpass_e2e(video, ref_png, n_runs=3)
+        main_backend, person = _build_mainpass_backends()
+        main_runs = _bench_mainpass_e2e(video, ref_png, main_backend,
+                                        person, n_runs=3)
         main_xs = sorted(r[0] for r in main_runs)
         main_x = main_xs[len(main_xs) // 2]
         mid = [r for r in main_runs if r[0] == main_x][0]
         main_src_fps, main_hits = mid[1], mid[2]
         _phase(f"mainpass done (median {main_x:.2f}x of {main_xs}, "
                f"{main_hits} hits)")
-    hdr_rate = _bench_hdr_exports()
-    _phase(f"hdr exports done ({hdr_rate}/s)")
+        mainpass_mfu = _mfu_for_mainpass(main_backend, person)
+        _phase(f"mainpass program MFU {mainpass_mfu.get('mfu')}")
+    hdr_rate, hdr_rates, hdr_mfu = _bench_hdr_exports()
+    _phase(f"hdr exports done (median {hdr_rate}/s of {hdr_rates}; "
+           f"render MFU {hdr_mfu.get('mfu')})")
 
     print(json.dumps({
         "metric": "prescan_1080p_device_path_x",
@@ -331,6 +397,7 @@ def main() -> None:
         "unit": "x_realtime",
         "vs_baseline": round(device_x / target_realtime_x, 3),
         "detail": {
+            "prescan_device_runs_x": [round(x, 1) for x in device_runs],
             "prescan_e2e_x": round(e2e_x, 2),
             "prescan_e2e_note": ("decode inside timed loop; 1-core host "
                                  "cv2 1080p decode is the bound "
@@ -348,17 +415,31 @@ def main() -> None:
             "prescan_batch": 128, "prescan_det_size": 416,
             "prescan_stride": PRESCAN_STRIDE, "assumed_fps": FPS,
             "hdr_png_exports_per_s": hdr_rate,
+            "hdr_exports_runs_per_s": hdr_rates,
+            # MFU per production program (utils/mfu.py): XLA cost-model
+            # flops / amortized device seconds / chip peak bf16.
+            # compute_ceiling_x_realtime = throughput if the tunneled link
+            # cost nothing (the other roofline axis; the gap between it
+            # and the measured pipeline x is link+host, not compute).
+            "mfu": {
+                "prescan_fused_b128_det416": prescan_mfu,
+                "mainpass_combo_b16_det640": mainpass_mfu,
+                "hdr_render_1920x1440": hdr_mfu,
+            },
             "device": str(jax.devices()[0]),
         },
     }))
 
 
-def _bench_hdr_exports() -> float:
+def _bench_hdr_exports(n_runs: int = 3, depth: int = 2, mfu: bool = True):
     """Time full-res HDR→SDR crop renders (kernel + color match +
-    despeckle + PNG encode) from a 4K P010 source."""
+    despeckle + PNG encode) from a 4K P010 source. Median of ``n_runs``
+    (symmetric with the other metrics — VERDICT r4 Weak #4), plus the
+    render program's MFU report."""
     import tempfile
 
     from person_capture_tpu.hdr.stills import (HdrExportParams,
+                                               _get_render_fn,
                                                render_sdr_crop_from_p010,
                                                save_sdr_still,
                                                submit_sdr_crop_render)
@@ -387,18 +468,40 @@ def _bench_hdr_exports() -> float:
 
     # warm (compile)
     _ = render_sdr_crop_from_p010(y, uv, crop, params)
-    # depth-1 export pipeline, exactly as the saver thread runs it
-    # (pipeline/saver.py): dispatch render i+1 before PNG-encoding i
+    # depth-`depth` export pipeline, as the saver thread runs it
+    # (pipeline/saver.py): keep `depth` renders in flight ahead of the
+    # host PNG encode, so the device render + 8 MB download fully hide
+    # behind the encode instead of only one batch deep
+    from collections import deque
+
     n = 5
-    t0 = time.perf_counter()
-    with tempfile.TemporaryDirectory() as td:
-        pending = submit_sdr_crop_render(y, uv, crop, params)
-        for i in range(n):
-            nxt = submit_sdr_crop_render(y, uv, crop, params) \
-                if i + 1 < n else None
-            save_sdr_still(pending(), f"{td}/f{i}.png")
-            pending = nxt
-    return round(n / (time.perf_counter() - t0), 2)
+    rates = []
+    for _r in range(max(1, int(n_runs))):
+        t0 = time.perf_counter()
+        with tempfile.TemporaryDirectory() as td:
+            q = deque()
+            submitted = 0
+            for i in range(n):
+                while submitted < n and len(q) <= max(0, int(depth) - 1):
+                    q.append(submit_sdr_crop_render(y, uv, crop, params))
+                    submitted += 1
+                save_sdr_still(q.popleft()(), f"{td}/f{i}.png")
+        rates.append(round(n / (time.perf_counter() - t0), 2))
+    rates.sort()
+
+    rep = {}
+    if mfu:
+        # render-program MFU (device side only; PNG encode is host)
+        import jax
+
+        from person_capture_tpu.utils.mfu import mfu_report
+
+        x0, y0, x1, y1 = crop
+        y_dev = jax.device_put(y[y0:y1, x0:x1])
+        uv_dev = jax.device_put(uv[y0 // 2:y1 // 2, x0 // 2:x1 // 2])
+        render = _get_render_fn(params)
+        rep = mfu_report(render, (y_dev, uv_dev), n=8, reps=3)
+    return rates[len(rates) // 2], rates, rep
 
 
 if __name__ == "__main__":
