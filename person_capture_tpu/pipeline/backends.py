@@ -317,7 +317,12 @@ class ScrfdArcFaceBackend:
             ], axis=-1)
             return packed
 
+        @jax.jit
         def fused_fn(frames_u8, score_thresh):
+            # ONE program from the wire format: an unjitted composition
+            # here costs a second device dispatch per batch (~100+ ms RPC
+            # over tunneled links — the same gap the main pass closed with
+            # its combined wire program in r4, CLAUDE.md)
             return fused_from_bgr(convert_fn(frames_u8), score_thresh)
 
         self._detect = detect_fn

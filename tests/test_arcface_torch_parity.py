@@ -6,6 +6,9 @@ loaded from its converted state dict."""
 import numpy as np
 import pytest
 
+# full-gate tier: minutes-long on the CPU mesh (pytest.ini / CLAUDE.md)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 jnp = pytest.importorskip("jax.numpy")
 import jax  # noqa: E402

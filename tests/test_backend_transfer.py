@@ -141,6 +141,7 @@ def test_embed_slots_limits_embedding_work():
         assert np.linalg.norm(out_all["feats"][m], axis=-1).min() > 0.9
 
 
+@pytest.mark.slow
 def test_combined_face_person_matches_separate(tiny_backend_pair):
     """submit_device_with_person (ONE dispatch + ONE packed download) must
     produce exactly the outputs the two separate shared-upload programs

@@ -9,6 +9,9 @@ import os
 import numpy as np
 import pytest
 
+# full-gate tier: minutes-long on the CPU mesh (pytest.ini / CLAUDE.md)
+pytestmark = pytest.mark.slow
+
 from person_capture_tpu.models.zoo import bundled_weights_path
 from person_capture_tpu.video.synthetic import (FacePlacement, draw_face,
                                                 generate_video)

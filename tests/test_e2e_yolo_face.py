@@ -7,6 +7,9 @@ import os
 import numpy as np
 import pytest
 
+# full-gate tier: minutes-long on the CPU mesh (pytest.ini / CLAUDE.md)
+pytestmark = pytest.mark.slow
+
 from person_capture_tpu.config import SessionConfig
 from person_capture_tpu.pipeline.engine import Engine
 from person_capture_tpu.video.synthetic import (FacePlacement, draw_face,

@@ -44,6 +44,7 @@ def _scene(rng, n_faces):
     return img
 
 
+@pytest.mark.slow
 def test_embed_slots_decisions_match_full(backends):
     full, topk = backends
     rng = np.random.default_rng(11)

@@ -59,6 +59,7 @@ def test_clip_tiny_embedding():
     assert np.abs(emb - other).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_yolo_boxes_clipped_to_frame(yolo_tiny):
     """detect_persons(clip_hw=...) clamps edge regressions to frame bounds
     like the reference's ultralytics scale_boxes path (detectors.py:271)."""

@@ -17,6 +17,11 @@ import sys
 
 import numpy as np
 
+import pytest
+
+# full-gate tier: minutes-long on the CPU mesh (pytest.ini / CLAUDE.md)
+pytestmark = pytest.mark.slow
+
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "multihost_worker.py")
 

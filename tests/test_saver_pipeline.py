@@ -255,7 +255,7 @@ def test_auto_workers_on_this_host():
     import os as _os
 
     cores = _os.cpu_count() or 1
-    assert k == max(1, min(4, cores - 1))
+    assert k == max(1, min(8, cores - 1))
     # workers=0 resolves to auto
     import tempfile
 

@@ -61,6 +61,7 @@ def test_targets_box_distances_decode_back():
             [cx - l, cy - tt, cx + r, cy + b], boxes[0, 0], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     import jax
 

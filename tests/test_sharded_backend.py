@@ -1,6 +1,9 @@
 import numpy as np
 import pytest
 
+# full-gate tier: minutes-long on the CPU mesh (pytest.ini / CLAUDE.md)
+pytestmark = pytest.mark.slow
+
 jnp = pytest.importorskip("jax.numpy")
 import jax  # noqa: E402
 

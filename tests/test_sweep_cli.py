@@ -99,6 +99,7 @@ _TINY_ARGS = [
 ]
 
 
+@pytest.mark.slow
 def test_sweep_end_to_end_two_videos(tmp_path):
     if bundled_weights_path("scrfd_tiny") is None:
         pytest.skip("bundled tiny weights not present")
@@ -127,6 +128,7 @@ def test_sweep_end_to_end_two_videos(tmp_path):
         assert len(in_span) >= max(2, len(frames) // 2)
 
 
+@pytest.mark.slow
 def test_sweep_continue_on_error_records_failure(tmp_path):
     if bundled_weights_path("scrfd_tiny") is None:
         pytest.skip("bundled tiny weights not present")

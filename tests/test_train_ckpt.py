@@ -8,6 +8,11 @@ from person_capture_tpu.train.ckpt import (latest_checkpoint,
                                            list_checkpoints, step_rng)
 from person_capture_tpu.train.scrfd_synth import train
 
+import pytest
+
+# full-gate tier: minutes-long on the CPU mesh (pytest.ini / CLAUDE.md)
+pytestmark = pytest.mark.slow
+
 
 def _final_params(variables):
     import jax

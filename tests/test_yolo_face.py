@@ -10,6 +10,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from person_capture_tpu.models import yolov8 as Y
+import pytest
 
 
 def test_face_model_emits_kps_head():
@@ -91,6 +92,7 @@ def test_detect_faces_yolo_contract():
     assert det["mask"].dtype == jnp.bool_
 
 
+@pytest.mark.slow
 def test_backend_accepts_yolo_face_cfg():
     from person_capture_tpu.pipeline.backends import ScrfdArcFaceBackend
 
@@ -104,6 +106,7 @@ def test_backend_accepts_yolo_face_cfg():
     assert out["feats"].shape[0] == 2
 
 
+@pytest.mark.slow
 def test_trainer_mechanics_short_run():
     """A few steps must run end-to-end and report sane metrics (the
     bundled-weights recipe itself is a longer offline run — see
@@ -119,6 +122,7 @@ def test_trainer_mechanics_short_run():
     assert final["kps_err"] >= 0.0
 
 
+@pytest.mark.slow
 def test_bundled_yolo_face_weights():
     """Bundled trained YOLO-face weights detect synthetic faces with
     usable landmarks through the real backend."""

@@ -44,6 +44,7 @@ def test_yolo_targets_clip_to_dfl_range():
         assert lv["box_t"].max() <= 15.0
 
 
+@pytest.mark.slow
 def test_yolo_train_step_runs():
     from person_capture_tpu.train.yolo_synth import train
 
