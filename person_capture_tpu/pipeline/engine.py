@@ -486,6 +486,8 @@ class Engine:
                             async_save=cfg.async_save,
                             workers=int(getattr(cfg, "tpu_save_workers", 1)
                                         or 0),
+                            hdr_depth=int(getattr(
+                                cfg, "tpu_hdr_pipeline_depth", 3) or 3),
                             render_timeout_sec=cfg.hdr_export_timeout_sec
                             if hdr_exporter is not None else 0.0) as saver:
                 if hdr_exporter is not None:

@@ -136,7 +136,7 @@ class AsyncSaver:
                  fsync: bool = False, async_save: bool = True,
                  queue_size: int = 512, csv_name: str = "index.csv",
                  render_timeout_sec: float = 0.0, archive_depth: int = 2,
-                 workers: int = 1):
+                 workers: int = 1, hdr_depth: int = 3):
         self.out_dir = out_dir
         self.jpg_quality = int(jpg_quality)
         self.fsync = bool(fsync)
@@ -144,6 +144,12 @@ class AsyncSaver:
         self.render_timeout = float(render_timeout_sec)
         self.workers = int(workers) if int(workers) > 0 else \
             auto_save_workers()
+        # two-phase pipeline depth (single-worker path): how many device
+        # renders stay in flight ahead of the host PNG encode. Measured on
+        # the real chip (tools_bench_hdr_depth.py, interleaved medians):
+        # depth 1 = 0.96/s, 2 = 1.47/s, 3 = 1.66/s exports — each extra
+        # slot hides one more render+download behind the encode.
+        self.hdr_depth = max(1, int(hdr_depth))
         os.makedirs(out_dir, exist_ok=True)
         self.csv_path = os.path.join(out_dir, csv_name)
         self._csv_f = open(self.csv_path, "w", newline="")
@@ -204,39 +210,46 @@ class AsyncSaver:
         if self._q is not None:
             self._q.join()
 
-    # ---- single-worker path: depth-1 two-phase pipelining ---------------
+    # ---- single-worker path: depth-K two-phase pipelining ---------------
     def _worker(self) -> None:
-        # `inflight`: a two-phase item whose device render was dispatched
-        # but not yet fetched/encoded. Beginning the NEXT item first keeps
-        # the device busy during this item's host-side PNG encode.
-        inflight = None   # (seq, item, pending, t0)
+        # `inflight`: two-phase items whose device renders were dispatched
+        # but not yet fetched/encoded, up to ``hdr_depth`` deep. Beginning
+        # the next item(s) first keeps the device busy during this item's
+        # host-side PNG encode; extra depth also hides the multi-MB
+        # device→host downloads on high-latency links (measured 0.96 →
+        # 1.66 exports/s from depth 1 → 3, tools_bench_hdr_depth.py).
+        from collections import deque
+
+        inflight: deque = deque()   # of (seq, item, pending, t0)
         while True:
-            if inflight is not None:
+            if inflight:
                 try:
                     got = self._q.get(timeout=0.05)
                 except queue.Empty:
-                    self._finish_two_phase(*inflight)
-                    inflight = None
+                    self._finish_two_phase(*inflight.popleft())
                     continue
             else:
                 got = self._q.get()
             if got is None:
-                if inflight is not None:
-                    self._finish_two_phase(*inflight)
-                    inflight = None
+                while inflight:
+                    self._finish_two_phase(*inflight.popleft())
                 self._q.task_done()
                 break
             seq, item = got
             two_phase = item.render_begin is not None
             started = self._begin_two_phase(seq, item) if two_phase else None
-            if inflight is not None:
-                self._finish_two_phase(*inflight)
-                inflight = None
             if two_phase:
                 # begin failure already recorded + task_done'd the item
                 if started is not None:
-                    inflight = (seq, item, *started)
+                    inflight.append((seq, item, *started))
+                while len(inflight) > self.hdr_depth:
+                    self._finish_two_phase(*inflight.popleft())
             else:
+                # plain items (JPEG crops) drain the render pipeline first:
+                # unbounded eager begins while the host encodes stills
+                # would otherwise pile device work/memory
+                while inflight:
+                    self._finish_two_phase(*inflight.popleft())
                 try:
                     ok, err = self._execute(item)
                     self._record_ordered(seq, item, ok, err)

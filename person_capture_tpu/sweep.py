@@ -161,6 +161,7 @@ _FINGERPRINT_EXCLUDE = frozenset({
     "tpu_profile", "tpu_jax_profile_dir", "tpu_compile_cache_dir",
     "tpu_pipeline_depth", "tpu_decode_workers", "tpu_save_workers",
     "tpu_resize_workers", "tpu_mesh", "tpu_seek_sampling",
+    "tpu_hdr_pipeline_depth",
     # device cpu/tpu is decision-equivalent by design (the CPU-mesh CI
     # proves chip parity), and outage-mode --device cpu outputs must
     # resume cleanly once the chip returns (CLAUDE.md outage workflow)
