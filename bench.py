@@ -431,7 +431,7 @@ def main() -> None:
     }))
 
 
-def _bench_hdr_exports(n_runs: int = 3, depth: int = 2, mfu: bool = True):
+def _bench_hdr_exports(n_runs: int = 3, depth: int = 3, mfu: bool = True):
     """Time full-res HDR→SDR crop renders (kernel + color match +
     despeckle + PNG encode) from a 4K P010 source. Median of ``n_runs``
     (symmetric with the other metrics — VERDICT r4 Weak #4), plus the
@@ -476,6 +476,7 @@ def _bench_hdr_exports(n_runs: int = 3, depth: int = 2, mfu: bool = True):
 
     n = 5
     rates = []
+    encode_ms = []
     for _r in range(max(1, int(n_runs))):
         t0 = time.perf_counter()
         with tempfile.TemporaryDirectory() as td:
@@ -485,9 +486,13 @@ def _bench_hdr_exports(n_runs: int = 3, depth: int = 2, mfu: bool = True):
                 while submitted < n and len(q) <= max(0, int(depth) - 1):
                     q.append(submit_sdr_crop_render(y, uv, crop, params))
                     submitted += 1
-                save_sdr_still(q.popleft()(), f"{td}/f{i}.png")
+                bgr = q.popleft()()
+                te = time.perf_counter()
+                save_sdr_still(bgr, f"{td}/f{i}.png")
+                encode_ms.append((time.perf_counter() - te) * 1e3)
         rates.append(round(n / (time.perf_counter() - t0), 2))
     rates.sort()
+    encode_ms.sort()
 
     rep = {}
     if mfu:
@@ -501,6 +506,11 @@ def _bench_hdr_exports(n_runs: int = 3, depth: int = 2, mfu: bool = True):
         uv_dev = jax.device_put(uv[y0 // 2:y1 // 2, x0 // 2:x1 // 2])
         render = _get_render_fn(params)
         rep = mfu_report(render, (y_dev, uv_dev), n=8, reps=3)
+    # host PNG-encode floor: with renders fully hidden by the depth-K
+    # pipeline, exports/s cannot exceed 1000/encode_ms
+    rep = dict(rep)
+    rep["png_encode_ms_median"] = round(
+        encode_ms[len(encode_ms) // 2], 1) if encode_ms else None
     return rates[len(rates) // 2], rates, rep
 
 

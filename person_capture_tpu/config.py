@@ -372,14 +372,19 @@ class SessionConfig:
     # exact seek would decode ≥12 fewer frames, the reader PROBES both
     # paths under a timer on the first eligible skips and locks the
     # cheaper one for the stream (video/reader.py KeyframeSkipReader).
-    # On decode-bound codecs (H.264/HEVC 1080p) the seek path cuts
-    # per-sample decode from stride frames to ~GOP/2; on cheap-decode
-    # codecs the fixed container-seek cost loses to draining (measured:
-    # mp4v 177 drain vs 160 seek src f/s, tools_bench_seek_sampling.py)
-    # and the probe locks drain. Long-GOP content (keyint > stride)
-    # never qualifies. Sample positions are identical on every path
-    # (parity-tested on forced-GOP synthetics). False = always drain
-    # (reference behavior: gui_app.py:1640-1647 drains stride-1 grabs).
+    # Measured (tools_bench_seek_sampling.py, stride 24 / GOP 12):
+    # cv2's exact-position seek loses to draining on BOTH mp4v (177 vs
+    # 160 src f/s) and VP9 (19.0 vs 17.3) — its container seek + decoder
+    # flush costs more than the saved decodes at this stride — and the
+    # probe locks drain within 3 samples, holding wall-clock parity
+    # (168.5 drain vs 168.8 auto). The seek path pays off only where the
+    # underlying reader seeks cheaply relative to its decode (e.g. a
+    # future in-process PyAV reader, or strides >> GOP); the probe makes
+    # that an automatic, per-content decision instead of a config bet.
+    # Long-GOP content (keyint > stride) never qualifies. Sample
+    # positions are identical on every path (parity-tested on forced-GOP
+    # synthetics). False = always drain (reference behavior:
+    # gui_app.py:1640-1647 drains stride-1 grabs per sample).
     tpu_seek_sampling: bool = True
     # Encode workers behind the async saver (0 = auto: cores-1 capped at
     # 8; 1 on this 1-core image). PNG/AVIF encode is the reference's

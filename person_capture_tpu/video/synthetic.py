@@ -119,7 +119,8 @@ def generate_video(path: str, width: int = 320, height: int = 240,
                    fps: float = 30.0, total_frames: int = 120,
                    segments: Optional[Sequence[Tuple[int, int, int]]] = None,
                    moving: bool = True, seed: int = 0,
-                   draw_body: bool = False) -> SyntheticVideo:
+                   draw_body: bool = False,
+                   fourcc: str = "mp4v") -> SyntheticVideo:
     """Write an mp4 with faces present in the given ``(start, end, identity)``
     frame segments (inclusive), plus background noise.
 
@@ -134,7 +135,7 @@ def generate_video(path: str, width: int = 320, height: int = 240,
         segments = [(20, 60, 0), (90, 110, 0)]
     rng = np.random.default_rng(seed)
     sv = SyntheticVideo(path, width, height, fps, total_frames)
-    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc),
                              fps, (width, height))
     if not writer.isOpened():
         raise IOError(f"cannot open writer: {path}")

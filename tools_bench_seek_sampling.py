@@ -33,13 +33,15 @@ def walk(reader, stride, total):
 
 def main():
     stride = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    total = 720
+    codec = sys.argv[2] if len(sys.argv) > 2 else "mp4v"
+    total = int(sys.argv[3]) if len(sys.argv) > 3 else 720
     with tempfile.TemporaryDirectory() as td:
-        path = f"{td}/bench1080.mp4"
-        print(f"encoding {total}f 1080p...", flush=True)
+        ext = "webm" if codec == "vp90" else "mp4"
+        path = f"{td}/bench1080.{ext}"
+        print(f"encoding {total}f 1080p {codec}...", flush=True)
         generate_video(path, width=1920, height=1080, fps=24,
                        total_frames=total, segments=[(0, total - 1, 0)],
-                       moving=True, seed=0)
+                       moving=True, seed=0, fourcc=codec)
         kfs = read_keyframes(path, 24.0, total)
         gops = [b - a for a, b in zip(kfs, kfs[1:])]
         med_gop = sorted(gops)[len(gops) // 2] if gops else 0
