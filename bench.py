@@ -468,13 +468,16 @@ def _bench_hdr_exports(n_runs: int = 3, depth: int = 3, mfu: bool = True):
 
     # warm (compile)
     _ = render_sdr_crop_from_p010(y, uv, crop, params)
-    # depth-`depth` export pipeline, as the saver thread runs it
-    # (pipeline/saver.py): keep `depth` renders in flight ahead of the
-    # host PNG encode, so the device render + 8 MB download fully hide
-    # behind the encode instead of only one batch deep
+    # depth-`depth` export pipeline with SAVER semantics (pipeline/saver.py
+    # hdr_depth): while item i is being fetched+encoded, `depth` later
+    # renders are in flight — so the queue refills to depth+1 BEFORE the
+    # pop. (An earlier revision refilled only to `depth`, i.e. depth-1 in
+    # flight during the encode: its "depth 1" row measured a fully SERIAL
+    # loop — round-5 review finding.)
     from collections import deque
 
     n = 5
+    depth = max(0, int(depth))
     rates = []
     encode_ms = []
     for _r in range(max(1, int(n_runs))):
@@ -483,7 +486,7 @@ def _bench_hdr_exports(n_runs: int = 3, depth: int = 3, mfu: bool = True):
             q = deque()
             submitted = 0
             for i in range(n):
-                while submitted < n and len(q) <= max(0, int(depth) - 1):
+                while submitted < n and len(q) < depth + 1:
                     q.append(submit_sdr_crop_render(y, uv, crop, params))
                     submitted += 1
                 bgr = q.popleft()()
@@ -496,14 +499,29 @@ def _bench_hdr_exports(n_runs: int = 3, depth: int = 3, mfu: bool = True):
 
     rep = {}
     if mfu:
-        # render-program MFU (device side only; PNG encode is host)
+        # render-program MFU (device side only; PNG encode is host) — at
+        # the shape_bucket-PADDED crop shape the export path actually
+        # compiles and runs (submit_sdr_crop_render edge-pads 1440→1472
+        # rows at the default bucket 64; lowering the unpadded shape
+        # would measure a program the pipeline never executes AND pay an
+        # extra multi-minute tunnel compile — round-5 review finding)
         import jax
 
         from person_capture_tpu.utils.mfu import mfu_report
 
         x0, y0, x1, y1 = crop
-        y_dev = jax.device_put(y[y0:y1, x0:x1])
-        uv_dev = jax.device_put(uv[y0 // 2:y1 // 2, x0 // 2:x1 // 2])
+        y_c = y[y0:y1, x0:x1]
+        uv_c = uv[y0 // 2:y1 // 2, x0 // 2:x1 // 2]
+        bucket = int(getattr(params, "shape_bucket", 0) or 0)
+        if bucket > 1:
+            ph = (-y_c.shape[0]) % bucket
+            pw = (-y_c.shape[1]) % bucket
+            if ph or pw:
+                y_c = np.pad(y_c, ((0, ph), (0, pw)), mode="edge")
+                uv_c = np.pad(uv_c, ((0, ph // 2), (0, pw // 2), (0, 0)),
+                              mode="edge")
+        y_dev = jax.device_put(y_c)
+        uv_dev = jax.device_put(uv_c)
         render = _get_render_fn(params)
         rep = mfu_report(render, (y_dev, uv_dev), n=8, reps=3)
     # host PNG-encode floor: with renders fully hidden by the depth-K

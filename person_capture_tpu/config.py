@@ -392,12 +392,12 @@ class SessionConfig:
     # K workers keep CSV submission order and per-item render-timeout/
     # cancel semantics (pipeline/saver.py).
     tpu_save_workers: int = 0
-    # HDR export pipeline depth (single saver worker): device renders in
-    # flight ahead of the host PNG encode. Measured on the real chip
-    # (tools_bench_hdr_depth.py, interleaved medians): 0.96/1.47/1.66
-    # exports/s at depth 1/2/3 — each slot hides one more render + 8 MB
-    # download behind the encode. Memory cost ≈ depth full-crop BGR
-    # buffers on device.
+    # HDR export pipeline depth (single saver worker): device renders
+    # in flight DURING each host PNG encode. Measured on the real chip
+    # (tools_bench_hdr_depth.py, interleaved medians): 0.72 serial,
+    # 0.96/1.62/1.75 exports/s at depth 1/2/3 — each slot hides one
+    # more render + 8 MB download behind the encode. Memory cost ≈
+    # depth full-crop BGR buffers on device.
     tpu_hdr_pipeline_depth: int = 3
     # Analysis-resize workers (0 = auto: cores-1 capped at 8; 1 on this
     # 1-core image = inline, no thread). When

@@ -292,10 +292,18 @@ class Engine:
             # keyframe index BEFORE prescan (container parse, no decode):
             # it powers span-jump seeks in the main pass AND the
             # seek-sampling skip gate in both pipelines
-            from ..video.keyframes import read_keyframes
+            from ..video.keyframes import mp4_is_cfr, read_keyframes
 
             keyframes = read_keyframes(cfg.video, meta.fps,
                                        meta.total_frames)
+            # seek sampling is only safe where frame-number seeks are
+            # provably frame-exact: constant-frame-rate mp4 (single-entry
+            # stts). VFR/mkv content silently lands off the counted-frame
+            # grid under cv2's timestamp conversion, which would shift
+            # which frames get sampled — never eligible.
+            seek_sampling_ok = bool(keyframes) \
+                and mp4_is_cfr(cfg.video) is True \
+                and bool(getattr(cfg, "tpu_seek_sampling", True))
             pres: Optional[PrescanResult] = None
             if cfg.prescan_enable:
                 self._status_cb("pre-scan", key="phase")
@@ -319,8 +327,7 @@ class Engine:
                         r = ResilientReader(
                             _open_base(), _open_base,
                             total_frames=meta.total_frames)
-                        if keyframes and bool(getattr(
-                                cfg, "tpu_seek_sampling", True)):
+                        if seek_sampling_ok:
                             return KeyframeSkipReader(
                                 r, keyframes,
                                 total_frames=meta.total_frames)
@@ -442,13 +449,10 @@ class Engine:
             from ..video.reader import (KeyframeSkipReader, ResilientReader,
                                         StridedPrefetchReader)
 
-            seek_sampling = bool(keyframes) and bool(
-                getattr(cfg, "tpu_seek_sampling", True))
-
             def _kf_wrap(r):
                 return KeyframeSkipReader(
                     r, keyframes, total_frames=meta.total_frames) \
-                    if seek_sampling else r
+                    if seek_sampling_ok else r
 
             workers = self._decode_workers()
             if workers > 1 and meta.total_frames > 1 and spans:
@@ -487,7 +491,7 @@ class Engine:
                             workers=int(getattr(cfg, "tpu_save_workers", 1)
                                         or 0),
                             hdr_depth=int(getattr(
-                                cfg, "tpu_hdr_pipeline_depth", 3) or 3),
+                                cfg, "tpu_hdr_pipeline_depth", 3)),
                             render_timeout_sec=cfg.hdr_export_timeout_sec
                             if hdr_exporter is not None else 0.0) as saver:
                 if hdr_exporter is not None:

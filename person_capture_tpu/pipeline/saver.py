@@ -146,9 +146,10 @@ class AsyncSaver:
             auto_save_workers()
         # two-phase pipeline depth (single-worker path): how many device
         # renders stay in flight ahead of the host PNG encode. Measured on
-        # the real chip (tools_bench_hdr_depth.py, interleaved medians):
-        # depth 1 = 0.96/s, 2 = 1.47/s, 3 = 1.66/s exports — each extra
-        # slot hides one more render+download behind the encode.
+        # the real chip (tools_bench_hdr_depth.py, interleaved medians,
+        # depth = renders in flight DURING an encode): serial 0.72/s,
+        # depth 1 = 0.96, 2 = 1.62, 3 = 1.75 exports/s — each slot
+        # hides one more render+download behind the encode.
         self.hdr_depth = max(1, int(hdr_depth))
         os.makedirs(out_dir, exist_ok=True)
         self.csv_path = os.path.join(out_dir, csv_name)

@@ -179,6 +179,31 @@ def mp4_read_stss(path: str, total_frames: int) -> List[int]:
     return frames
 
 
+def mp4_is_cfr(path: str) -> Optional[bool]:
+    """True when the video track's ``stts`` has exactly one entry (every
+    sample shares one duration) — the only case where cv2 frame-number
+    seeks are provably frame-exact, since the demuxer converts frame
+    numbers to timestamps by multiplying a constant duration. VFR
+    content (multi-entry stts) makes that conversion land off the
+    counted-frame grid, so the seek-sampling fast path must never
+    engage there (round-5 review finding). None = not parseable as mp4
+    (treat as not provably CFR)."""
+    moov = _load_moov(path)
+    if moov is None:
+        return None
+    stbl = _video_stbl(moov)
+    if stbl is None:
+        return None
+    stts = _child(moov, stbl[0], stbl[1], b"stts")
+    if stts is None:
+        return None
+    parsed = _full_box_entries(moov, stts[0], stts[1])
+    if parsed is None:
+        return None
+    count, _off = parsed
+    return count == 1
+
+
 # ---------------------------------------------------------------------------
 # Matroska / WebM (EBML)
 # ---------------------------------------------------------------------------

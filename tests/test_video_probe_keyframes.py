@@ -150,3 +150,26 @@ def test_read_keyframes_on_real_synthetic_mp4(tmp_path):
     # either way the call must not crash and must return sorted indices
     assert kf == sorted(kf)
     assert all(0 <= f < 60 for f in kf)
+
+
+def test_mp4_is_cfr_gates_seek_sampling(tmp_path):
+    """Seek sampling is only eligible on provably constant-frame-rate
+    mp4 (single-entry stts): cv2 frame-number seeks convert through a
+    constant sample duration there and land frame-exact; VFR/mkv content
+    must never engage the seek path (round-5 review finding)."""
+    from person_capture_tpu.video.keyframes import mp4_is_cfr
+    from person_capture_tpu.video.synthetic import generate_video
+
+    p = str(tmp_path / "t.mp4")
+    generate_video(p, width=128, height=96, fps=30.0, total_frames=40,
+                   segments=[(5, 20, 0)])
+    assert mp4_is_cfr(p) is True
+
+    w = str(tmp_path / "t.webm")
+    generate_video(w, width=128, height=96, fps=30.0, total_frames=30,
+                   segments=[(5, 20, 0)], fourcc="vp90")
+    assert mp4_is_cfr(w) is None          # not parseable as mp4
+
+    bad = tmp_path / "junk.mp4"
+    bad.write_bytes(b"this is not an mp4")
+    assert mp4_is_cfr(str(bad)) is None

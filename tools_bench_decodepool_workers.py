@@ -32,8 +32,10 @@ def measure(workers: int, delay: float, total: int = 600,
         t0 = time.perf_counter()
         got = _walk_spans(r, spans, stride)
         dt = time.perf_counter() - t0
-        assert len(got) == total // stride + (1 if (total - 1) % stride == 0
-                                              else 0) or got
+        expected = list(range(0, total, stride))
+        assert got == expected, (
+            f"pool dropped/duplicated samples: {len(got)} of "
+            f"{len(expected)}")   # scaling numbers mean nothing otherwise
         return len(got) / dt
     finally:
         r.release()

@@ -15,7 +15,9 @@ import bench as B
 
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    depths = (1, 2, 3)
+    # depth = renders in flight DURING an encode (saver hdr_depth
+    # semantics); 0 = fully serial baseline
+    depths = (0, 1, 2, 3)
     B._wait_for_device()
     results = {d: [] for d in depths}
     # warm all compiles once (same params for every depth)
