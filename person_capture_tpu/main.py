@@ -474,7 +474,7 @@ def build_runtime(cfg, args, ap) -> dict:
             "fullframe": fullframe_backend}
 
 
-def make_engine(cfg, runtime: dict, status=None):
+def make_engine(cfg, runtime: dict, status=None, progress=None):
     """Engine over a shared :func:`build_runtime` — the per-video pieces
     (recovery ladder state, engine callbacks) are fresh; the heavy model
     backends are shared."""
@@ -493,7 +493,7 @@ def make_engine(cfg, runtime: dict, status=None):
                   reid_backend=runtime["reid"],
                   fullframe_backend=runtime["fullframe"],
                   status=status or (lambda m: print(f"[pc] {m}")),
-                  progress=lambda p: None)
+                  progress=progress or (lambda p: None))
 
 
 def main(argv=None) -> int:

@@ -305,11 +305,47 @@ def main(argv=None) -> int:
         with open(summary_path, "w") as fh:
             json.dump(summary, fh, indent=2)
 
-    def _run_once(video: str, out_dir: str):
+    # serving-daemon heartbeat: OUT_ROOT/sweep_status.json, rewritten
+    # atomically at phase changes and throttled progress ticks so fleet
+    # monitors can read liveness + current work without scraping stdout
+    # (the reference surfaces this through Qt status/progress signals,
+    # gui_app.py:3532-3539; a headless daemon needs a file). The restart
+    # story never reads it — done.json markers own resume.
+    status_path = os.path.join(out_root, "sweep_status.json")
+    hb_last = [0.0]
+
+    def heartbeat(video: str, phase: str, progress: float,
+                  retries: int = 0, force: bool = False) -> None:
+        now = time.time()
+        if not force and now - hb_last[0] < 5.0:
+            return
+        hb_last[0] = now
+        try:
+            os.makedirs(out_root, exist_ok=True)
+            tmp = status_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"video": video, "phase": phase,
+                           "progress": round(float(progress), 4),
+                           "retries": retries,
+                           "processed": len(results), "failed": failed,
+                           "updated": now}, fh)
+            os.replace(tmp, status_path)
+        except OSError:
+            pass                            # monitoring must never fail a run
+
+    def _run_once(video: str, out_dir: str, retries: int = 0):
+        vname = os.path.basename(video)
+
+        def on_status(m, _v=vname):
+            print(f"[pc:{_v}] {m}")
+            heartbeat(video, str(m)[:120], -1.0, retries, force=True)
+
+        def on_progress(p, _v=video):
+            heartbeat(_v, "running", p, retries)
+
         try:
             eng = make_engine(cfg_for(video, out_dir), get_runtime(),
-                              status=lambda m, _v=os.path.basename(video):
-                              print(f"[pc:{_v}] {m}"))
+                              status=on_status, progress=on_progress)
             res = eng.run()
             ok, err = res.ok, res.error
             hits = len(res.mainpass.hits) if (ok and res.mainpass) else 0
@@ -338,7 +374,7 @@ def main(argv=None) -> int:
         print(f"[sweep] {video} -> {out_dir}")
         retries = 0
         while True:
-            ok, err, hits, spans = _run_once(video, out_dir)
+            ok, err, hits, spans = _run_once(video, out_dir, retries)
             if ok:
                 kind = None
                 break
@@ -451,6 +487,7 @@ def main(argv=None) -> int:
         if aborted or not watch:
             break
         idle_polls = 0 if fresh else idle_polls + 1
+        heartbeat("", "idle", 1.0, force=True)
         if args.watch_max_idle and idle_polls >= int(args.watch_max_idle):
             print(f"[sweep] {idle_polls} idle poll(s) — exiting watch")
             break
@@ -460,6 +497,7 @@ def main(argv=None) -> int:
             break
 
     write_summary()
+    heartbeat("", "exited", 1.0, force=True)
     done = len(results) - failed
     print(f"[sweep] {done}/{len(results)} ok in "
           f"{round(time.perf_counter() - t_sweep, 2)}s; "

@@ -182,7 +182,7 @@ def _stub_engines(monkeypatch, processed_log):
     monkeypatch.setattr(M, "build_runtime",
                         lambda cfg, args, ap: {"stub": True})
 
-    def fake_make_engine(cfg_v, runtime, status=None):
+    def fake_make_engine(cfg_v, runtime, status=None, **kw):
         def run():
             processed_log.append(cfg_v.video)
             return SimpleNamespace(
@@ -263,7 +263,7 @@ def _stub_flaky_engines(monkeypatch, fail_errors, run_log):
                         lambda cfg, args, ap: {"stub": True})
     attempts = {}
 
-    def fake_make_engine(cfg_v, runtime, status=None):
+    def fake_make_engine(cfg_v, runtime, status=None, **kw):
         def run():
             i = attempts.get(cfg_v.video, 0)
             attempts[cfg_v.video] = i + 1
@@ -480,7 +480,7 @@ def test_resume_failed_video_retries_on_restart(tmp_path, monkeypatch):
                         lambda cfg, args, ap: {"stub": True})
     log = []
 
-    def fake_make_engine(cfg_v, runtime, status=None):
+    def fake_make_engine(cfg_v, runtime, status=None, **kw):
         def run():
             log.append(cfg_v.video)
             if os.path.basename(cfg_v.video) == "b.mp4":
@@ -615,7 +615,7 @@ def test_daemon_soak_outage_recovery_growth_restart(tmp_path, monkeypatch):
     monkeypatch.setattr(M, "build_runtime",
                         lambda cfg, args, ap: {"stub": True})
 
-    def fake_make_engine(cfg_v, runtime, status=None):
+    def fake_make_engine(cfg_v, runtime, status=None, **kw):
         def run():
             run_log.append(os.path.basename(cfg_v.video))
             if device["down"]:
@@ -698,3 +698,26 @@ def test_daemon_soak_outage_recovery_growth_restart(tmp_path, monkeypatch):
     assert sorted(os.path.basename(str(r["video"]))
                   for r in summary2["results"]) == \
         ["a.mp4", "b.mp4", "c.mp4"]
+
+
+def test_heartbeat_status_file(tmp_path, monkeypatch):
+    """sweep_status.json: atomic liveness heartbeat for fleet monitors —
+    written at phase changes, per-video completion, and exit; never part
+    of the resume story (done.json owns that)."""
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    old = time.time() - 60
+    (corpus / "a.mp4").write_bytes(b"x")
+    os.utime(corpus / "a.mp4", (old, old))
+    ref = tmp_path / "ref.png"
+    ref.write_bytes(b"x")
+    out_root = tmp_path / "out"
+
+    log = []
+    _stub_engines(monkeypatch, log)
+    assert SW.main(["--videos", str(corpus), "--ref", str(ref),
+                    "--out", str(out_root)]) == 0
+    status = json.loads((out_root / "sweep_status.json").read_text())
+    assert status["phase"] == "exited"
+    assert status["processed"] == 1 and status["failed"] == 0
+    assert status["updated"] <= time.time()
