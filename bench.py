@@ -329,6 +329,16 @@ def _wait_for_device(deadline_s: float = 1800.0) -> None:
 
 
 def main() -> None:
+    # Probe FIRST, before any in-process jax/backend touch bench itself
+    # controls: during a relay hiccup early init can wedge
+    # uninterruptibly for tens of minutes (observed r5: bench sat ~25
+    # min before its first output while fresh subprocess probes
+    # succeeded — on THIS image that wedge lives in sitecustomize's
+    # interpreter-startup jax preload, which no ordering inside bench
+    # can dodge, but on hosts without the preload this ordering keeps
+    # the first backend touch behind a hang-proof subprocess probe).
+    _wait_for_device()
+
     import jax
 
     from person_capture_tpu.core.bank import RefBank
@@ -343,7 +353,6 @@ def main() -> None:
     from person_capture_tpu.main import maybe_enable_compile_cache
 
     maybe_enable_compile_cache(SimpleNamespace(tpu_compile_cache_dir="auto"))
-    _wait_for_device()
 
     rng = np.random.default_rng(0)
     bank = RefBank(cap=64)
