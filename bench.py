@@ -516,19 +516,10 @@ def _bench_hdr_exports(n_runs: int = 3, depth: int = 3, mfu: bool = True):
         # extra multi-minute tunnel compile — round-5 review finding)
         import jax
 
+        from person_capture_tpu.hdr.stills import bucketed_crop_arrays
         from person_capture_tpu.utils.mfu import mfu_report
 
-        x0, y0, x1, y1 = crop
-        y_c = y[y0:y1, x0:x1]
-        uv_c = uv[y0 // 2:y1 // 2, x0 // 2:x1 // 2]
-        bucket = int(getattr(params, "shape_bucket", 0) or 0)
-        if bucket > 1:
-            ph = (-y_c.shape[0]) % bucket
-            pw = (-y_c.shape[1]) % bucket
-            if ph or pw:
-                y_c = np.pad(y_c, ((0, ph), (0, pw)), mode="edge")
-                uv_c = np.pad(uv_c, ((0, ph // 2), (0, pw // 2), (0, 0)),
-                              mode="edge")
+        y_c, uv_c, _trim = bucketed_crop_arrays(y, uv, crop, params)
         y_dev = jax.device_put(y_c)
         uv_dev = jax.device_put(uv_c)
         render = _get_render_fn(params)

@@ -310,6 +310,36 @@ def _get_ext_match_fn(params: HdrExportParams):
     return fn
 
 
+def bucketed_crop_arrays(y_plane: np.ndarray, uv_plane: np.ndarray,
+                         crop_xyxy, params: HdrExportParams):
+    """Legalized (4:2:0-even) + shape-bucketed crop planes, exactly as
+    the export dispatch prepares them: ``(y_crop, uv_crop, trim)`` where
+    ``trim`` is the pre-pad (h, w) to slice the render back to, or None.
+    Shared by :func:`submit_sdr_crop_render` and bench's MFU report so
+    the measured program is the one the pipeline compiles."""
+    h, w = y_plane.shape[:2]
+    x1, y1, x2, y2 = even_hdr_crop_xyxy(crop_xyxy, (w, h))
+    y_crop = np.ascontiguousarray(np.asarray(y_plane)[y1:y2, x1:x2])
+    uv_crop = np.ascontiguousarray(
+        np.asarray(uv_plane)[y1 // 2:y2 // 2, x1 // 2:x2 // 2])
+
+    ch, cw = y_crop.shape
+    bucket = int(getattr(params, "shape_bucket", 0) or 0)
+    trim = None
+    if bucket > 1 and (ch % bucket or cw % bucket):
+        ph = (-ch) % bucket
+        pw = (-cw) % bucket
+        pad_frac = ((ch + ph) * (cw + pw) - ch * cw) / float(ch * cw)
+        # replicated pixels enter the quantile statistics (peak detect,
+        # LUT fit); keep their share small — tiny crops render exact
+        if pad_frac <= 0.25:
+            y_crop = np.pad(y_crop, ((0, ph), (0, pw)), mode="edge")
+            uv_crop = np.pad(uv_crop, ((0, ph // 2), (0, pw // 2), (0, 0)),
+                             mode="edge")
+            trim = (ch, cw)
+    return y_crop, uv_crop, trim
+
+
 def submit_sdr_crop_render(y_plane: np.ndarray, uv_plane: np.ndarray,
                            crop_xyxy, params: HdrExportParams,
                            reference_bgr: Optional[np.ndarray] = None):
@@ -331,26 +361,8 @@ def submit_sdr_crop_render(y_plane: np.ndarray, uv_plane: np.ndarray,
     the color match (e.g. a reduced-resolution render); when None and
     color_match is on, the program renders its own reference internally.
     """
-    h, w = y_plane.shape[:2]
-    x1, y1, x2, y2 = even_hdr_crop_xyxy(crop_xyxy, (w, h))
-    y_crop = np.ascontiguousarray(np.asarray(y_plane)[y1:y2, x1:x2])
-    uv_crop = np.ascontiguousarray(
-        np.asarray(uv_plane)[y1 // 2:y2 // 2, x1 // 2:x2 // 2])
-
-    ch, cw = y_crop.shape
-    bucket = int(getattr(params, "shape_bucket", 0) or 0)
-    trim = None
-    if bucket > 1 and (ch % bucket or cw % bucket):
-        ph = (-ch) % bucket
-        pw = (-cw) % bucket
-        pad_frac = ((ch + ph) * (cw + pw) - ch * cw) / float(ch * cw)
-        # replicated pixels enter the quantile statistics (peak detect,
-        # LUT fit); keep their share small — tiny crops render exact
-        if pad_frac <= 0.25:
-            y_crop = np.pad(y_crop, ((0, ph), (0, pw)), mode="edge")
-            uv_crop = np.pad(uv_crop, ((0, ph // 2), (0, pw // 2), (0, 0)),
-                             mode="edge")
-            trim = (ch, cw)
+    y_crop, uv_crop, trim = bucketed_crop_arrays(y_plane, uv_plane,
+                                                 crop_xyxy, params)
 
     if reference_bgr is not None and params.color_match:
         # external reference: render the clean tone-map now (all the

@@ -301,9 +301,10 @@ class Engine:
             # stts). VFR/mkv content silently lands off the counted-frame
             # grid under cv2's timestamp conversion, which would shift
             # which frames get sampled — never eligible.
-            seek_sampling_ok = bool(keyframes) \
-                and mp4_is_cfr(cfg.video) is True \
-                and bool(getattr(cfg, "tpu_seek_sampling", True))
+            seek_sampling_ok = bool(getattr(cfg, "tpu_seek_sampling",
+                                            True)) \
+                and bool(keyframes) \
+                and mp4_is_cfr(cfg.video) is True  # parse only if enabled
             pres: Optional[PrescanResult] = None
             if cfg.prescan_enable:
                 self._status_cb("pre-scan", key="phase")

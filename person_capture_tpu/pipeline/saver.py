@@ -85,8 +85,9 @@ def atomic_image_write(img: np.ndarray, out_path: str, jpg_quality: int = 85,
 
 
 def auto_save_workers() -> int:
-    """Default encode-worker count — same cores-1-capped-4 heuristic as
-    the decode pool (one shared definition; they tune together)."""
+    """Default encode-worker count — same cores-1-capped-8 heuristic as
+    the decode pool (one shared definition; they tune together — see
+    auto_decode_workers for the measured cap rationale)."""
     from ..video.decodepool import auto_decode_workers
 
     return auto_decode_workers()

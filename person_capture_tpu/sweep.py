@@ -468,8 +468,11 @@ def main(argv=None) -> int:
                     import shutil
                     shutil.rmtree(stale_dir, ignore_errors=True)
                 else:
+                    # record the AS-GIVEN corpus path (not the marker's
+                    # absolute form) so results[].video keeps one form
+                    # across restarts — fleet monitors join on it
                     results.append({
-                        "video": rec.get("video"),
+                        "video": video,
                         "out_dir": os.path.join(out_root, dname),
                         "ok": True, "error": None, "error_kind": None,
                         "retries": 0, "hits": rec.get("hits", 0),

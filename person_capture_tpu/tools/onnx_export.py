@@ -135,6 +135,15 @@ def export_scrfd(path: str, cfg, variables, det_size: int) -> None:
     """Write an insightface-layout SCRFD ONNX graph from flax variables
     (``models.scrfd.SCRFD``). ``det_size`` fixes the spatial shapes (the
     adapter letterboxes to one size anyway); batch stays dynamic."""
+    deepest = max(cfg.strides)
+    if det_size % deepest:
+        # the stride-2 conv chain ceil-divides odd sizes while the head
+        # Reshapes use floor(det_size/stride): a non-divisible size would
+        # write an internally inconsistent graph that every runtime
+        # rejects at execution (same rule as models.scrfd.init_scrfd)
+        raise ValueError(
+            f"SCRFD export size must be a multiple of {deepest}, "
+            f"got {det_size}")
     P = variables["params"]
     B = variables["batch_stats"]
     g = _G()
@@ -227,7 +236,6 @@ def export_arcface(path: str, cfg, variables) -> None:
     h = g.bn(h, P["BatchNorm_0"], B["BatchNorm_0"])
     h = g.prelu(h, P["PReLU_0"]["alpha"])
     bi_global = 0
-    side = cfg.input_size
     for ch, nblocks in zip(cfg.stage_channels, cfg.stage_blocks):
         for bi in range(nblocks):
             stride = 2 if bi == 0 else 1
@@ -246,7 +254,6 @@ def export_arcface(path: str, cfg, variables) -> None:
                 idn = h
             h = g.add(y, idn)
             bi_global += 1
-        side //= 2
     h = g.bn(h, P["BatchNorm_1"], B["BatchNorm_1"])
     # flax flattens NHWC (H, W, C)-ordered: transpose before Flatten so
     # the Dense weights keep their element order

@@ -1080,8 +1080,16 @@ class KeyframeSkipReader:
                 or not getattr(r, "cheap_seek", False)):
             return r.skip(count)
         target = r.pos + count
-        if self.total > 0 and target >= self.total:
-            return r.skip(count)    # tail: EOF accounting needs real grabs
+        # Tail guard: drain once the target reaches the LAST keyframe.
+        # Frames strictly before it provably exist (each keyframe is a
+        # real sync sample, so every preceding sample exists); beyond it
+        # only the container's claimed total vouches for decodability,
+        # and cv2 frame counts routinely overcount — a seek there would
+        # return a full count where the drain path would report the
+        # EOF shortfall the pipeline drivers rely on.
+        if target >= self.keyframes[-1] or \
+                (self.total > 0 and target >= self.total):
+            return r.skip(count)
         from .keyframes import previous_keyframe
 
         kf = previous_keyframe(self.keyframes, target)
