@@ -391,8 +391,20 @@ def main(argv=None) -> int:
             import shutil
             shutil.rmtree(out_dir, ignore_errors=True)
             # block until the device answers; the engine failure may have
-            # raced a recovering relay, so re-probe even right after one
-            _probe_and_wait(lambda m: print(f"[sweep] {m}", file=sys.stderr))
+            # raced a recovering relay, so re-probe even right after one.
+            # Heartbeat through the probe loop too: a multi-hour outage
+            # otherwise reads as a dead daemon on the monitor (stale
+            # timestamp) when it is deliberately stalling (CLAUDE.md
+            # 12h+ outage notes).
+            heartbeat(video, "backend outage — probing device", -1.0,
+                      retries, force=True)
+
+            def _probe_status(m, _v=video, _r=retries):
+                print(f"[sweep] {m}", file=sys.stderr)
+                heartbeat(_v, f"outage probe: {str(m)[:100]}", -1.0, _r,
+                          force=True)
+
+            _probe_and_wait(_probe_status)
         wall = time.perf_counter() - t0
         if ok:
             # completion marker: a RESTARTED sweep seeds its seen-set from

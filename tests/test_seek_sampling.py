@@ -214,3 +214,21 @@ def test_prescan_spans_identical_with_seek_sampling(synth):
     assert seeked.per_sample_fd == plain.per_sample_fd
     assert seeked.samples == plain.samples
     assert wrapper.seeks > 0                # the fast path really engaged
+
+
+def test_tail_guard_never_seeks_past_last_keyframe():
+    """Container frame counts routinely overcount the decodable stream;
+    beyond the LAST keyframe only that count vouches for frames, so a
+    locked-seek reader must drain there — a seek would swallow the EOF
+    shortfall the pipeline drivers key on (round-5 review finding)."""
+    kfs = list(range(0, 91, 10))            # last keyframe at 90
+    # claimed total 120, but the stream really ends at 95
+    r = _CountingReader(95, kfs)
+    w = KeyframeSkipReader(r, kfs, total_frames=120, min_gain=5,
+                           mode="seek")
+    w.seek(60)
+    assert w.skip(25) == 25 and w.seeks == 1    # 85 < last kf: seek ok
+    # next skip targets 110 >= last kf 90: must DRAIN and report the
+    # true shortfall at 95 even though claimed total says 120
+    assert w.skip(25) == 10
+    assert w.pos == 95 and w.seeks == 1

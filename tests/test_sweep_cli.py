@@ -721,3 +721,25 @@ def test_heartbeat_status_file(tmp_path, monkeypatch):
     assert status["phase"] == "exited"
     assert status["processed"] == 1 and status["failed"] == 0
     assert status["updated"] <= time.time()
+
+
+def test_heartbeat_during_outage_probe(tmp_path, monkeypatch):
+    """A daemon stalling through a backend outage must keep its
+    heartbeat fresh (phase names the outage) — a stale timestamp would
+    read as a dead process on the monitor."""
+    corpus, ref = _corpus_one_file(tmp_path)
+    log = []
+    _stub_flaky_engines(monkeypatch,
+                        ["XlaRuntimeError: FAILED_PRECONDITION: x"], log)
+    out_root = tmp_path / "out"
+    seen_phases = []
+
+    def fake_probe(status):
+        status("device probe failed (attempt 1); retrying")
+        seen_phases.append(json.loads(
+            (out_root / "sweep_status.json").read_text())["phase"])
+
+    monkeypatch.setattr(SW, "_probe_and_wait", fake_probe)
+    assert SW.main(["--videos", str(corpus), "--ref", str(ref),
+                    "--out", str(out_root)]) == 0
+    assert any("outage" in p for p in seen_phases), seen_phases
