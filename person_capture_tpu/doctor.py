@@ -101,6 +101,43 @@ def check_cache(cache_dir: str = "auto") -> Dict:
     return info
 
 
+def check_sweep(out_root: str, stale_after_s: float = 600.0) -> Dict:
+    """Read a sweep daemon's heartbeat (OUT_ROOT/sweep_status.json +
+    sweep_summary.json): is it alive, what is it doing, how stale is the
+    last update? The heartbeat refreshes through engine phases, progress
+    ticks, idle polls AND backend-outage probes (sweep.py), so a stale
+    timestamp really does mean a dead or wedged daemon."""
+    status_path = os.path.join(out_root, "sweep_status.json")
+    info: Dict = {"root": out_root, "found": False}
+    try:
+        with open(status_path) as fh:
+            st = json.load(fh)
+    except (OSError, ValueError) as e:
+        info["error"] = f"{type(e).__name__}: {e}"
+        return info
+    info["found"] = True
+    age = max(0.0, time.time() - float(st.get("updated", 0.0)))
+    info.update(phase=st.get("phase"), video=st.get("video"),
+                progress=st.get("progress"),
+                processed=st.get("processed"), failed=st.get("failed"),
+                age_s=round(age, 1))
+    exited = st.get("phase") == "exited"
+    info["alive"] = bool(exited or age < float(stale_after_s))
+    if not info["alive"]:
+        info["error"] = (f"heartbeat is {age:.0f}s old (> "
+                         f"{stale_after_s:.0f}s) and phase is not "
+                         f"'exited' — daemon dead or wedged")
+    try:
+        with open(os.path.join(out_root, "sweep_summary.json")) as fh:
+            summary = json.load(fh)
+        info["summary"] = {k: summary.get(k) for k in
+                           ("corpus", "processed", "failed", "resumed",
+                            "failed_backend", "failed_video")}
+    except (OSError, ValueError):
+        pass
+    return info
+
+
 def check_decode(seconds: float = 3.0, width: int = 1920,
                  height: int = 1080) -> Dict:
     """Encode a short synthetic clip (1080p by default), measure cv2
@@ -218,6 +255,10 @@ def main(argv=None) -> int:
                     help="skip the 1080p decode measurement")
     ap.add_argument("--device", default="",
                     help="pin the JAX platform first (e.g. cpu)")
+    ap.add_argument("--sweep-root", default="",
+                    help="also diagnose a sweep daemon's heartbeat "
+                         "(OUT_ROOT of a --watch sweep): liveness, "
+                         "current phase/video, summary counts")
     ap.add_argument("--cache-dir", default="auto",
                     help="diagnose THIS compile-cache location (same "
                          "values as tpu_compile_cache_dir: auto | off | "
@@ -247,6 +288,11 @@ def main(argv=None) -> int:
     _say("[doctor] compile cache…", args.json)
     report["cache"] = check_cache(args.cache_dir)
     ok &= bool(report["cache"]["writable"] or report["cache"]["dir"] is None)
+
+    if args.sweep_root:
+        _say("[doctor] sweep daemon heartbeat…", args.json)
+        report["sweep"] = check_sweep(args.sweep_root)
+        ok &= bool(report["sweep"].get("alive"))
 
     if not args.skip_decode:
         _say("[doctor] cv2 1080p decode rate…", args.json)

@@ -70,3 +70,36 @@ def test_check_cache_unwritable_explicit_dir(tmp_path):
     blocker.write_text("x")
     c = doctor.check_cache(str(blocker / "sub"))
     assert not c["writable"] and c.get("error")
+
+
+def test_check_sweep_heartbeat(tmp_path):
+    import json as _json
+    import time as _time
+
+    # no heartbeat file
+    c = doctor.check_sweep(str(tmp_path))
+    assert not c["found"] and "error" in c
+
+    # fresh running heartbeat
+    (tmp_path / "sweep_status.json").write_text(_json.dumps(
+        {"video": "v.mp4", "phase": "running", "progress": 0.4,
+         "processed": 2, "failed": 0, "updated": _time.time()}))
+    (tmp_path / "sweep_summary.json").write_text(_json.dumps(
+        {"corpus": 5, "processed": 2, "failed": 0, "resumed": 1,
+         "failed_backend": 0, "failed_video": 0, "results": []}))
+    c = doctor.check_sweep(str(tmp_path))
+    assert c["found"] and c["alive"] and c["phase"] == "running"
+    assert c["summary"]["corpus"] == 5
+
+    # stale + not exited -> dead/wedged
+    (tmp_path / "sweep_status.json").write_text(_json.dumps(
+        {"video": "v.mp4", "phase": "running", "progress": 0.4,
+         "updated": _time.time() - 3600}))
+    c = doctor.check_sweep(str(tmp_path))
+    assert not c["alive"] and "wedged" in c["error"]
+
+    # old but cleanly exited -> fine
+    (tmp_path / "sweep_status.json").write_text(_json.dumps(
+        {"video": "", "phase": "exited", "progress": 1.0,
+         "updated": _time.time() - 3600}))
+    assert doctor.check_sweep(str(tmp_path))["alive"]
